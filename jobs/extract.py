@@ -1,0 +1,56 @@
+"""Batch extraction job — the ``spark-submit --py-files`` entrypoint.
+
+Usage:
+    spark-submit --master local[N] --py-files dist/paddleocr_spark.zip \
+        jobs/extract.py --input <pages.parquet> --output <dir> \
+        [--mode array|relational] [--partitions 64] [--salt 8] [--resume]
+
+Replaces the reference's subprocess striping
+(tools/infer/predict_system.py:313-324) with salted url-hash
+repartitioning + per-partition lineage (see paddleocr_spark/plans/job.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="pages parquet path")
+    ap.add_argument("--output", required=True, help="output directory")
+    ap.add_argument("--mode", default="array", choices=["array", "relational"])
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--resume", action="store_true", help="anti-join completed partitions")
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from paddleocr_spark.plans.job import run_extract_job
+
+    spark = SparkSession.builder.appName("paddleocr-spark-extract").getOrCreate()
+    t0 = time.time()
+    stats = run_extract_job(
+        spark,
+        input_path=args.input,
+        output_dir=args.output,
+        mode=args.mode,
+        n_partitions=args.partitions,
+        salt=args.salt,
+        resume=args.resume,
+    )
+    wall = time.time() - t0
+    out = dict(stats)
+    out["wall_sec"] = round(wall, 3)
+    out["docs_per_sec"] = round(stats["rows_out"] / wall, 2) if wall > 0 else None
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,55 @@
+"""Pipeline configuration.
+
+Thresholds mirror the reference CLI defaults (tools/infer/utility.py):
+``det_db_thresh=0.3`` (utility.py:63), ``det_db_box_thresh=0.6``
+(utility.py:64), ``drop_score=0.5`` (utility.py:103), ``cls_thresh=0.9``
+(utility.py:125), ``max_candidates=1000`` (ppocr/postprocess/
+db_postprocess.py:38), ``min_size=3`` (db_postprocess.py:50,
+tools/infer/predict_det.py:196-210 side<=3 drop).
+
+All comparisons are expressed EXACTLY the same way in the pure-Python
+oracle and in the Spark-native expressions so that results are
+byte-identical (IEEE-754 double arithmetic on integer inputs in both).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # Stage-1 "detect" (DB postprocess analog)
+    det_thresh: float = 0.3        # segmentation predicate: score > det_thresh
+    det_box_thresh: float = 0.6    # keep iff score >= det_box_thresh
+    min_text_len: int = 3          # drop iff raw text_len <= min_text_len
+    max_candidates: int = 1000     # per-document candidate cap (document order)
+
+    # Stage-2 "classify" (cls analog)
+    cls_thresh: float = 0.9        # apply RTL flip iff p(180) > cls_thresh
+
+    # Stage-3 "recognize" (CTC / drop_score analog)
+    drop_score: float = 0.5        # drop merged spans with conf < drop_score
+
+    # Fragment merge (tools/infer/utility.py:735-790 analog)
+    merge_x_threshold: int = 10
+    merge_y_threshold: int = 10
+
+    # Giant-block chunking (strip-split / slice_generator analog,
+    # tools/infer/predict_det.py:296-395, utility.py:695-732)
+    chunk_limit: int = 4096        # split raw block text longer than this
+    chunk_min_bound: int = 50      # MIN_BOUND_DISTANCE rollback analog
+    max_slices: int = 500          # maximum_slices guard (utility.py:695-721)
+
+    # Score formula constant: score = (text_len - link_text_len) / (text_len + SCORE_K)
+    score_k: int = 8
+
+
+DEFAULT = PipelineConfig()
+
+# Whitespace class used EVERYWHERE (Python `re` and Spark/Java regex agree
+# on this explicit class; bare \s differs between the two engines).
+WS_CLASS = r"[ \t\n\r\f\x0b]"
+
+# pred_reverse run class (ppocr/postprocess/rec_postprocess.py:51-65).
+LATIN_RUN_CLASS = "[a-zA-Z0-9 :*./%+-]"

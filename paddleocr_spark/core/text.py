@@ -1,0 +1,154 @@
+"""Text primitives: normalization, CTC-style collapse, cls argmax, RTL reverse.
+
+Reference parity (cited file:line into /root/reference):
+- CTC greedy decode: ppocr/postprocess/rec_postprocess.py:136-190
+  (dedup rule :148-152, blank drop via ignored_tokens :189-190,
+  empty conf list -> [0] :161-162, mean conf :186).
+- ClsPostProcess argmax: ppocr/postprocess/cls_postprocess.py:25-48.
+- pred_reverse (Arabic RTL): ppocr/postprocess/rec_postprocess.py:51-65.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from paddleocr_spark.config import LATIN_RUN_CLASS, WS_CLASS
+
+_WS_RE = re.compile(WS_CLASS + "+")
+# A maximal latin-ish run, or a single other char (rec_postprocess.py:51-65).
+_REVERSE_RUN_RE = re.compile(LATIN_RUN_CLASS + "+|[^a-zA-Z0-9 :*./%+-]")
+
+
+def normalize_ws(s: str) -> str:
+    """Collapse whitespace runs to a single space and strip.
+
+    Mirrored by the Spark expression
+    ``trim(regexp_replace(s, WS_CLASS+'+', ' '))``.
+    """
+    return _WS_RE.sub(" ", s).strip()
+
+
+def pred_reverse(pred: str) -> str:
+    """Reverse the sequence of runs, keeping latin-ish runs intact.
+
+    Exact port of the *semantics* of rec_postprocess.py:51-65: split into
+    maximal [a-zA-Z0-9 :*./%+-] runs and single other characters, then
+    reverse the run list. Mirrored in Spark by
+    ``array_join(reverse(regexp_extract_all(s, run_pattern, 0)), '')``.
+    """
+    runs = _REVERSE_RUN_RE.findall(pred)
+    return "".join(runs[::-1])
+
+
+def cls_argmax(probs: list[float], label_list: list[str] | None = None):
+    """(label, score) via argmax/max (cls_postprocess.py:25-48).
+
+    ``label_list=None`` -> the index itself is the label, exactly like the
+    reference's ``{idx: idx}`` fallback (cls_postprocess.py:30-31).
+    np.argmax tie-break = first maximal index, reproduced by max+index.
+    """
+    m = max(probs)
+    idx = probs.index(m)
+    label = label_list[idx] if label_list is not None else idx
+    return label, m
+
+
+def ctc_greedy_decode(
+    token_ids: list[int],
+    token_probs: list[float] | None,
+    vocab: list[str],
+    blank: int = 0,
+) -> tuple[str, float]:
+    """CTC greedy decode on an (already argmax'd) token stream.
+
+    rec_postprocess.py:145-190 semantics:
+    - ``selection[1:] = ids[1:] != ids[:-1]`` (drop adjacent repeats,
+      first token always selected at this step),
+    - then drop the blank token everywhere,
+    - text = join of vocab chars at selected positions,
+    - conf = mean of probs at selected positions; empty -> [0].
+    """
+    n = len(token_ids)
+    sel = [True] * n
+    for i in range(1, n):
+        sel[i] = token_ids[i] != token_ids[i - 1]
+    for i in range(n):
+        if token_ids[i] == blank:
+            sel[i] = False
+    chars = [vocab[token_ids[i]] for i in range(n) if sel[i]]
+    if token_probs is None:
+        confs = [1.0 for i in range(n) if sel[i]]
+    else:
+        confs = [token_probs[i] for i in range(n) if sel[i]]
+    if not confs:
+        confs = [0.0]
+    # Mean in stream order (np.mean sums left-to-right over the selection).
+    total = 0.0
+    for c in confs:
+        total += c
+    return "".join(chars), total / len(confs)
+
+
+@dataclass
+class Span:
+    """A merged output span (one 'text line' analog)."""
+
+    block_id: int
+    start: int
+    end: int
+    score: float  # mean score of the collapsed run = the CTC line conf
+    text: str
+    parent_id: int  # chunk-split parent block id (== block_id when unsplit)
+
+
+def ctc_collapse_blocks(blocks) -> list[Span]:
+    """CTC-decode analog over an ordered list of kept blocks.
+
+    Each block is a 'token'; its normalized text is the token identity.
+    - collapse adjacent duplicates (same normalized text), conf = mean of
+      the run's scores in reading order (rec_postprocess.py:148-152,186);
+    - drop blank tokens (normalized text == '') after the dedup, exactly
+      like blank removal follows repeat removal in the reference
+      (selection order at rec_postprocess.py:150-152).
+
+    ``blocks`` elements need: block_id, start, end, text, score, parent_id.
+    """
+    spans: list[Span] = []
+    run: list = []
+
+    def flush():
+        if not run:
+            return
+        first = run[0]
+        if first.text == "":  # blank token: dropped, like ignored_tokens
+            run.clear()
+            return
+        total = 0.0
+        end = first.end
+        for b in run:
+            total += b.score
+            if b.end > end:
+                end = b.end
+        spans.append(
+            Span(
+                block_id=first.block_id,
+                start=first.start,
+                end=end,
+                score=total / len(run),
+                text=first.text,
+                parent_id=first.parent_id,
+            )
+        )
+        run.clear()
+
+    prev_text = None
+    for b in blocks:
+        if prev_text is not None and b.text == prev_text:
+            run.append(b)
+        else:
+            flush()
+            run.append(b)
+        prev_text = b.text
+    flush()
+    return spans

@@ -1,0 +1,228 @@
+"""Stage-1 tokenizer: raw HTML bytes -> ordered candidate block records.
+
+This is the DOM/byte-stream analog of the reference's detect stage
+(TextDetector, tools/infer/predict_det.py:36-395 + DBPostProcess,
+ppocr/postprocess/db_postprocess.py:227-256): it turns one raw page into
+a flat, reading-ordered array of candidate content blocks with the
+integer features (text_len, link_text_len, offsets) that the scoring /
+thresholding stages consume.
+
+Branches (SURVEY.md §2.9 / §3.3):
+- main: top-level blocks in document order; giant blocks are chunk-split
+  with boundary rollback (strip-split analog, predict_det.py:296-395 +
+  slice_generator tools/infer/utility.py:695-732).
+- layout: ``<div class="layout" data-pagew="W">`` sections; children are
+  fragment-merged (merge_fragmented analog, utility.py:735-790), members
+  ordered by sorted_boxes (predict_system.py:160-182), regions ordered by
+  the sorted_layout_boxes column state machine (recovery_to_doc.py:85-153).
+- table: ``<table>`` blocks; cells + stray ``<span data-bbox>`` fragments
+  matched and re-assembled to an HTML string (TableMatch analog,
+  ppstructure/table/matcher.py:57-146).
+
+Everything is a pure function of the page bytes: offsets are char
+offsets into the UTF-8-decoded document, all features are ints.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from paddleocr_spark.config import DEFAULT, PipelineConfig, WS_CLASS
+from paddleocr_spark.core.geometry import merge_fragmented, sorted_boxes, sorted_layout_boxes
+from paddleocr_spark.core.table import assemble_table
+from paddleocr_spark.core.text import normalize_ws
+
+BLOCK_TAGS = "p|h1|h2|h3|li|blockquote|pre|nav|header|footer|aside|ul|table|div"
+_TOP_RE = re.compile(
+    r"<(" + BLOCK_TAGS + r")((?:\s[^>]*)?)>(.*?)</\1>", re.DOTALL
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_A_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.DOTALL)
+_BBOX_RE = re.compile(r'data-bbox="(-?\d+),(-?\d+),(-?\d+),(-?\d+)"')
+_PAGEW_RE = re.compile(r'data-pagew="(\d+)"')
+_TD_RE = re.compile(r'<td([^>]*)>(.*?)</td>', re.DOTALL)
+_TR_RE = re.compile(r"<tr>(.*?)</tr>", re.DOTALL)
+_SPAN_RE = re.compile(r"<span([^>]*)>(.*?)</span>", re.DOTALL)
+_WS_SEARCH = re.compile(WS_CLASS)
+
+
+@dataclass
+class Block:
+    block_id: int       # emission order == reading order
+    tag: str
+    depth: int          # 1 top-level, 2 layout child
+    start: int          # char offset into decoded html (inclusive)
+    end: int            # char offset (exclusive)
+    text: str           # normalized visible text (table: assembled html)
+    text_len: int       # RAW visible char count (pre-normalization)
+    link_text_len: int  # raw chars inside <a> anchors
+    branch: str         # 'main' | 'layout' | 'table'
+    layout: str         # '' | 'single' | 'double'
+    parent_id: int      # first-chunk block_id for split chunks, else own id
+
+
+def _visible(inner: str) -> str:
+    return _TAG_RE.sub("", inner)
+
+
+def _link_len(inner: str) -> int:
+    return sum(len(_visible(m)) for m in _A_RE.findall(inner))
+
+
+def _bbox(attrs: str):
+    m = _BBOX_RE.search(attrs)
+    if not m:
+        return None
+    return tuple(int(g) for g in m.groups())
+
+
+def _chunk_cuts(raw: str, cfg: PipelineConfig) -> list[tuple[int, int]]:
+    """Split positions for a giant raw-text block.
+
+    Cut at the last whitespace within ``chunk_min_bound`` chars before the
+    hard limit; if none, hard-cut (MIN_BOUND_DISTANCE rollback analog,
+    predict_det.py:330-346). Returns (start, end) char ranges.
+    """
+    cuts = []
+    pos = 0
+    n = len(raw)
+    while pos < n and len(cuts) < cfg.max_slices - 1:
+        if n - pos <= cfg.chunk_limit:
+            cuts.append((pos, n))
+            return cuts
+        target = pos + cfg.chunk_limit
+        cut = -1
+        lo = max(pos + 1, target - cfg.chunk_min_bound)
+        for i in range(target, lo - 1, -1):
+            if _WS_SEARCH.match(raw[i - 1]):
+                cut = i
+                break
+        if cut == -1:
+            cut = target
+        cuts.append((pos, cut))
+        pos = cut
+    if pos < n:
+        cuts.append((pos, n))  # max_slices guard: last slice takes the rest
+    return cuts
+
+
+def _parse_table(inner: str):
+    """-> (structure_tokens, cell_boxes, ocr_boxes, ocr_texts, raw_len)."""
+    tokens = ["<table>"]
+    cell_boxes = []
+    cell_texts = []
+    raw_len = 0
+    for tr in _TR_RE.finditer(inner):
+        tokens.append("<tr>")
+        for td in _TD_RE.finditer(tr.group(1)):
+            tokens.append("<td></td>")
+            box = _bbox(td.group(1)) or (0, 0, 0, 0)
+            cell_boxes.append(box)
+            cell_texts.append(normalize_ws(_visible(td.group(2))))
+            raw_len += len(_visible(td.group(2)))
+        tokens.append("</tr>")
+    tokens.append("</table>")
+    # The cells' own text always plays the OCR role (the reference OCRs
+    # the whole page once, ppstructure/predict_system.py:126-137, so cell
+    # content is among the det boxes), plus any stray fragments.
+    ocr_boxes = list(cell_boxes)
+    ocr_texts = list(cell_texts)
+    for sp in _SPAN_RE.finditer(inner):
+        box = _bbox(sp.group(1))
+        if box is None:
+            continue
+        ocr_boxes.append(box)
+        ocr_texts.append(normalize_ws(_visible(sp.group(2))))
+        raw_len += len(_visible(sp.group(2)))
+    return tokens, cell_boxes, ocr_boxes, ocr_texts, raw_len
+
+
+def tokenize_page(html: bytes, cfg: PipelineConfig = DEFAULT) -> list[Block]:
+    """Parse one page into reading-ordered candidate blocks."""
+    doc = html.decode("utf-8", errors="replace")
+    out: list[Block] = []
+
+    def emit(tag, depth, start, end, text, text_len, link_len, branch, layout=""):
+        bid = len(out)
+        out.append(
+            Block(bid, tag, depth, start, end, text, text_len, link_len, branch, layout, bid)
+        )
+        return bid
+
+    for m in _TOP_RE.finditer(doc):
+        tag, attrs, inner = m.group(1), m.group(2), m.group(3)
+        start, end = m.start(), m.end()
+
+        if tag == "div" and "layout" in attrs:
+            pw = _PAGEW_RE.search(attrs)
+            page_w = int(pw.group(1)) if pw else 1000
+            kids = []
+            for km in _TOP_RE.finditer(inner):
+                box = _bbox(km.group(2))
+                if box is None:
+                    continue
+                kvis = _visible(km.group(3))
+                kids.append(
+                    dict(
+                        tag=km.group(1),
+                        box=box,
+                        text=normalize_ws(kvis),
+                        text_len=len(kvis),
+                        link_len=_link_len(km.group(3)),
+                        abs_start=m.start(3) + km.start(),
+                        abs_end=m.start(3) + km.end(),
+                    )
+                )
+            if not kids:
+                continue
+            merged = merge_fragmented(
+                [k["box"] for k in kids], cfg.merge_x_threshold, cfg.merge_y_threshold
+            )
+            regions = []
+            for mbox, members in merged:
+                # members ordered by sorted_boxes (reading order in-region)
+                member_boxes = [kids[i]["box"] for i in members]
+                order = sorted_boxes(member_boxes)
+                mem = [kids[members[i]] for i in order]
+                regions.append(
+                    dict(
+                        box=mbox,
+                        tag=mem[0]["tag"],
+                        start=min(k["abs_start"] for k in mem),
+                        end=max(k["abs_end"] for k in mem),
+                        text=" ".join(k["text"] for k in mem if k["text"] != ""),
+                        text_len=sum(k["text_len"] for k in mem),
+                        link_len=sum(k["link_len"] for k in mem),
+                    )
+                )
+            order, labels = sorted_layout_boxes([r["box"] for r in regions], page_w)
+            for pos_i, ridx in enumerate(order):
+                r = regions[ridx]
+                emit(
+                    r["tag"], 2, r["start"], r["end"], r["text"],
+                    r["text_len"], r["link_len"], "layout", labels[pos_i],
+                )
+            continue
+
+        if tag == "table":
+            tokens, cell_boxes, ocr_boxes, ocr_texts, raw_len = _parse_table(inner)
+            html_out = assemble_table(cell_boxes, tokens, ocr_boxes, ocr_texts)
+            emit(tag, 1, start, end, html_out, raw_len, 0, "table")
+            continue
+
+        raw_vis = _visible(inner)
+        link_len = _link_len(inner)
+        if len(raw_vis) > cfg.chunk_limit and link_len == 0:
+            parent = len(out)
+            for ci, (cs, ce) in enumerate(_chunk_cuts(raw_vis, cfg)):
+                bid = emit(
+                    tag, 1, m.start(3) + cs, m.start(3) + ce,
+                    normalize_ws(raw_vis[cs:ce]), ce - cs, 0, "main",
+                )
+                out[bid].parent_id = parent
+            continue
+
+        emit(tag, 1, start, end, normalize_ws(raw_vis), len(raw_vis), link_len, "main")
+
+    return out

@@ -1,0 +1,260 @@
+"""The extraction plan: detect -> filter -> CTC-collapse -> assemble.
+
+Two independent Spark realizations of the exact same semantics (both
+byte-identical to the pure-Python oracle, core/oracle.py — the pytest
+gate asserts all three agree):
+
+- ``extract`` (array mode, the production path): after the stage-1 UDF,
+  EVERYTHING is per-row higher-order functions on the blocks array —
+  zero shuffles, embarrassingly parallel, the right shape for a
+  1000-executor cluster over 10^12 rows. The whole post-UDF plan is one
+  whole-stage-codegen projection.
+
+- ``extract_relational`` (cross-check path): explode -> native filters
+  -> window (lag/run-id, the reference's adjacency dedup as a window,
+  SURVEY.md §2.5 rows-frame note) -> groupBy. Costs shuffles; exists to
+  cross-validate the array path and to demonstrate the relational
+  formulation of each operator.
+
+Reference semantics sites are cited in core/oracle.py's docstring; the
+expression-level parity rules (IEEE double arithmetic on integer inputs,
+identical operation order for means) are what make byte-identity hold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from paddleocr_spark.config import DEFAULT, LATIN_RUN_CLASS, PipelineConfig
+from paddleocr_spark.operators.detect_stage import with_blocks
+
+_RUN_PATTERN = LATIN_RUN_CLASS + "+|[^a-zA-Z0-9 :*./%+-]"
+
+
+def score_expr(text_len: Column, link_len: Column, k: int) -> Column:
+    """(text_len - link_text_len) / (text_len + k): box_score_fast analog.
+
+    Same operation order as core.oracle.block_score -> bit-identical."""
+    return (text_len - link_len).cast("double") / (text_len + float(k))
+
+
+def rtl_reverse_expr(text: Column) -> Column:
+    """pred_reverse (rec_postprocess.py:51-65) as native Spark: split into
+    latin-ish runs / single chars, reverse the run list, join."""
+    runs = F.regexp_extract_all(text, F.lit(_RUN_PATTERN), F.lit(0))
+    return F.array_join(F.reverse(runs), "")
+
+
+def _flip_cond(lang: Column, cfg: PipelineConfig) -> Column:
+    """cls analog: label='180' iff p180 is the argmax; flip iff also
+    p180 > cls_thresh (predict_cls.py:119-125)."""
+    p180 = F.when(lang == "ar", F.lit(0.95)).otherwise(F.lit(0.05))
+    return (p180 > F.lit(0.5)) & (p180 > F.lit(cfg.cls_thresh))
+
+
+def _merge_runs(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Array mode: dets array -> merged span array (CTC collapse)."""
+    dets = F.col("dets")
+
+    starts = F.when(
+        F.size(dets) > 0,
+        F.filter(
+            F.sequence(F.lit(0), F.size(dets) - 1),
+            lambda i: (i == F.lit(0))
+            | (F.get(dets, i)["text"] != F.get(dets, i - 1)["text"]),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    df = df.withColumn("starts", starts)
+
+    starts_c = F.col("starts")
+
+    def span_of(s: Column, j: Column) -> Column:
+        nxt = F.when(j + 1 < F.size(starts_c), F.get(starts_c, j + 1)).otherwise(
+            F.size(F.col("dets"))
+        )
+        run_len = nxt - s
+        run = F.slice(F.col("dets"), s + 1, run_len)
+        first = F.get(F.col("dets"), s)
+        return F.struct(
+            first["block_id"].alias("block_id"),
+            first["start"].alias("start"),
+            F.aggregate(run, first["end"], lambda m, x: F.greatest(m, x["end"])).alias(
+                "end"
+            ),
+            (
+                F.aggregate(run, F.lit(0.0), lambda a, x: a + x["score"])
+                / run_len
+            ).alias("score"),
+            first["text"].alias("text"),
+            first["parent_id"].alias("parent_id"),
+        )
+
+    df = df.withColumn("mspans", F.transform(starts_c, span_of))
+    # blank drop (ignored_tokens analog) + drop_score filter
+    return df.withColumn(
+        "mspans",
+        F.filter(
+            F.col("mspans"),
+            lambda x: (x["text"] != "") & (x["score"] >= F.lit(cfg.drop_score)),
+        ),
+    )
+
+
+def _assemble(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Shared tail: RTL flip + parent-aware join + output columns.
+
+    Expects columns: url, lang, n_blocks_detected, mspans
+    (array<struct<block_id,start,end,score,text,parent_id>> in reading
+    order)."""
+    flip = _flip_cond(F.col("lang"), cfg)
+    flipped = F.when(
+        flip,
+        F.transform(
+            F.col("mspans"),
+            lambda x: F.struct(
+                x["block_id"].alias("block_id"),
+                x["start"].alias("start"),
+                x["end"].alias("end"),
+                x["score"].alias("score"),
+                rtl_reverse_expr(x["text"]).alias("text"),
+                x["parent_id"].alias("parent_id"),
+            ),
+        ),
+    ).otherwise(F.col("mspans"))
+    df = df.withColumn("fspans", flipped)
+
+    fs = F.col("fspans")
+    pieces = F.transform(
+        fs,
+        lambda x, i: F.when(i == F.lit(0), x["text"])
+        .when(
+            x["parent_id"] == F.get(fs, i - 1)["parent_id"],
+            F.concat(F.lit(" "), x["text"]),
+        )
+        .otherwise(F.concat(F.lit("\n"), x["text"])),
+    )
+    return df.select(
+        "url",
+        F.array_join(pieces, "").alias("extracted_text"),
+        F.transform(
+            fs,
+            lambda x: F.struct(
+                x["block_id"].alias("block_id"),
+                x["start"].alias("start"),
+                x["end"].alias("end"),
+                x["score"].alias("score"),
+            ),
+        ).alias("spans"),
+        F.col("n_blocks_detected"),
+        F.size(fs).alias("n_blocks_kept"),
+    )
+
+
+def scored_blocks(df: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """url/lang/html -> url, lang, blocks, scored (array with score)."""
+    df = with_blocks(df.select("url", "lang", "html"), cfg)
+    scored = F.transform(
+        F.col("blocks"),
+        lambda x: F.struct(
+            x["block_id"].alias("block_id"),
+            x["start"].alias("start"),
+            x["end"].alias("end"),
+            x["text"].alias("text"),
+            x["parent_id"].alias("parent_id"),
+            x["text_len"].alias("text_len"),
+            score_expr(x["text_len"], x["link_text_len"], cfg.score_k).alias("score"),
+        ),
+    )
+    return df.withColumn("scored", scored)
+
+
+def _dets_col(cfg: PipelineConfig) -> Column:
+    """Detection filters: segmentation predicate (> det_thresh), box
+    threshold (>= det_box_thresh), min size (> min_text_len), then the
+    max_candidates cap in document order (db_postprocess.py:126)."""
+    kept = F.filter(
+        F.col("scored"),
+        lambda x: (x["score"] > F.lit(cfg.det_thresh))
+        & (x["score"] >= F.lit(cfg.det_box_thresh))
+        & (x["text_len"] > F.lit(cfg.min_text_len)),
+    )
+    return F.slice(kept, 1, cfg.max_candidates)
+
+
+def extract(df: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Production path: zero-shuffle, per-row higher-order functions."""
+    d = scored_blocks(df, cfg)
+    d = d.withColumn("n_blocks_detected", F.size("blocks"))
+    d = d.withColumn("dets", _dets_col(cfg))
+    d = _merge_runs(d, cfg)
+    return _assemble(d, cfg)
+
+
+def extract_relational(df: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
+    """Cross-check path: explode -> filter -> window -> groupBy."""
+    d = scored_blocks(df, cfg)
+    base = d.select("url", "lang", F.size("blocks").alias("n_blocks_detected"))
+
+    e = d.select("url", F.explode("scored").alias("b")).select("url", "b.*")
+    e = e.filter(
+        (F.col("score") > F.lit(cfg.det_thresh))
+        & (F.col("score") >= F.lit(cfg.det_box_thresh))
+        & (F.col("text_len") > F.lit(cfg.min_text_len))
+    )
+    w = Window.partitionBy("url").orderBy("block_id")
+    e = e.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= cfg.max_candidates
+    )
+    prev_text = F.lag("text").over(w)
+    e = e.withColumn(
+        "new_run",
+        (prev_text.isNull() | (prev_text != F.col("text"))).cast("int"),
+    )
+    e = e.withColumn(
+        "span_id",
+        F.sum("new_run").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+    g = e.groupBy("url", "span_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("block_id", "start", "end", "score", "text", "parent_id")
+            )
+        ).alias("run")
+    )
+    run = F.col("run")
+    first = F.get(run, 0)
+    g = g.select(
+        "url",
+        F.struct(
+            first["block_id"].alias("block_id"),
+            first["start"].alias("start"),
+            F.aggregate(run, first["end"], lambda m, x: F.greatest(m, x["end"])).alias(
+                "end"
+            ),
+            (
+                F.aggregate(run, F.lit(0.0), lambda a, x: a + x["score"]) / F.size(run)
+            ).alias("score"),
+            first["text"].alias("text"),
+            first["parent_id"].alias("parent_id"),
+        ).alias("span"),
+    )
+    g = g.filter(
+        (F.col("span")["text"] != "") & (F.col("span")["score"] >= F.lit(cfg.drop_score))
+    )
+    per_url = g.groupBy("url").agg(
+        F.sort_array(F.collect_list("span")).alias("mspans")
+    )
+
+    joined = base.join(per_url, "url", "left").withColumn(
+        "mspans",
+        F.coalesce(
+            F.col("mspans"),
+            F.array().cast(
+                "array<struct<block_id:int,start:int,end:int,score:double,"
+                "text:string,parent_id:int>>"
+            ),
+        ),
+    )
+    return _assemble(joined, cfg)

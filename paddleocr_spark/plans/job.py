@@ -1,0 +1,161 @@
+"""Scale plan: salted url-hash partitioning + per-partition lineage + resume.
+
+Replaces the reference's only scaling mechanism — static modulo striping
+of the file list across subprocesses (tools/infer/predict_system.py:187,
+313-324: ``image_file_list[process_id::total_process_num]``, no skew
+handling, no resume) — with the north_rule's design:
+
+- **part_id** = ``pmod(xxhash64(url), N)``: a *logical*, content-derived
+  partition id (stable across runs/cluster sizes) — the checkpoint and
+  lineage unit.
+- **salting**: physical distribution over ``(part_id, pmod(xxhash64(url,
+  seed), salt))`` so a hot logical partition (Zipf host skew) spreads
+  over ``salt`` reducers; AQE skew handling stays on as backstop.
+- **lineage**: one row per completed partition (part_id, run_id,
+  input_snapshot, row_count, extraction metrics) appended AFTER the
+  partition's data commit. In production these are Iceberg table
+  appends with the real input snapshot id; the sandbox emulates the
+  layout with parquet dirs + dynamic partition overwrite, which gives
+  the same idempotency contract (re-writing a part_id replaces exactly
+  that partition's files).
+- **resume**: broadcast left anti-join of input against completed
+  part_ids (SURVEY.md §2.3: the resume anti-join).
+
+Metrics are computed by re-scanning the *written output* (column-pruned:
+never re-reads html), not by recomputing the pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from paddleocr_spark.config import DEFAULT, PipelineConfig
+from paddleocr_spark.operators.extract import extract, extract_relational
+
+SALT_SEED = 42
+
+
+def add_part_id(df: DataFrame, n_partitions: int) -> DataFrame:
+    return df.withColumn(
+        "part_id", F.pmod(F.xxhash64("url"), F.lit(n_partitions)).cast("int")
+    )
+
+
+def salted_repartition(df: DataFrame, n_partitions: int, salt: int) -> DataFrame:
+    """Spread each logical partition across ``salt`` shuffle keys."""
+    salt_key = F.pmod(F.xxhash64("url", F.lit(SALT_SEED)), F.lit(max(salt, 1)))
+    return df.repartition(n_partitions, F.col("part_id"), salt_key)
+
+
+def _input_snapshot(input_path: str) -> str:
+    """Stand-in for the Iceberg snapshot id: content-address the input
+    file listing (names + sizes)."""
+    h = hashlib.md5()
+    if os.path.isdir(input_path):
+        for name in sorted(os.listdir(input_path)):
+            p = os.path.join(input_path, name)
+            h.update(f"{name}:{os.path.getsize(p)};".encode())
+    elif os.path.exists(input_path):
+        h.update(f"{os.path.basename(input_path)}:{os.path.getsize(input_path)}".encode())
+    return h.hexdigest()[:16]
+
+
+def completed_parts(spark: SparkSession, output_dir: str) -> DataFrame | None:
+    lineage_path = os.path.join(output_dir, "lineage")
+    if not os.path.exists(lineage_path):
+        return None
+    try:
+        return spark.read.parquet(lineage_path).select("part_id").distinct()
+    except Exception:
+        return None
+
+
+def run_extract_job(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    mode: str = "array",
+    n_partitions: int = 32,
+    salt: int = 8,
+    resume: bool = False,
+    cfg: PipelineConfig = DEFAULT,
+    only_first_parts: int | None = None,
+) -> dict:
+    """Run extraction with checkpoint/resume. ``only_first_parts`` is a
+    test hook simulating a mid-job failure after k partitions."""
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    data_path = os.path.join(output_dir, "extracted")
+    lineage_path = os.path.join(output_dir, "lineage")
+    snapshot = _input_snapshot(input_path)
+    run_id = uuid.uuid4().hex[:12]
+
+    pages = add_part_id(spark.read.parquet(input_path), n_partitions)
+
+    n_done_before = 0
+    if resume:
+        done = completed_parts(spark, output_dir)
+        if done is not None:
+            n_done_before = done.count()
+            pages = pages.join(F.broadcast(done), "part_id", "left_anti")
+
+    if only_first_parts is not None:
+        todo = sorted(
+            r["part_id"] for r in pages.select("part_id").distinct().collect()
+        )
+        keep = todo[:only_first_parts]
+        pages = pages.filter(F.col("part_id").isin(keep))
+
+    pages = salted_repartition(pages, n_partitions, salt)
+
+    fn = extract if mode == "array" else extract_relational
+    ext = fn(pages, cfg)
+    # part_id is a pure function of url -> recompute post-extract, no shuffle
+    ext = add_part_id(ext, n_partitions)
+
+    parts_processed = [
+        r["part_id"] for r in ext.select("part_id").distinct().collect()
+    ]
+    if parts_processed:
+        ext.write.partitionBy("part_id").mode("overwrite").parquet(data_path)
+
+        # lineage AFTER the data commit; metrics from the written files,
+        # column-pruned (html never read here)
+        out = spark.read.parquet(data_path).filter(
+            F.col("part_id").isin(parts_processed)
+        )
+        metrics = out.groupBy("part_id").agg(
+            F.count("*").alias("row_count"),
+            F.sum("n_blocks_detected").alias("blocks_detected"),
+            F.sum("n_blocks_kept").alias("blocks_kept"),
+            F.sum(F.length("extracted_text")).alias("chars_out"),
+        )
+        lineage = metrics.select(
+            "part_id",
+            F.lit(run_id).alias("run_id"),
+            F.lit(snapshot).alias("input_snapshot"),
+            "row_count",
+            "blocks_detected",
+            "blocks_kept",
+            "chars_out",
+            F.lit(int(time.time() * 1000)).alias("committed_ms"),
+        )
+        lineage.coalesce(1).write.mode("append").parquet(lineage_path)
+
+    rows_out = 0
+    if os.path.exists(data_path):
+        rows_out = spark.read.parquet(data_path).count()
+    return dict(
+        rows_out=rows_out,
+        n_partitions=n_partitions,
+        parts_done_before=n_done_before,
+        parts_processed=len(parts_processed),
+        input_snapshot=snapshot,
+        run_id=run_id,
+        mode=mode,
+    )

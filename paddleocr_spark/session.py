@@ -1,0 +1,32 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Defaults chosen for the 100 TB framing (AQE on, skew-join on, Arrow
+batches sized for multi-KB page rows); tests override master/partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "paddleocr-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+    arrow_batch: int = 512,
+) -> SparkSession:
+    b = SparkSession.builder.appName(app_name)
+    if master:
+        b = b.master(master)
+    b = (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+    )
+    return b.getOrCreate()
