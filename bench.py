@@ -1,0 +1,102 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+The headline workload is the flagship extraction pipeline over the
+synthetic Common-Crawl-shaped pages table at the matching scale
+(generated once, cached under .data/pages/), reported as docs/sec —
+the BASELINE.json metric. The per-query timings cover each operator
+family from the driver registry at the driver's sf.
+
+Every query is forced end-to-end with the `noop` sink (full computation,
+no collect-to-driver, no disk write skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from paddleocr_spark.queries import QUERIES  # noqa: E402
+from paddleocr_spark.operators.extract import extract  # noqa: E402
+from paddleocr_spark.session import get_spark  # noqa: E402
+from paddleocr_spark.sources.pages import ensure_pages, sf_name  # noqa: E402
+
+BENCH_QUERIES = [
+    "extract_flagship",
+    "pricing_summary",
+    "region_revenue",
+    "top_customers",
+    "topk_per_group",
+    "events_hourly",
+    "events_sessionize",
+    "events_run_collapse",
+    "token_stats",
+    "quality_score",
+    "langid",
+    "fingerprint",
+    "dedup_exact",
+    "minhash_sigs",
+    "lsh_pairs",
+    "simhash",
+    "ngram_jaccard",
+    "sim_topk",
+    "sim_ann_lsh",
+    "multimodal_meta",
+]
+
+
+def _run(df) -> float:
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_name(sf_dir)
+
+    spark = get_spark(
+        app_name="paddleocr-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # Headline: extraction over the CC-shaped pages table at this sf.
+    pages_dir = ensure_pages(sf_dir)
+    pages = spark.read.parquet(os.path.join(pages_dir, "pages.parquet"))
+    n_docs = pages.count()
+    t = _run(extract(pages))
+    timings["extract_pages"] = round(t, 3)
+    docs_per_sec = n_docs / t if t > 0 else 0.0
+
+    for name in BENCH_QUERIES:
+        timings[name] = round(_run(QUERIES[name](spark, sf_dir)), 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total bench wall time (headline: docs/sec extracted)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_docs": n_docs,
+                "docs_per_sec": round(docs_per_sec, 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

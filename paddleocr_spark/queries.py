@@ -1,0 +1,684 @@
+"""Driver-contract query registry: every implemented operator family as a
+(spark_fn, oracle_sql) pair.
+
+Each entry is a named query over the driver's parquet tables
+(`region nation customer supplier part orders lineitem events documents
+embeddings`). The Spark side is the engine's own operators; the SQL side
+is an independent ANSI formulation DuckDB runs on the same files. The
+driver (and tests/test_driver_contract.py) compares row counts, schemas
+and order-insensitive value hashes — so every alias, type and rounding
+must match EXACTLY between the two.
+
+Cross-engine determinism contract (validated by probes + tests):
+- md5 hex, integer arithmetic, decimal-cast sums (order-independent),
+  IEEE double division, left-to-right list folds, explicit whitespace
+  classes; round() only at output boundary; timestamps emitted as
+  'yyyy-MM-dd HH:mm:ss' strings or microsecond integers under a UTC
+  session.
+
+Scale notes are in each query's docstring — these run unchanged on a
+multi-executor cluster; the sandbox's local[32] is just a small N.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from paddleocr_spark.config import WS_CLASS
+from paddleocr_spark.functions import dedup, similarity, textstats
+from paddleocr_spark.functions.multimodal import extract_media_meta
+from paddleocr_spark.operators.extract import extract, scored_blocks
+
+SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _norm_expr(col):
+    """normalize_ws as a native expression (mirrors core.text.normalize_ws)."""
+    return F.trim(F.regexp_replace(col, WS_CLASS + "+", " "))
+
+
+_NORM_SQL = f"trim(regexp_replace({{c}}, '{WS_CLASS}+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Extraction family (the flagship): full pipeline over HTML-wrapped documents
+# ---------------------------------------------------------------------------
+
+def _wrapped_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> Common-Crawl-shaped pages: the doc text wrapped in a
+    minimal page, so the REAL byte-stream pipeline (tokenizer pandas UDF
+    + native stages) runs end-to-end on driver data."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("lang"),
+    )
+
+
+def q_extract_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full detect→filter→collapse→assemble pipeline (operators/extract.py)
+    on wrapped documents. The SQL oracle independently derives what the
+    staged semantics must produce for single-block pages: kept iff
+    text_len >= 12 ((L-0)/(L+8) >= det_box_thresh 0.6), extracted text =
+    whitespace-normalized visible text."""
+    out = extract(_wrapped_pages(spark, sf_dir))
+    return out.select(
+        "url",
+        "extracted_text",
+        F.col("n_blocks_detected").cast("int").alias("n_blocks_detected"),
+        F.col("n_blocks_kept").cast("int").alias("n_blocks_kept"),
+    )
+
+
+SQL_EXTRACT_FLAGSHIP = f"""
+select cast(doc_id as varchar) url,
+       case when length(text) >= 12 then {_NORM_SQL.format(c='text')} else '' end extracted_text,
+       1::int n_blocks_detected,
+       (case when length(text) >= 12 then 1 else 0 end)::int n_blocks_kept
+from documents
+"""
+
+
+def q_extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-1 detect output, relationally exploded: per-block features +
+    score + keep decision (the golden_blocks surface, FIXTURES.md §3)."""
+    d = scored_blocks(_wrapped_pages(spark, sf_dir))
+    e = d.select("url", F.explode("scored").alias("b"))
+    return e.select(
+        "url",
+        F.col("b.block_id").alias("block_id"),
+        F.col("b.text_len").cast("int").alias("text_len"),
+        F.round(F.col("b.score"), 6).alias("score"),
+        (
+            (F.col("b.score") > 0.3)
+            & (F.col("b.score") >= 0.6)
+            & (F.col("b.text_len") > 3)
+        ).alias("kept"),
+    )
+
+
+SQL_EXTRACT_BLOCKS = """
+select cast(doc_id as varchar) url,
+       0::int block_id,
+       length(text)::int text_len,
+       round(length(text)::double / (length(text) + 8), 6) score,
+       (length(text)::double / (length(text) + 8) > 0.3
+        and length(text)::double / (length(text) + 8) >= 0.6
+        and length(text) > 3) kept
+from documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational core (scan/filter/aggregate/join/window/top-k)
+# ---------------------------------------------------------------------------
+
+def _dec(c, scale=2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + partial/final aggregation. Sums go
+    through decimal(18,2) so they are order-independent (a double sum
+    would differ between engines/partitionings in the last bits)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).cast("double").alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+select l_returnflag, l_linestatus,
+       sum(l_quantity) sum_qty,
+       cast(sum(cast(l_extendedprice as decimal(18,2))) as double) sum_base_price,
+       cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) sum_disc_price,
+       avg(l_quantity) avg_qty,
+       count(*) count_order
+from lineitem
+where l_shipdate <= timestamp '1998-09-01'
+group by l_returnflag, l_linestatus
+"""
+
+
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact × three broadcast dims, then aggregate. At scale
+    the dims are broadcast (no fact shuffle before the agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    su = F.broadcast(_t(spark, sf_dir, "supplier"))
+    na = F.broadcast(_t(spark, sf_dir, "nation"))
+    re = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(na, su.s_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REGION_REVENUE = """
+select r_name,
+       cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) revenue,
+       count(*) n_items
+from lineitem
+join supplier on l_suppkey = s_suppkey
+join nation on s_nationkey = n_nationkey
+join region on n_regionkey = r_regionkey
+group by r_name
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + exact top-k (TakeOrdered: per-partition heaps,
+    no global sort)."""
+    o = _t(spark, sf_dir, "orders")
+    c = F.broadcast(_t(spark, sf_dir, "customer"))
+    g = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    return g.orderBy(F.desc("total_spend"), F.col("c_custkey")).limit(10)
+
+
+SQL_TOP_CUSTOMERS = """
+select c_custkey, c_name,
+       cast(sum(cast(o_totalprice as decimal(18,2))) as double) total_spend,
+       count(*) n_orders
+from orders join customer on o_custkey = c_custkey
+group by c_custkey, c_name
+order by total_spend desc, c_custkey
+limit 10
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via window rank — the NMS / keep_top_k analog
+    (picodet_postprocess.py:202-206 per-stride top-k)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("l_extendedprice"), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        li.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice", "rk")
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+select l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rk
+from (
+  select l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() over (partition by l_returnflag
+                            order by l_extendedprice desc, l_orderkey, l_linenumber) rk
+  from lineitem
+) where rk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: event-time windowing, sessionization, CTC-style run collapse
+# ---------------------------------------------------------------------------
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation (the batch twin of the
+    Structured Streaming job in streaming/events.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SQL_EVENTS_HOURLY = """
+select strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') window_start,
+       event_type, count(*) n_events,
+       cast(sum(cast(value as decimal(18,6))) as double) total_value
+from events
+group by 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (lag + running
+    sum over a per-user window). One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ev = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    ev = ev.withColumn("session_no", F.sum("new_s").over(w))
+    return ev.groupBy("user_id").agg(
+        F.max("session_no").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_EVENTS_SESSIONIZE = f"""
+with e as (
+  select user_id, event_id, epoch_us(ts) us from events
+), s as (
+  select user_id,
+         case when lag(us) over w is null or us - lag(us) over w > {SESSION_GAP_US}
+              then 1 else 0 end new_s
+  from e window w as (partition by user_id order by us, event_id)
+)
+select user_id, cast(sum(new_s) as bigint) n_sessions, count(*) n_events
+from s group by user_id
+"""
+
+
+def q_events_run_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTC-greedy-decode as a relational operator on real data: per user,
+    collapse adjacent runs of the same event_type (rec_postprocess.py:
+    148-152 dedup rule), count runs and the longest run."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ev = ev.withColumn(
+        "new_run",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.col("event_type") != F.lag("event_type").over(w)),
+            1,
+        ).otherwise(0),
+    )
+    ev = ev.withColumn("run_id", F.sum("new_run").over(w))
+    runs = ev.groupBy("user_id", "run_id").agg(F.count("*").alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_id").cast("bigint").alias("n_runs"),
+        F.max("run_len").alias("longest_run"),
+    )
+
+
+SQL_EVENTS_RUN_COLLAPSE = """
+with e as (
+  select user_id, event_id, event_type, epoch_us(ts) us from events
+), marks as (
+  select user_id, event_id, us,
+         case when lag(event_type) over w is null
+                or event_type <> lag(event_type) over w
+              then 1 else 0 end new_run
+  from e window w as (partition by user_id order by us, event_id)
+), r as (
+  select user_id,
+         sum(new_run) over (partition by user_id order by us, event_id
+                            rows between unbounded preceding and current row) run_id
+  from marks
+), runs as (
+  select user_id, run_id, count(*) run_len from r group by user_id, run_id
+)
+select user_id, cast(max(run_id) as bigint) n_runs, max(run_len) longest_run
+from runs group by user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        textstats.token_count_ws(t).alias("n_ws_tokens"),
+        textstats.token_count_re(t).alias("n_re_tokens"),
+        F.octet_length(t).cast("int").alias("n_bytes"),
+        textstats.punct_count(t).alias("n_punct"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+select doc_id,
+       len(str_split(text, ' '))::int n_ws_tokens,
+       len(regexp_extract_all(text, '{textstats.TOKEN_RE}'))::int n_re_tokens,
+       octet_length(encode(text))::int n_bytes,
+       (length(text) - length(regexp_replace(text, '{textstats.PUNCT_RE}', '', 'g')))::int n_punct
+from documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(textstats.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+_STOP_EN_SQL = ", ".join(f"'{s}'" for s in textstats.STOP_EN)
+SQL_QUALITY_SCORE = f"""
+select doc_id, round(
+  0.5 * least(length(text)::double / 500.0, 1.0)
+  + 0.3 * least((len(list_filter(str_split(text,' '), w -> list_contains([{_STOP_EN_SQL}], w)))::int)::double
+                / (len(str_split(text,' '))::int)::double * 5.0, 1.0)
+  + 0.2 * ((length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::int)::double / (length(text)::int)::double)
+, 6) quality
+from documents
+"""
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.langid_pred(F.col("text")).alias("pred_lang"),
+        (textstats.langid_pred(F.col("text")) == F.col("lang")).alias("is_correct"),
+    )
+
+
+def _sql_stop_ratio(stops: list[str]) -> str:
+    lst = ", ".join(f"'{s}'" for s in stops)
+    return (
+        f"(len(list_filter(str_split(text,' '), w -> list_contains([{lst}], w)))::int)::double"
+        f" / (len(str_split(text,' '))::int)::double"
+    )
+
+
+SQL_LANGID = f"""
+with s as (
+  select doc_id, lang,
+         length(regexp_replace(text, '{textstats.CJK_STRIP_RE}', '', 'g'))::int cjk,
+         {_sql_stop_ratio(textstats.STOP_EN)} r_en,
+         {_sql_stop_ratio(textstats.STOP_DE)} r_de,
+         {_sql_stop_ratio(textstats.STOP_FR)} r_fr,
+         {_sql_stop_ratio(textstats.STOP_ES)} r_es
+  from documents
+)
+select doc_id,
+       case when cjk > 0 then 'zh'
+            when greatest(r_en, r_de, r_fr, r_es) = 0.0 then 'unk'
+            when r_en = greatest(r_en, r_de, r_fr, r_es) then 'en'
+            when r_de = greatest(r_en, r_de, r_fr, r_es) then 'de'
+            when r_fr = greatest(r_en, r_de, r_fr, r_es) then 'fr'
+            else 'es' end pred_lang,
+       (case when cjk > 0 then 'zh'
+            when greatest(r_en, r_de, r_fr, r_es) = 0.0 then 'unk'
+            when r_en = greatest(r_en, r_de, r_fr, r_es) then 'en'
+            when r_de = greatest(r_en, r_de, r_fr, r_es) then 'de'
+            when r_fr = greatest(r_en, r_de, r_fr, r_es) then 'fr'
+            else 'es' end) = lang is_correct
+from s
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = textstats.with_shingles(_t(spark, sf_dir, "documents"), "text", 4)
+    return d.select(
+        "doc_id", textstats.fingerprint_from_shingles(F.col("__sh")).alias("fingerprint")
+    )
+
+
+SQL_FINGERPRINT = f"""
+select doc_id,
+       list_min(list_transform({textstats.sql_shingles('text', 4)}, s -> md5(s))) fingerprint
+from documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keeper = min doc_id per hash. Only
+    (hash, id) pairs shuffle — never document bodies."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(dedup.content_hash(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+select md5(text) content_hash, min(doc_id) keeper_id, count(*) n_copies
+from documents group by 1
+"""
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = dedup.with_minhash(d)
+    return d.select("doc_id", *[f"sig{i}" for i in range(dedup.N_MINHASH)])
+
+
+SQL_MINHASH_SIGS = "select doc_id, " + ", ".join(
+    f"{dedup.sql_minhash_sig('text', i)} sig{i}" for i in range(dedup.N_MINHASH)
+) + " from documents"
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(d)
+
+
+_BAND_SQL = ", ".join(
+    "md5(" + " || '|' || ".join(f"sig{b * 2 + r}" for r in range(2)) + f") band{b}"
+    for b in range(dedup.LSH_BANDS)
+)
+SQL_LSH_PAIRS = f"""
+with sigs as (
+  select doc_id, {", ".join(f"{dedup.sql_minhash_sig('text', i)} sig{i}" for i in range(dedup.N_MINHASH))}
+  from documents
+), banded_w as (
+  select doc_id, {_BAND_SQL} from sigs
+), banded as (
+  select doc_id, 0 band_id, band0 band_hash from banded_w
+  union all select doc_id, 1, band1 from banded_w
+  union all select doc_id, 2, band2 from banded_w
+  union all select doc_id, 3, band3 from banded_w
+)
+select distinct a.doc_id id_a, b.doc_id id_b
+from banded a join banded b
+  on a.band_id = b.band_id and a.band_hash = b.band_hash and a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash16(d)
+
+
+SQL_SIMHASH = dedup.sql_simhash16("documents")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard on consecutive same-source doc pairs (the
+    verifier that would run on LSH candidates)."""
+    d = textstats.with_shingles(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text"), "text", 3
+    ).select("doc_id", "source", F.array_distinct("__sh").alias("sh"))
+    a = d.alias("a")
+    b = d.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("b.doc_id") == F.col("a.doc_id") + 1),
+    )
+    return j.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(
+            dedup.jaccard_from_shingles(F.col("a.sh"), F.col("b.sh")), 6
+        ).alias("jaccard"),
+    )
+
+
+_SH3 = textstats.sql_shingles("text", 3)
+SQL_NGRAM_JACCARD = f"""
+with t as (select doc_id, source, list_distinct({_SH3}) sh from documents)
+select a.doc_id id_a, b.doc_id id_b,
+       round(len(list_intersect(a.sh, b.sh))::double /
+             len(list_distinct(list_concat(a.sh, b.sh)))::double, 6) jaccard
+from t a join t b on a.source = b.source and b.doc_id = a.doc_id + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def _qvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine(e, _qvec(spark, sf_dir), k=10)
+
+
+SQL_SIM_TOPK = f"""
+with q as (select embedding qv from embeddings where vec_id = 0)
+select vec_id, round({similarity.sql_cosine('embedding', 'qv')}, 6) cos_sim
+from embeddings, q
+order by cos_sim desc, vec_id limit 10
+"""
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine_lsh(e, _qvec(spark, sf_dir), k=5)
+
+
+SQL_SIM_ANN_LSH = f"""
+with q as (select embedding qv, {similarity.sql_lsh_bucket('embedding')} qb
+           from embeddings where vec_id = 0),
+c as (
+  select vec_id, {similarity.sql_lsh_bucket('embedding')} bucket,
+         round({similarity.sql_cosine('embedding', 'qv')}, 6) cos_sim
+  from embeddings, q
+  where {similarity.sql_lsh_bucket('embedding')} = qb
+)
+select vec_id, bucket, cos_sim from c order by cos_sim desc, vec_id limit 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> typed metadata via Arrow mapInPandas (stub
+    decode; see functions/multimodal.py). Oracle reproduces the stub's
+    pure byte-count arithmetic."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_media_meta(d)
+
+
+SQL_MULTIMODAL_META = """
+select doc_id,
+       octet_length(encode(text))::int n_bytes,
+       (64 + octet_length(encode(text)) % 512)::int width,
+       (64 + octet_length(encode(text)) * 7 % 512)::int height,
+       3::int channels,
+       case when octet_length(encode(text)) % 2 = 0 then 'png' else 'jpeg' end format
+from documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "extract_flagship": q_extract_flagship,
+    "extract_blocks": q_extract_blocks,
+    "pricing_summary": q_pricing_summary,
+    "region_revenue": q_region_revenue,
+    "top_customers": q_top_customers,
+    "topk_per_group": q_topk_per_group,
+    "events_hourly": q_events_hourly,
+    "events_sessionize": q_events_sessionize,
+    "events_run_collapse": q_events_run_collapse,
+    "token_stats": q_token_stats,
+    "quality_score": q_quality_score,
+    "langid": q_langid,
+    "fingerprint": q_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "minhash_sigs": q_minhash_sigs,
+    "lsh_pairs": q_lsh_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "sim_topk": q_sim_topk,
+    "sim_ann_lsh": q_sim_ann_lsh,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES: dict[str, str] = {
+    "extract_flagship": SQL_EXTRACT_FLAGSHIP,
+    "extract_blocks": SQL_EXTRACT_BLOCKS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "region_revenue": SQL_REGION_REVENUE,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "topk_per_group": SQL_TOPK_PER_GROUP,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "events_sessionize": SQL_EVENTS_SESSIONIZE,
+    "events_run_collapse": SQL_EVENTS_RUN_COLLAPSE,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_score": SQL_QUALITY_SCORE,
+    "langid": SQL_LANGID,
+    "fingerprint": SQL_FINGERPRINT,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "minhash_sigs": SQL_MINHASH_SIGS,
+    "lsh_pairs": SQL_LSH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "sim_topk": SQL_SIM_TOPK,
+    "sim_ann_lsh": SQL_SIM_ANN_LSH,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+}

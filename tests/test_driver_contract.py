@@ -1,0 +1,67 @@
+"""Mirror of the driver's correctness gate: run every queries() entry on
+Spark and its oracle_sql() on DuckDB over the same parquet files, and
+compare row count, column names, and order-insensitive values.
+
+This is the same comparison shape as the reference's golden regression
+harness (test_tipc/compare_results.py: predicted log vs --gt_file), with
+exact equality since our operators are engine-portable by construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+import paddleocr_spark.queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"create view {t} as select * from read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    return v
+
+
+def _rowset(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_canon(r[i]) for i in idx) for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(Q.QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    sdf = Q.QUERIES[name](spark, SF_DIR)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.sql(Q.ORACLES[name])
+    dcols = res.columns
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"
+    sset = _rowset(scols, srows)
+    dset = _rowset(dcols, drows)
+    if sset != dset:
+        diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
