@@ -69,11 +69,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # Headline: extraction over the CC-shaped pages table at this sf.
+    # Headline: extraction over the CC-shaped pages table at this sf,
+    # through the production plan shape (salted url-hash repartition so
+    # the UDF stage parallelizes regardless of input file layout).
+    from paddleocr_spark.plans.job import add_part_id, salted_repartition
+
     pages_dir = ensure_pages(sf_dir)
     pages = spark.read.parquet(os.path.join(pages_dir, "pages.parquet"))
     n_docs = pages.count()
-    t = _run(extract(pages))
+    n_parts = int(cpus) * 2
+    parted = salted_repartition(add_part_id(pages, n_parts), n_parts, 4)
+    t = _run(extract(parted))
     timings["extract_pages"] = round(t, 3)
     docs_per_sec = n_docs / t if t > 0 else 0.0
 

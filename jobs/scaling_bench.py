@@ -1,0 +1,131 @@
+"""Two-cluster-size scaling evidence (north_rule: throughput scaling
+efficiency >= 0.8 between N and 4N executors).
+
+No real cluster exists in the sandbox, so the N/4N-executor criterion is
+evidenced the documented way: the SAME spark-submit job, SAME input, run
+at two parallelism levels (local[N] and local[4N]); efficiency =
+(docs_per_sec@4N / docs_per_sec@N) / 4.
+
+Usage:
+    python jobs/scaling_bench.py [--n 8] [--sf-dir /root/testdata/sf0.1]
+        [--rows 120000] [--partitions 64] [--salt 8]
+
+Prints one JSON line and (with --update-baseline) rewrites the
+"Measured scaling" section of BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def build_zip() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "paddleocr_spark.zip")
+    if os.path.exists(zpath):
+        os.remove(zpath)
+    subprocess.run(
+        ["zip", "-qr", zpath, "paddleocr_spark", "-x", "*__pycache__*"],
+        cwd=REPO,
+        check=True,
+    )
+    return zpath
+
+
+def run_once(cores: int, zpath: str, input_path: str, out_dir: str,
+             partitions: int, salt: int) -> dict:
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    cmd = [
+        "spark-submit",
+        "--master", f"local[{cores}]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.sql.shuffle.partitions={max(cores * 2, 16)}",
+        "--conf", "spark.sql.adaptive.enabled=true",
+        "--py-files", zpath,
+        os.path.join(REPO, "jobs", "extract.py"),
+        "--input", input_path,
+        "--output", out_dir,
+        "--partitions", str(partitions),
+        "--salt", str(salt),
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, check=True)
+    last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(last)
+
+
+def update_baseline(result: dict) -> None:
+    path = os.path.join(REPO, "BASELINE.md")
+    section = (
+        "## Measured scaling (sandbox N vs 4N protocol)\n\n"
+        f"Same `spark-submit --py-files` job, same input "
+        f"({result['n_docs']} pages, {result['input']}):\n\n"
+        f"| cores | wall (s) | docs/sec |\n|---|---|---|\n"
+        f"| local[{result['n']}] | {result['wall_n']} | {result['docs_per_sec_n']} |\n"
+        f"| local[{result['n4']}] | {result['wall_4n']} | {result['docs_per_sec_4n']} |\n\n"
+        f"**Scaling efficiency (N -> 4N) = {result['scaling_efficiency']}** "
+        f"(target >= 0.8 per BASELINE.json).\n"
+    )
+    with open(path) as f:
+        text = f.read()
+    marker = "## Measured scaling"
+    if marker in text:
+        text = re.sub(r"## Measured scaling.*?(?=\n## |\Z)", section, text, flags=re.S)
+    else:
+        text = text.rstrip() + "\n\n" + section
+    with open(path, "w") as f:
+        f.write(text)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--rows", type=int, default=None,
+                    help="override page count (cached under .data/pages)")
+    ap.add_argument("--partitions", type=int, default=64)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--update-baseline", action="store_true")
+    args = ap.parse_args()
+
+    from paddleocr_spark.sources.pages import ensure_pages
+
+    if args.rows:
+        pages_dir = ensure_pages(f"scale{args.rows}", n_rows=args.rows)
+    else:
+        pages_dir = ensure_pages(args.sf_dir)
+    input_path = os.path.join(pages_dir, "pages.parquet")
+
+    zpath = build_zip()
+    r_n = run_once(args.n, zpath, input_path, "/tmp/scale_n", args.partitions, args.salt)
+    r_4n = run_once(args.n * 4, zpath, input_path, "/tmp/scale_4n", args.partitions, args.salt)
+
+    eff = (r_4n["docs_per_sec"] / r_n["docs_per_sec"]) / 4.0
+    result = {
+        "input": input_path,
+        "n_docs": r_n["rows_out"],
+        "n": args.n,
+        "n4": args.n * 4,
+        "wall_n": r_n["wall_sec"],
+        "wall_4n": r_4n["wall_sec"],
+        "docs_per_sec_n": r_n["docs_per_sec"],
+        "docs_per_sec_4n": r_4n["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    if args.update_baseline:
+        update_baseline(result)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,7 +32,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from paddleocr_spark.config import DEFAULT, PipelineConfig
@@ -94,6 +94,7 @@ def run_extract_job(
     lineage_path = os.path.join(output_dir, "lineage")
     snapshot = _input_snapshot(input_path)
     run_id = uuid.uuid4().hex[:12]
+    timings: dict[str, float] = {}
 
     pages = add_part_id(spark.read.parquet(input_path), n_partitions)
 
@@ -104,28 +105,33 @@ def run_extract_job(
             n_done_before = done.count()
             pages = pages.join(F.broadcast(done), "part_id", "left_anti")
 
+    # part_id is a pure function of url, so the to-do list is a cheap
+    # column-pruned scan of the INPUT (url only, never the UDF pipeline).
+    t0 = time.monotonic()
+    parts_processed = sorted(
+        r["part_id"] for r in pages.select("part_id").distinct().collect()
+    )
     if only_first_parts is not None:
-        todo = sorted(
-            r["part_id"] for r in pages.select("part_id").distinct().collect()
-        )
-        keep = todo[:only_first_parts]
-        pages = pages.filter(F.col("part_id").isin(keep))
+        parts_processed = parts_processed[:only_first_parts]
+        pages = pages.filter(F.col("part_id").isin(parts_processed))
+    timings["plan_parts_s"] = round(time.monotonic() - t0, 3)
 
     pages = salted_repartition(pages, n_partitions, salt)
 
     fn = extract if mode == "array" else extract_relational
     ext = fn(pages, cfg)
-    # part_id is a pure function of url -> recompute post-extract, no shuffle
+    # recompute from url post-extract: no extra shuffle, no UDF re-run
     ext = add_part_id(ext, n_partitions)
 
-    parts_processed = [
-        r["part_id"] for r in ext.select("part_id").distinct().collect()
-    ]
     if parts_processed:
+        # ONE extraction pass: the write is the only action over the UDF.
+        t0 = time.monotonic()
         ext.write.partitionBy("part_id").mode("overwrite").parquet(data_path)
+        timings["extract_write_s"] = round(time.monotonic() - t0, 3)
 
         # lineage AFTER the data commit; metrics from the written files,
         # column-pruned (html never read here)
+        t0 = time.monotonic()
         out = spark.read.parquet(data_path).filter(
             F.col("part_id").isin(parts_processed)
         )
@@ -146,16 +152,22 @@ def run_extract_job(
             F.lit(int(time.time() * 1000)).alias("committed_ms"),
         )
         lineage.coalesce(1).write.mode("append").parquet(lineage_path)
+        timings["lineage_s"] = round(time.monotonic() - t0, 3)
 
+    # rows_out from lineage (latest row per part), not a full output scan.
     rows_out = 0
-    if os.path.exists(data_path):
-        rows_out = spark.read.parquet(data_path).count()
+    if os.path.exists(lineage_path):
+        lin = spark.read.parquet(lineage_path)
+        w = Window.partitionBy("part_id").orderBy(F.desc("committed_ms"))
+        latest = lin.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        rows_out = latest.agg(F.sum("row_count")).collect()[0][0] or 0
     return dict(
-        rows_out=rows_out,
+        rows_out=int(rows_out),
         n_partitions=n_partitions,
         parts_done_before=n_done_before,
         parts_processed=len(parts_processed),
         input_snapshot=snapshot,
         run_id=run_id,
         mode=mode,
+        timings=timings,
     )

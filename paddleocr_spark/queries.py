@@ -607,6 +607,48 @@ select vec_id, bucket, cos_sim from c order by cos_sim desc, vec_id limit 5
 
 
 # ---------------------------------------------------------------------------
+# Metrics (RecMetric analog as a distributed aggregation)
+# ---------------------------------------------------------------------------
+
+def q_rec_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus exact-match + normalized-edit-similarity of the extraction
+    output against a deliberately-truncated golden (first 100 chars), so
+    the Levenshtein path is non-trivial (metrics.rec_metric;
+    rec_metric.py:38-60 semantics)."""
+    from paddleocr_spark.metrics import rec_metric
+
+    pred = q_extract_flagship(spark, sf_dir).select("url", "extracted_text")
+    gold = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.substring("text", 1, 100).alias("golden_text"),
+    )
+    m = rec_metric(pred, gold)
+    return m.select(
+        F.round("exact_acc", 6).alias("exact_acc"),
+        F.round("norm_edit_sim", 6).alias("norm_edit_sim"),
+        "n_docs",
+    )
+
+
+SQL_REC_METRIC = f"""
+with pred as (
+  select cast(doc_id as varchar) url,
+         case when length(text) >= 12 then {_NORM_SQL.format(c='text')} else '' end extracted_text
+  from documents
+), gold as (
+  select cast(doc_id as varchar) url, substr(text, 1, 100) golden_text from documents
+)
+select round(avg(case when extracted_text = golden_text then 1.0 else 0.0 end), 6) exact_acc,
+       round(avg(1.0 - case when greatest(length(extracted_text), length(golden_text)) = 0
+                            then 0.0
+                            else levenshtein(extracted_text, golden_text)::double
+                                 / greatest(length(extracted_text), length(golden_text))::double end), 6) norm_edit_sim,
+       count(*) n_docs
+from pred join gold using (url)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 
@@ -657,6 +699,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
     "multimodal_meta": q_multimodal_meta,
+    "rec_metric": q_rec_metric,
 }
 
 ORACLES: dict[str, str] = {
@@ -681,4 +724,5 @@ ORACLES: dict[str, str] = {
     "sim_topk": SQL_SIM_TOPK,
     "sim_ann_lsh": SQL_SIM_ANN_LSH,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "rec_metric": SQL_REC_METRIC,
 }

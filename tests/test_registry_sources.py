@@ -1,0 +1,119 @@
+"""Registry-built pipelines, alternative sources/sinks, and metrics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from paddleocr_spark.operators.extract import extract
+from paddleocr_spark.operators.registry import (
+    DEFAULT_PIPELINE_SPEC,
+    build_pipeline,
+)
+from paddleocr_spark.sources.readers import (
+    read_pages,
+    sampled_pages,
+    write_jsonl_results,
+)
+
+
+@pytest.fixture()
+def pages(spark, smoke_dir):
+    return read_pages(spark, os.path.join(smoke_dir, "pages.parquet"))
+
+
+def test_registry_default_equals_extract(spark, pages):
+    pipe = build_pipeline(DEFAULT_PIPELINE_SPEC)
+    a = pipe(pages).orderBy("url").collect()
+    b = extract(pages).orderBy("url").collect()
+    assert a == b and len(a) > 0
+
+
+def test_registry_param_override_changes_result(spark, pages):
+    strict = build_pipeline(
+        [
+            {"op": "detect_blocks"},
+            {"op": "score_blocks"},
+            {"op": "filter_candidates", "det_box_thresh": 0.99},
+            {"op": "merge_spans"},
+            {"op": "assemble"},
+        ]
+    )
+    total_kept = strict(pages).agg(F.sum("n_blocks_kept")).collect()[0][0]
+    base_kept = extract(pages).agg(F.sum("n_blocks_kept")).collect()[0][0]
+    assert total_kept < base_kept
+
+
+def test_registry_unknown_op_fails_fast():
+    with pytest.raises(ValueError, match="unknown operator"):
+        build_pipeline([{"op": "nope"}])
+    with pytest.raises(ValueError, match="unknown PipelineConfig"):
+        build_pipeline([{"op": "extract", "not_a_param": 1}])
+
+
+def test_jsonl_source_roundtrip(spark, pages, tmp_path):
+    jl = str(tmp_path / "pages.jsonl")
+    pages.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("warc_ts"),
+        F.base64("html").alias("html_b64"),
+        "text",
+        "lang",
+    ).coalesce(1).write.mode("overwrite").json(jl)
+    back = read_pages(spark, jl, fmt="jsonl")
+    a = extract(back).orderBy("url").select("url", "extracted_text").collect()
+    b = extract(pages).orderBy("url").select("url", "extracted_text").collect()
+    assert a == b
+
+
+def test_sampled_pages_deterministic(spark, pages):
+    s1 = sampled_pages(pages, {"en": 0.5, "zh": 1.0, "ar": 0.0}, seed=7)
+    s2 = sampled_pages(pages, {"en": 0.5, "zh": 1.0, "ar": 0.0}, seed=7)
+    u1 = sorted(r["url"] for r in s1.select("url").collect())
+    u2 = sorted(r["url"] for r in s2.select("url").collect())
+    assert u1 == u2
+    assert s1.filter(F.col("lang") == "ar").count() == 0
+
+
+def test_jsonl_sink(spark, pages, tmp_path):
+    out = str(tmp_path / "results")
+    write_jsonl_results(extract(pages.limit(20)), out)
+    lines = spark.read.text(out).collect()
+    assert len(lines) == 20
+    rec = json.loads(lines[0]["value"])
+    assert {"url", "extracted_text", "spans", "n_blocks_kept"} <= set(rec)
+
+
+def test_rec_metric_known_values(spark):
+    from paddleocr_spark.metrics import rec_metric
+
+    pred = spark.createDataFrame(
+        [("a", "hello"), ("b", "kitten"), ("c", "")],
+        "url string, extracted_text string",
+    )
+    gold = spark.createDataFrame(
+        [("a", "hello"), ("b", "sitting"), ("c", "")],
+        "url string, golden_text string",
+    )
+    r = rec_metric(pred, gold).collect()[0]
+    assert r["n_docs"] == 3
+    assert abs(r["exact_acc"] - 2 / 3) < 1e-12
+    # b: lev 3 / max 7; a and c: similarity 1.0
+    assert abs(r["norm_edit_sim"] - (1.0 + (1 - 3 / 7) + 1.0) / 3) < 1e-12
+
+
+def test_det_metric_known_values(spark):
+    from paddleocr_spark.metrics import det_metric
+
+    pred = spark.createDataFrame(
+        [("a", 0, 10), ("a", 20, 30), ("b", 0, 5)], "url string, start int, end int"
+    )
+    gold = spark.createDataFrame(
+        [("a", 0, 10), ("a", 100, 110)], "url string, start int, end int"
+    )
+    r = det_metric(pred, gold).collect()[0]
+    assert r["n_match"] == 1 and r["n_pred"] == 3 and r["n_gold"] == 2
+    assert abs(r["precision"] - 1 / 3) < 1e-12 and abs(r["recall"] - 0.5) < 1e-12

@@ -1,0 +1,47 @@
+"""Batch/stream parity: the same transformations under readStream must
+produce the same results, and streaming extraction stays byte-identical
+to the golden oracle."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from paddleocr_spark.streaming.events import (
+    hourly_agg,
+    run_extract_stream,
+    run_hourly_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = str(tmp_path / "events_in")
+    os.makedirs(d)
+    shutil.copy(f"{SF_DIR}/events.parquet", d)
+    return d
+
+
+def test_hourly_stream_matches_batch(spark, events_dir):
+    got = run_hourly_stream(spark, events_dir, "t_hourly")
+    want = hourly_agg(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_extract_stream_byte_identical(spark, smoke_dir, tmp_path):
+    d = str(tmp_path / "pages_in")
+    os.makedirs(d)
+    shutil.copy(os.path.join(smoke_dir, "pages.parquet"), d)
+    got = run_extract_stream(spark, d, "t_extract")
+    golden = spark.read.parquet(os.path.join(smoke_dir, "golden.parquet"))
+    j = got.alias("o").join(golden.alias("g"), "url")
+    n = j.count()
+    n_eq = j.filter(F.col("o.extracted_text") == F.col("g.extracted_text")).count()
+    assert n == golden.count() == n_eq and n > 0
