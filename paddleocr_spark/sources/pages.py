@@ -50,6 +50,13 @@ def _seed_for(i: int) -> int:
     return int(hashlib.md5(f"page-{i}".encode()).hexdigest()[:12], 16)
 
 
+# Content-volume multiplier per profile. 'base' pages are ~4 KB; 'heavy'
+# approximates real Common-Crawl HTML (tens of KB, many more blocks) —
+# used for throughput/scaling benches so per-doc compute dominates fixed
+# overhead the way it does on real pages.
+PROFILES = {"base": 1, "heavy": 8}
+
+
 def _sentence(rnd: random.Random, words, n: int) -> str:
     return " ".join(rnd.choice(words) for _ in range(n))
 
@@ -61,7 +68,7 @@ def _nav_links(rnd: random.Random, n: int) -> str:
     )
 
 
-def _make_html(i: int, rnd: random.Random, lang: str) -> str:
+def _make_html(i: int, rnd: random.Random, lang: str, mult: int = 1) -> str:
     words = {"en": _EN, "zh": _ZH, "ar": _AR}[lang]
     parts = [f'<!doctype html><html lang="{lang}"><head><title>page {i}</title></head><body>']
 
@@ -72,7 +79,7 @@ def _make_html(i: int, rnd: random.Random, lang: str) -> str:
     parts.append(f"<header>site {i % 50} <a href=\"/\">{_sentence(rnd, _EN, 3)}</a></header>")
     parts.append(f"<nav>{_nav_links(rnd, rnd.randrange(4, 9))}</nav>")
 
-    n_paras = rnd.randrange(1, 6)
+    n_paras = rnd.randrange(1, 6) * mult
     for p in range(n_paras):
         sent = _sentence(rnd, words, rnd.randrange(12, 40))
         parts.append(f"<p>{sent}</p>")
@@ -151,14 +158,14 @@ def _make_html(i: int, rnd: random.Random, lang: str) -> str:
     return "\n".join(parts)
 
 
-def gen_page(i: int) -> dict:
+def gen_page(i: int, profile: str = "base") -> dict:
     rnd = random.Random(_seed_for(i))
     r = rnd.random()
     lang = "en" if r < 0.7 else ("zh" if r < 0.9 else "ar")
     # Zipf-ish host skew: host 0 is hot (exercises salting)
     host = int(200 * (rnd.random() ** 3))
     url = f"https://host{host}.example/p/{i}"
-    html = _make_html(i, rnd, lang)
+    html = _make_html(i, rnd, lang, PROFILES[profile])
     return dict(
         url=url,
         warc_ts=_EPOCH + dt.timedelta(seconds=i),
@@ -188,25 +195,56 @@ def pages_dir_for(sf_dir: str) -> str:
     return os.path.join(DATA_ROOT, "sf" + sf_name(sf_dir))
 
 
-def ensure_pages(sf_dir: str, n_rows: int | None = None) -> str:
-    """Generate (once) pages.parquet + golden.parquet + golden_blocks.parquet
-    for the scale matching ``sf_dir``. Returns the directory."""
-    out_dir = pages_dir_for(sf_dir)
-    marker = os.path.join(out_dir, "_SUCCESS")
-    if os.path.exists(marker):
-        return out_dir
-    os.makedirs(out_dir, exist_ok=True)
-    n = n_rows or ROWS_BY_SF.get(sf_name(sf_dir), 300)
+GOLDEN_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("extracted_text", pa.string()),
+        (
+            "spans",
+            pa.list_(
+                pa.struct(
+                    [
+                        ("block_id", pa.int32()),
+                        ("start", pa.int32()),
+                        ("end", pa.int32()),
+                        ("score", pa.float64()),
+                    ]
+                )
+            ),
+        ),
+        ("n_blocks_detected", pa.int32()),
+        ("n_blocks_kept", pa.int32()),
+    ]
+)
 
-    pages = [gen_page(i) for i in range(n)]
-    pq.write_table(
-        pa.Table.from_pylist(pages, schema=PAGES_SCHEMA),
-        os.path.join(out_dir, "pages.parquet"),
-    )
+BLOCKS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("block_id", pa.int32()),
+        ("tag", pa.string()),
+        ("depth", pa.int32()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),
+        ("text_len", pa.int32()),
+        ("link_text_len", pa.int32()),
+        ("score", pa.float64()),
+        ("kept", pa.bool_()),
+        ("branch", pa.string()),
+        ("layout", pa.string()),
+        ("parent_id", pa.int32()),
+    ]
+)
 
-    golden = []
-    gblocks = []
-    for p in pages:
+
+def _gen_chunk(args: tuple[int, int, str, bool]):
+    """One worker's slice: (pages table, golden table, blocks table|None).
+    Pure function of the index range — parallel generation is
+    byte-identical to sequential."""
+    lo, hi, profile, want_blocks = args
+    pages, golden, gblocks = [], [], []
+    for i in range(lo, hi):
+        p = gen_page(i, profile)
+        pages.append(p)
         r = extract_page(p["url"], p["html"], p["lang"], DEFAULT)
         golden.append(
             dict(
@@ -217,54 +255,69 @@ def ensure_pages(sf_dir: str, n_rows: int | None = None) -> str:
                 n_blocks_kept=r.n_blocks_kept,
             )
         )
-        gblocks.extend(detect_blocks_rows(p["url"], p["html"], DEFAULT))
+        if want_blocks:
+            gblocks.extend(detect_blocks_rows(p["url"], p["html"], DEFAULT))
+    return (
+        pa.Table.from_pylist(pages, schema=PAGES_SCHEMA),
+        pa.Table.from_pylist(golden, schema=GOLDEN_SCHEMA),
+        pa.Table.from_pylist(gblocks, schema=BLOCKS_SCHEMA) if want_blocks else None,
+    )
 
-    golden_schema = pa.schema(
-        [
-            ("url", pa.string()),
-            ("extracted_text", pa.string()),
-            (
-                "spans",
-                pa.list_(
-                    pa.struct(
-                        [
-                            ("block_id", pa.int32()),
-                            ("start", pa.int32()),
-                            ("end", pa.int32()),
-                            ("score", pa.float64()),
-                        ]
-                    )
-                ),
-            ),
-            ("n_blocks_detected", pa.int32()),
-            ("n_blocks_kept", pa.int32()),
-        ]
+
+def ensure_pages(
+    sf_dir: str,
+    n_rows: int | None = None,
+    profile: str = "base",
+    workers: int | None = None,
+) -> str:
+    """Generate (once) pages.parquet + golden.parquet (+ golden_blocks
+    for small fixture scales) for ``sf_dir``. Chunked + multiprocess:
+    streams row groups through ParquetWriter so multi-GB 'heavy' tables
+    never materialize in one process. Returns the directory."""
+    out_dir = pages_dir_for(sf_dir)
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    n = n_rows or ROWS_BY_SF.get(sf_name(sf_dir), 300)
+    want_blocks = n <= 10_000
+
+    chunk = 5000
+    ranges = [
+        (lo, min(lo + chunk, n), profile, want_blocks) for lo in range(0, n, chunk)
+    ]
+    if workers is None:
+        workers = min(os.cpu_count() or 4, 16, len(ranges))
+
+    pw = pq.ParquetWriter(os.path.join(out_dir, "pages.parquet"), PAGES_SCHEMA)
+    gw = pq.ParquetWriter(os.path.join(out_dir, "golden.parquet"), GOLDEN_SCHEMA)
+    bw = (
+        pq.ParquetWriter(os.path.join(out_dir, "golden_blocks.parquet"), BLOCKS_SCHEMA)
+        if want_blocks
+        else None
     )
-    pq.write_table(
-        pa.Table.from_pylist(golden, schema=golden_schema),
-        os.path.join(out_dir, "golden.parquet"),
-    )
-    blocks_schema = pa.schema(
-        [
-            ("url", pa.string()),
-            ("block_id", pa.int32()),
-            ("tag", pa.string()),
-            ("depth", pa.int32()),
-            ("start", pa.int32()),
-            ("end", pa.int32()),
-            ("text_len", pa.int32()),
-            ("link_text_len", pa.int32()),
-            ("score", pa.float64()),
-            ("kept", pa.bool_()),
-            ("branch", pa.string()),
-            ("layout", pa.string()),
-            ("parent_id", pa.int32()),
-        ]
-    )
-    pq.write_table(
-        pa.Table.from_pylist(gblocks, schema=blocks_schema),
-        os.path.join(out_dir, "golden_blocks.parquet"),
-    )
+    try:
+        if workers > 1 and len(ranges) > 1:
+            import multiprocessing as mp
+
+            with mp.get_context("fork").Pool(workers) as pool:
+                for pt, gt, bt in pool.imap(_gen_chunk, ranges):
+                    pw.write_table(pt)
+                    gw.write_table(gt)
+                    if bw is not None and bt is not None:
+                        bw.write_table(bt)
+        else:
+            for r in ranges:
+                pt, gt, bt = _gen_chunk(r)
+                pw.write_table(pt)
+                gw.write_table(gt)
+                if bw is not None and bt is not None:
+                    bw.write_table(bt)
+    finally:
+        pw.close()
+        gw.close()
+        if bw is not None:
+            bw.close()
     with open(marker, "w") as f:
         f.write("ok\n")
     return out_dir

@@ -1,0 +1,71 @@
+"""Physical-plan regression gates: the properties that make the engine
+scale must be visible in the plan, not just hoped for.
+
+- extraction: exactly ONE ArrowEvalPython (the stage-1 UDF) and no
+  row-at-a-time BatchEvalPython anywhere (north_rule: no per-row Python
+  on the hot path);
+- star joins broadcast their dims (no fact-table shuffle);
+- column pruning reaches the parquet scan (ReadSchema excludes unused
+  columns — 'never read html when only counting');
+- predicate pushdown reaches the scan (PushedFilters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import paddleocr_spark.queries as Q
+from paddleocr_spark.operators.extract import extract
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extract_single_arrow_udf_no_row_python(spark, smoke_dir):
+    import os
+
+    pages = spark.read.parquet(os.path.join(smoke_dir, "pages.parquet"))
+    plan = _plan(extract(pages))
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan  # no row-wise Python UDFs
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    plan = _plan(Q.q_region_revenue(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_token_stats_prunes_columns(spark):
+    plan = _plan(Q.q_token_stats(spark, SF_DIR))
+    scan = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scan, plan
+    line = scan[0]
+    assert "text" in line and "doc_id" in line
+    # unused columns must not be scanned
+    assert "source" not in line and "n_chars" not in line and "lang" not in line
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F.col("l_quantity") > 40
+    ).select("l_orderkey")
+    plan = _plan(li)
+    assert "PushedFilters: [" in plan and "l_quantity" in plan.split("PushedFilters")[1][:120]
+
+
+def test_extract_drops_html_after_stage1(spark, smoke_dir):
+    """The blocks UDF consumes html; nothing downstream may carry page
+    bytes (column-pruning discipline, SURVEY.md §4)."""
+    import os
+
+    pages = spark.read.parquet(os.path.join(smoke_dir, "pages.parquet"))
+    out = extract(pages)
+    assert "html" not in out.columns
+    # html appears in the plan only below the Arrow stage (scan + udf input)
+    plan = _plan(out.select("url", "n_blocks_kept"))
+    udf_pos = plan.find("ArrowEvalPython")
+    assert udf_pos != -1
