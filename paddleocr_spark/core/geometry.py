@@ -160,6 +160,92 @@ def merge_fragmented(
         items = nxt
 
 
+def iou_xyxy(b1: Box, b2: Box) -> float:
+    """IoU on (x1, y1, x2, y2) boxes with empty-overlap clamping
+    (vectorized iou_of/area_of semantics, picodet_postprocess.py:51-96)."""
+    left, top = max(b1[0], b2[0]), max(b1[1], b2[1])
+    right, bottom = min(b1[2], b2[2]), min(b1[3], b2[3])
+    iw, ih = max(right - left, 0), max(bottom - top, 0)
+    inter = iw * ih
+    a1 = max(b1[2] - b1[0], 0) * max(b1[3] - b1[1], 0)
+    a2 = max(b2[2] - b2[0], 0) * max(b2[3] - b2[1], 0)
+    denom = a1 + a2 - inter
+    return inter / denom if denom > 0 else 0.0
+
+
+def hard_nms(
+    boxes: list[Box],
+    scores: list[float],
+    iou_threshold: float = 0.5,
+    top_k: int = -1,
+    candidate_size: int = 200,
+) -> list[int]:
+    """Greedy non-maximum suppression (hard_nms,
+    picodet_postprocess.py:19-48): take the max-score box, suppress all
+    remaining with IoU > threshold, repeat; optional result cap
+    ``top_k`` (keep_top_k=100) and pre-cap ``candidate_size``.
+    Returns kept indices in pick order. Sequential by nature — runs
+    per-document inside the Arrow stage, never as a distributed op
+    (SURVEY.md §2.5)."""
+    order = sorted(range(len(boxes)), key=lambda i: scores[i])[-candidate_size:]
+    picked: list[int] = []
+    while order:
+        cur = order.pop()  # highest remaining score
+        picked.append(cur)
+        if 0 < top_k == len(picked):
+            break
+        order = [i for i in order if iou_xyxy(boxes[cur], boxes[i]) <= iou_threshold]
+    return picked
+
+
+def calculate_containment(b1: Box, b2: Box) -> float:
+    """Intersection over the smaller box's area
+    (picodet_postprocess.py:84-96)."""
+    left, top = max(b1[0], b2[0]), max(b1[1], b2[1])
+    right, bottom = min(b1[2], b2[2]), min(b1[3], b2[3])
+    inter = max(right - left, 0) * max(bottom - top, 0)
+    a1 = max(b1[2] - b1[0], 0) * max(b1[3] - b1[1], 0)
+    a2 = max(b2[2] - b2[0], 0) * max(b2[3] - b2[1], 0)
+    small = min(a1, a2)
+    return inter / small if small > 0 else 0.0
+
+
+def containment_dedup(
+    boxes: list[Box],
+    labels: list[str],
+    scores: list[float],
+    priority_label: str = "table",
+    threshold: float = 0.5,
+) -> list[int]:
+    """Overlapping-region dedup with label priority
+    (picodet_postprocess.py:272-296): for every pair with containment >
+    threshold, drop the non-priority one (table wins), else the lower
+    score. Returns surviving indices in input order."""
+    n = len(boxes)
+    dropped: set[int] = set()
+    for i in range(n):
+        if i in dropped:
+            continue
+        for j in range(i + 1, n):
+            if j in dropped:
+                continue
+            if calculate_containment(boxes[i], boxes[j]) <= threshold:
+                continue
+            pi = labels[i] == priority_label
+            pj = labels[j] == priority_label
+            if pi and not pj:
+                dropped.add(j)
+            elif pj and not pi:
+                dropped.add(i)
+                break
+            elif scores[i] >= scores[j]:
+                dropped.add(j)
+            else:
+                dropped.add(i)
+                break
+    return [i for i in range(n) if i not in dropped]
+
+
 def distance(box_1: Box, box_2: Box) -> float:
     """L1 corner+center proxy distance (matcher.py:19-25)."""
     x1, y1, x2, y2 = box_1
