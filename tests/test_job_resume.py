@@ -1,0 +1,58 @@
+"""Checkpoint/resume semantics (north_rule): kill after k partitions,
+resume, and the final table must be identical to a single uninterrupted
+run — with exactly one lineage row per partition."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from paddleocr_spark.plans.job import run_extract_job
+
+
+def _read_sorted(spark, out_dir):
+    return (
+        spark.read.parquet(os.path.join(out_dir, "extracted"))
+        .select("url", "extracted_text", "n_blocks_kept")
+        .orderBy("url")
+        .collect()
+    )
+
+
+def test_resume_after_partial_run(spark, smoke_dir, tmp_path):
+    inp = os.path.join(smoke_dir, "pages.parquet")
+    full_dir = str(tmp_path / "full")
+    part_dir = str(tmp_path / "partial")
+
+    full = run_extract_job(spark, inp, full_dir, n_partitions=8, salt=2)
+    assert full["parts_processed"] == 8
+
+    # simulated failure after 3 partitions
+    first = run_extract_job(
+        spark, inp, part_dir, n_partitions=8, salt=2, only_first_parts=3
+    )
+    assert first["parts_processed"] == 3
+    assert first["rows_out"] < full["rows_out"]
+
+    resumed = run_extract_job(spark, inp, part_dir, n_partitions=8, salt=2, resume=True)
+    assert resumed["parts_done_before"] == 3
+    assert resumed["parts_processed"] == 5
+    assert resumed["rows_out"] == full["rows_out"]
+
+    assert _read_sorted(spark, part_dir) == _read_sorted(spark, full_dir)
+
+    # exactly one lineage row per partition across both runs
+    lin = spark.read.parquet(os.path.join(part_dir, "lineage"))
+    dups = lin.groupBy("part_id").count().filter(F.col("count") > 1).count()
+    assert dups == 0 and lin.count() == 8
+
+
+def test_resume_on_complete_output_is_noop(spark, smoke_dir, tmp_path):
+    inp = os.path.join(smoke_dir, "pages.parquet")
+    out = str(tmp_path / "out")
+    first = run_extract_job(spark, inp, out, n_partitions=4, salt=2)
+    again = run_extract_job(spark, inp, out, n_partitions=4, salt=2, resume=True)
+    assert again["parts_processed"] == 0
+    assert again["parts_done_before"] == 4
+    assert again["rows_out"] == first["rows_out"]
