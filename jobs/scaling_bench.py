@@ -6,12 +6,18 @@ evidenced the documented way: the SAME spark-submit job, SAME input, run
 at two parallelism levels (local[N] and local[4N]); efficiency =
 (docs_per_sec@4N / docs_per_sec@N) / 4.
 
-Usage:
-    python jobs/scaling_bench.py [--n 8] [--sf-dir /root/testdata/sf0.1]
-        [--rows 120000] [--partitions 64] [--salt 8]
+The headline protocol (see BASELINE.md "Measured scaling"): pin each
+level to a disjoint CPU budget so a "cluster of N cores" really has N
+cores for its JVM and Python workers, use the 'heavy' page profile so
+per-doc compute dominates fixed overhead, and pick the widest N/4N pair
+below the host's memory-bandwidth knee:
 
-Prints one JSON line and (with --update-baseline) rewrites the
-"Measured scaling" section of BASELINE.md.
+    python jobs/scaling_bench.py --pin --n 2 --rows 500000 \
+        --profile heavy --update-baseline
+
+Prints one JSON line and (with --update-baseline) refreshes the
+"Latest scaling_bench run" section of BASELINE.md (the hand-analyzed
+"Measured scaling" section is left untouched).
 """
 
 from __future__ import annotations
@@ -43,10 +49,10 @@ def build_zip() -> str:
 
 
 def run_once(cores: int, zpath: str, input_path: str, out_dir: str,
-             partitions: int, salt: int) -> dict:
+             partitions: int, salt: int, pin: bool = False) -> dict:
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
-    cmd = [
+    cmd = (["taskset", "-c", f"0-{cores - 1}"] if pin else []) + [
         "spark-submit",
         "--master", f"local[{cores}]",
         "--conf", "spark.ui.enabled=false",
@@ -67,7 +73,7 @@ def run_once(cores: int, zpath: str, input_path: str, out_dir: str,
 def update_baseline(result: dict) -> None:
     path = os.path.join(REPO, "BASELINE.md")
     section = (
-        "## Measured scaling (sandbox N vs 4N protocol)\n\n"
+        "## Latest scaling_bench run\n\n"
         f"Same `spark-submit --py-files` job, same input "
         f"({result['n_docs']} pages, {result['input']}):\n\n"
         f"| cores | wall (s) | docs/sec |\n|---|---|---|\n"
@@ -78,9 +84,9 @@ def update_baseline(result: dict) -> None:
     )
     with open(path) as f:
         text = f.read()
-    marker = "## Measured scaling"
+    marker = "## Latest scaling_bench run"
     if marker in text:
-        text = re.sub(r"## Measured scaling.*?(?=\n## |\Z)", section, text, flags=re.S)
+        text = re.sub(r"## Latest scaling_bench run.*?(?=\n## |\Z)", section, text, flags=re.S)
     else:
         text = text.rstrip() + "\n\n" + section
     with open(path, "w") as f:
@@ -89,7 +95,10 @@ def update_baseline(result: dict) -> None:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n", type=int, default=2)
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each level to a disjoint CPU budget (honest cluster-size emulation)")
+    ap.add_argument("--profile", default="base", choices=["base", "heavy"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--rows", type=int, default=None,
                     help="override page count (cached under .data/pages)")
@@ -101,14 +110,15 @@ def main() -> None:
     from paddleocr_spark.sources.pages import ensure_pages
 
     if args.rows:
-        pages_dir = ensure_pages(f"scale{args.rows}", n_rows=args.rows)
+        name = f"{args.profile}{args.rows}" if args.profile != "base" else f"scale{args.rows}"
+        pages_dir = ensure_pages(name, n_rows=args.rows, profile=args.profile)
     else:
         pages_dir = ensure_pages(args.sf_dir)
     input_path = os.path.join(pages_dir, "pages.parquet")
 
     zpath = build_zip()
-    r_n = run_once(args.n, zpath, input_path, "/tmp/scale_n", args.partitions, args.salt)
-    r_4n = run_once(args.n * 4, zpath, input_path, "/tmp/scale_4n", args.partitions, args.salt)
+    r_n = run_once(args.n, zpath, input_path, "/tmp/scale_n", args.partitions, args.salt, args.pin)
+    r_4n = run_once(args.n * 4, zpath, input_path, "/tmp/scale_4n", args.partitions, args.salt, args.pin)
 
     eff = (r_4n["docs_per_sec"] / r_n["docs_per_sec"]) / 4.0
     result = {
