@@ -90,6 +90,60 @@ def ctc_greedy_decode(
     return "".join(chars), total / len(confs)
 
 
+def get_word_info(text: str) -> list[tuple[str, str, int, int]]:
+    """Segment a decoded line into class-runs with column positions —
+    the get_word_info analog (rec_postprocess.py:70-134): words are
+    runs of one char class, with the numeric-'.' and hyphen joining
+    rules, and CJK chars standing alone.
+
+    Classes: 'en' ([A-Za-z0-9] runs; '.' joins digit.digit; '-' joins
+    alnum-alnum), 'cn' (one CJK char per word), 'sp' (any other
+    non-space char, the splitter class). Whitespace delimits and is
+    never emitted. Returns [(word, state, col_start, col_end)] with
+    end exclusive.
+    """
+    out: list[tuple[str, str, int, int]] = []
+    n = len(text)
+    i = 0
+
+    def is_en(c: str) -> bool:
+        return c.isascii() and (c.isalnum())
+
+    def is_cjk(c: str) -> bool:
+        return "一" <= c <= "龥"
+
+    while i < n:
+        c = text[i]
+        if c.isspace():
+            i += 1
+            continue
+        if is_cjk(c):
+            out.append((c, "cn", i, i + 1))
+            i += 1
+            continue
+        if is_en(c):
+            j = i + 1
+            while j < n:
+                cj = text[j]
+                if is_en(cj):
+                    j += 1
+                elif (
+                    cj in ".-"
+                    and j + 1 < n
+                    and is_en(text[j + 1])
+                    and (cj == "-" or (text[j - 1].isdigit() and text[j + 1].isdigit()))
+                ):
+                    j += 2
+                else:
+                    break
+            out.append((text[i:j], "en", i, j))
+            i = j
+            continue
+        out.append((c, "sp", i, i + 1))
+        i += 1
+    return out
+
+
 @dataclass
 class Span:
     """A merged output span (one 'text line' analog)."""

@@ -541,29 +541,34 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = textstats.with_shingles(
         _t(spark, sf_dir, "documents").select("doc_id", "source", "text"), "text", 3
     ).select("doc_id", "source", F.array_distinct("__sh").alias("sh"))
-    a = d.alias("a")
-    b = d.alias("b")
-    j = a.join(
-        b,
-        (F.col("a.source") == F.col("b.source"))
-        & (F.col("b.doc_id") == F.col("a.doc_id") + 1),
-    )
-    return j.select(
-        F.col("a.doc_id").alias("id_a"),
-        F.col("b.doc_id").alias("id_b"),
+    w = Window.partitionBy("source").orderBy("doc_id")
+    p = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.lead("doc_id").over(w).alias("id_b"),
+        F.col("sh").alias("sh_a"),
+        F.lead("sh").over(w).alias("sh_b"),
+    ).filter(F.col("id_b").isNotNull())
+    return p.select(
+        "id_a",
+        "id_b",
         F.round(
-            dedup.jaccard_from_shingles(F.col("a.sh"), F.col("b.sh")), 6
+            dedup.jaccard_from_shingles(F.col("sh_a"), F.col("sh_b")), 6
         ).alias("jaccard"),
     )
 
 
 _SH3 = textstats.sql_shingles("text", 3)
 SQL_NGRAM_JACCARD = f"""
-with t as (select doc_id, source, list_distinct({_SH3}) sh from documents)
-select a.doc_id id_a, b.doc_id id_b,
-       round(len(list_intersect(a.sh, b.sh))::double /
-             len(list_distinct(list_concat(a.sh, b.sh)))::double, 6) jaccard
-from t a join t b on a.source = b.source and b.doc_id = a.doc_id + 1
+with t as (select doc_id, source, list_distinct({_SH3}) sh from documents),
+p as (
+  select doc_id id_a, lead(doc_id) over w id_b,
+         sh sh_a, lead(sh) over w sh_b
+  from t window w as (partition by source order by doc_id)
+)
+select id_a, id_b,
+       round(len(list_intersect(sh_a, sh_b))::double /
+             len(list_distinct(list_concat(sh_a, sh_b)))::double, 6) jaccard
+from p where id_b is not null
 """
 
 
@@ -603,6 +608,41 @@ c as (
   where {similarity.sql_lsh_bucket('embedding')} = qb
 )
 select vec_id, bucket, cos_sim from c order by cos_sim desc, vec_id limit 5
+"""
+
+
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidates
+    are same-bucket pairs (16 sign-hash buckets prune ~15/16 of the
+    n² pair space), verified by exact cosine >= threshold. The
+    embedding-space twin of the MinHash text path."""
+    thresh = 0.4
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", similarity.lsh_bucket(F.col("embedding")).alias("b")
+    )
+    a, bb = e.alias("a"), e.alias("b")
+    j = a.join(
+        bb,
+        (F.col("a.b") == F.col("b.b")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    out = j.select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(
+            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+        ).alias("cos_sim"),
+    )
+    return out.filter(F.col("cos_sim") >= thresh)
+
+
+SQL_EMBED_NEAR_DUP = f"""
+with e as (
+  select vec_id, embedding, {similarity.sql_lsh_bucket('embedding')} b from embeddings
+)
+select a.vec_id id_a, b.vec_id id_b,
+       round({similarity.sql_cosine('a.embedding', 'b.embedding')}, 6) cos_sim
+from e a join e b on a.b = b.b and a.vec_id < b.vec_id
+where round({similarity.sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.4
 """
 
 
@@ -698,6 +738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_jaccard": q_ngram_jaccard,
     "sim_topk": q_sim_topk,
     "sim_ann_lsh": q_sim_ann_lsh,
+    "embed_near_dup": q_embed_near_dup,
     "multimodal_meta": q_multimodal_meta,
     "rec_metric": q_rec_metric,
 }
@@ -723,6 +764,7 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "sim_topk": SQL_SIM_TOPK,
     "sim_ann_lsh": SQL_SIM_ANN_LSH,
+    "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "rec_metric": SQL_REC_METRIC,
 }

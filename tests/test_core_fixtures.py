@@ -177,3 +177,25 @@ def test_table_match_tie_first_cell():
     cells = [(0, 0, 10, 10), (0, 0, 10, 10)]
     m = match_result([(2, 2, 8, 8)], cells)
     assert m == {0: [0]}
+
+
+def test_get_word_info_classes_and_positions():
+    from paddleocr_spark.core.text import get_word_info
+
+    assert get_word_info("pi is 3.14") == [
+        ("pi", "en", 0, 2),
+        ("is", "en", 3, 5),
+        ("3.14", "en", 6, 10),
+    ]
+    assert get_word_info("state-of-art!") == [
+        ("state-of-art", "en", 0, 12),
+        ("!", "sp", 12, 13),
+    ]
+    assert get_word_info("数据x") == [
+        ("数", "cn", 0, 1),
+        ("据", "cn", 1, 2),
+        ("x", "en", 2, 3),
+    ]
+    # trailing '.' is a splitter, not a number join
+    assert get_word_info("v2.") == [("v2", "en", 0, 2), (".", "sp", 2, 3)]
+    assert get_word_info("  ") == []
