@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "ngram_jaccard",
     "sim_topk",
     "sim_ann_lsh",
+    "embed_near_dup",
+    "rec_metric",
     "multimodal_meta",
 ]
 

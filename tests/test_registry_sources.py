@@ -117,3 +117,15 @@ def test_det_metric_known_values(spark):
     r = det_metric(pred, gold).collect()[0]
     assert r["n_match"] == 1 and r["n_pred"] == 3 and r["n_gold"] == 2
     assert abs(r["precision"] - 1 / 3) < 1e-12 and abs(r["recall"] - 0.5) < 1e-12
+
+
+def test_frame_sample_plan(spark):
+    from paddleocr_spark.functions.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 4096), (2, b"y" * 100)], "doc_id long, payload binary"
+    )
+    rows = frame_sample_plan(df, every_n=2).collect()
+    got = sorted((r["doc_id"], r["frame_no"]) for r in rows)
+    # doc 1: 4 frames -> indices 0,2; doc 2: 0 frames -> clamped single 0
+    assert got == [(1, 0), (1, 2), (2, 0)]
