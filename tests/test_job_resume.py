@@ -56,3 +56,20 @@ def test_resume_on_complete_output_is_noop(spark, smoke_dir, tmp_path):
     assert again["parts_processed"] == 0
     assert again["parts_done_before"] == 4
     assert again["rows_out"] == first["rows_out"]
+
+
+def test_partition_balance_under_host_skew(spark, smoke_dir, tmp_path):
+    """Zipf-skewed hosts in the input must still yield balanced logical
+    partitions (url-hash, not host-hash) — the lineage row counts are
+    the evidence the 100 TB design leans on."""
+    import os
+
+    out = str(tmp_path / "bal")
+    run_extract_job(
+        spark, os.path.join(smoke_dir, "pages.parquet"), out, n_partitions=8, salt=2
+    )
+    lin = spark.read.parquet(os.path.join(out, "lineage"))
+    counts = [r["row_count"] for r in lin.collect()]
+    assert len(counts) == 8
+    # 300 docs over 8 parts: binomial spread, no part should be empty or 3x mean
+    assert min(counts) > 0 and max(counts) < 3 * (sum(counts) / len(counts))
