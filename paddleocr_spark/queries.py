@@ -239,7 +239,7 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_TOPK_PER_GROUP = """
-select l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rk
+select l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rk::int rk
 from (
   select l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
          row_number() over (partition by l_returnflag
