@@ -45,3 +45,20 @@ def test_extract_stream_byte_identical(spark, smoke_dir, tmp_path):
     n = j.count()
     n_eq = j.filter(F.col("o.extracted_text") == F.col("g.extracted_text")).count()
     assert n == golden.count() == n_eq and n > 0
+
+
+def test_stateful_sessionize_matches_batch(spark, events_dir):
+    """applyInPandasWithState sessionizer == the batch window query."""
+    import paddleocr_spark.queries as Q
+    from paddleocr_spark.streaming.sessions import sessionize_stream
+
+    got_df = sessionize_stream(spark, events_dir, "t_sessions")
+    # update mode: last emitted row per user is the final state
+    got = {}
+    for r in got_df.collect():
+        got[r["user_id"]] = (r["n_sessions"], r["n_events"])
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in Q.q_events_sessionize(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
