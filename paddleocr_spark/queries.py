@@ -35,7 +35,45 @@ from paddleocr_spark.operators.extract import extract, scored_blocks
 SESSION_GAP_US = 1_800_000_000  # 30 min in microseconds
 
 
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ensure_code_shipped(spark: SparkSession) -> None:
+    """Ship this package to executors via addPyFile so the pandas-UDF
+    stages import cleanly no matter where the driver process started
+    (harmless no-op when the package is already importable there)."""
+    import os
+    import zipfile
+
+    app = spark.sparkContext.applicationId
+    if app in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join("/tmp", "paddleocr_spark_auto.zip")
+    if not os.path.exists(zpath):
+        tmp = zpath + ".tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.join(
+                        "paddleocr_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    z.write(full, rel)
+        os.replace(tmp, zpath)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already registered in this context
+    _SHIPPED_APPS.add(app)
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_code_shipped(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
