@@ -49,7 +49,19 @@ def _ensure_code_shipped(spark: SparkSession) -> None:
     if app in _SHIPPED_APPS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join("/tmp", "paddleocr_spark_auto.zip")
+    # content-address the zip so edits invalidate the cache
+    import hashlib
+
+    h = hashlib.md5()
+    for root, _dirs, files in sorted(os.walk(pkg_dir)):
+        if "__pycache__" in root:
+            continue
+        for f in sorted(files):
+            if f.endswith(".py"):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                h.update(f"{p}:{st.st_mtime_ns}:{st.st_size};".encode())
+    zpath = os.path.join("/tmp", f"paddleocr_spark_auto_{h.hexdigest()[:12]}.zip")
     if not os.path.exists(zpath):
         tmp = zpath + ".tmp"
         with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
