@@ -299,6 +299,73 @@ from (
 """
 
 
+def q_rollup_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets: rollup over (returnflag, linestatus) — the survey's
+    'plain groupBy plus a global rollup' metrics pattern (§2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+SQL_ROLLUP_STATUS = """
+select l_returnflag, l_linestatus, count(*) n, sum(l_quantity) sum_qty
+from lineitem group by rollup (l_returnflag, l_linestatus)
+"""
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join (the resume-plan primitive, §2.3) as a standalone query."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_NO_ORDERS = """
+select c_custkey, c_mktsegment from customer
+where not exists (select 1 from orders where o_custkey = c_custkey)
+"""
+
+
+def q_multi_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation + having: parts shipped by >= 3
+    distinct suppliers."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+        .filter(F.col("n_suppliers") >= 3)
+    )
+
+
+SQL_MULTI_SUPPLIER_PARTS = """
+select l_partkey, count(distinct l_suppkey) n_suppliers
+from lineitem group by l_partkey having count(distinct l_suppkey) >= 3
+"""
+
+
+def q_event_type_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per group (no approx sketches — deterministic
+    by construction) + decimal-exact value stats."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+
+
+SQL_EVENT_TYPE_REACH = """
+select event_type, count(distinct user_id) n_users, count(*) n_events,
+       cast(sum(cast(value as decimal(18,6))) as double) total_value
+from events group by event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # Events: event-time windowing, sessionization, CTC-style run collapse
 # ---------------------------------------------------------------------------
@@ -774,6 +841,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_revenue": q_region_revenue,
     "top_customers": q_top_customers,
     "topk_per_group": q_topk_per_group,
+    "rollup_status": q_rollup_status,
+    "customers_no_orders": q_customers_no_orders,
+    "multi_supplier_parts": q_multi_supplier_parts,
+    "event_type_reach": q_event_type_reach,
     "events_hourly": q_events_hourly,
     "events_sessionize": q_events_sessionize,
     "events_run_collapse": q_events_run_collapse,
@@ -800,6 +871,10 @@ ORACLES: dict[str, str] = {
     "region_revenue": SQL_REGION_REVENUE,
     "top_customers": SQL_TOP_CUSTOMERS,
     "topk_per_group": SQL_TOPK_PER_GROUP,
+    "rollup_status": SQL_ROLLUP_STATUS,
+    "customers_no_orders": SQL_CUSTOMERS_NO_ORDERS,
+    "multi_supplier_parts": SQL_MULTI_SUPPLIER_PARTS,
+    "event_type_reach": SQL_EVENT_TYPE_REACH,
     "events_hourly": SQL_EVENTS_HOURLY,
     "events_sessionize": SQL_EVENTS_SESSIONIZE,
     "events_run_collapse": SQL_EVENTS_RUN_COLLAPSE,

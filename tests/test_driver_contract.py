@@ -34,13 +34,17 @@ def duck():
 
 
 def _canon(v):
+    if v is None:
+        return "\x00<null>"
+    if isinstance(v, bool):
+        return f"bool:{v}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return f"{v:.9g}"
     if isinstance(v, (list, tuple)):
         return tuple(_canon(x) for x in v)
-    return v
+    return str(v)
 
 
 def _rowset(cols, rows):
