@@ -31,6 +31,10 @@ BENCH_QUERIES = [
     "region_revenue",
     "top_customers",
     "topk_per_group",
+    "rollup_status",
+    "customers_no_orders",
+    "multi_supplier_parts",
+    "event_type_reach",
     "events_hourly",
     "events_sessionize",
     "events_run_collapse",
