@@ -316,9 +316,11 @@ from lineitem group by rollup (l_returnflag, l_linestatus)
 
 
 def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join (the resume-plan primitive, §2.3) as a standalone query."""
+    """Anti-join (the resume-plan primitive, §2.3): customers with no
+    recent orders (date-windowed so the result is non-empty at every
+    scale factor)."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_mktsegment")
@@ -327,7 +329,9 @@ def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CUSTOMERS_NO_ORDERS = """
 select c_custkey, c_mktsegment from customer
-where not exists (select 1 from orders where o_custkey = c_custkey)
+where not exists (select 1 from orders
+                  where o_custkey = c_custkey
+                    and o_orderdate >= timestamp '2000-01-01')
 """
 
 
