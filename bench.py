@@ -52,6 +52,17 @@ BENCH_QUERIES = [
     "embed_near_dup",
     "rec_metric",
     "multimodal_meta",
+    "events_asof_purchase",
+    "dup_clusters",
+    "containment_suppress",
+    "shipping_priority",
+    "promo_share",
+    "top_terms",
+    "user_setops",
+    "events_moving_sum",
+    "median_acctbal",
+    "cls_argmax_embed",
+    "doc_len_histogram",
 ]
 
 

@@ -897,3 +897,12 @@ ORACLES: dict[str, str] = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "rec_metric": SQL_REC_METRIC,
 }
+
+
+# Extension registry (as-of join, dup clustering, suppression, relational
+# breadth) — late-bound import so queries_ext can reuse this module's
+# helpers without a cycle.
+from paddleocr_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
+
+QUERIES.update(QUERIES_EXT)
+ORACLES.update(ORACLES_EXT)

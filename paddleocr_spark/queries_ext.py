@@ -1,0 +1,464 @@
+"""Driver-contract queries, extension set: as-of join, connected-
+components dup clustering, 1-D containment suppression, multi-way join
+breadth, explode fan-out, set ops, rows-frame windows, exact manual
+median, argmax classification, histograms.
+
+Same contract as `paddleocr_spark.queries`: each entry is a
+(spark_fn, oracle_sql) pair over the driver parquet tables, value-exact
+across engines (decimal-cast sums, integer arithmetic, explicit
+tie-breaks on every window / top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# late-bound import at the bottom of queries.py merges these registries;
+# importing helpers from queries here is safe because they are defined
+# before that bottom import runs.
+from paddleocr_spark.queries import SQL_LSH_PAIRS, _dec, _t
+from paddleocr_spark.functions import dedup
+from paddleocr_spark.functions.graph import connected_components
+
+
+# ---------------------------------------------------------------------------
+# As-of join (time-series primitive the reference lacks; training-data
+# pipelines need it for feature attribution)
+# ---------------------------------------------------------------------------
+
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click joined to the most recent strictly-prior
+    purchase by the same user, reported as a microsecond delta.
+
+    Spark has no ASOF JOIN; the scalable formulation is a single
+    window pass — `last(purchase_ts, ignorenulls)` over an unbounded
+    preceding rows frame — one shuffle on user_id, no join explosion,
+    no per-key driver loop. (DuckDB expresses the same thing natively
+    as ASOF JOIN; the oracle uses the unambiguous correlated-max form
+    with the identical (ts, event_id) lexicographic tie-break.)
+    """
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_purchase = F.last(
+        F.when(F.col("event_type") == "purchase", F.col("us")), ignorenulls=True
+    ).over(w)
+    return (
+        ev.withColumn("p_us", last_purchase)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            (F.col("us") - F.col("p_us")).alias("us_since_purchase"),
+        )
+    )
+
+
+SQL_EVENTS_ASOF_PURCHASE = """
+with e as (select event_id, user_id, event_type, epoch_us(ts) us from events)
+select e.event_id, e.user_id,
+       e.us - (select max(p.us) from e p
+               where p.user_id = e.user_id and p.event_type = 'purchase'
+                 and (p.us < e.us or (p.us = e.us and p.event_id < e.event_id)))
+         as us_since_purchase
+from e where e.event_type = 'click'
+"""
+
+
+# ---------------------------------------------------------------------------
+# Connected components over LSH candidate pairs (dup-cluster resolution)
+# ---------------------------------------------------------------------------
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster ids: connected components (iterative min-label
+    propagation, functions/graph.py) over the MinHash-LSH candidate
+    pairs. cluster_id = min doc_id of the component — deterministic and
+    partitioning-independent. The oracle is a recursive-CTE transitive
+    closure, feasible at oracle scale; the Spark side is the form that
+    runs at 10^12 rows."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(d)
+    cc = connected_components(pairs)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+SQL_DUP_CLUSTERS = f"""
+with recursive pairs as ({SQL_LSH_PAIRS}),
+e as (
+  select id_a a, id_b b from pairs
+  union
+  select id_b, id_a from pairs
+),
+n as (select distinct a id from e),
+reach(id, r) as (
+  select id, id from n
+  union
+  select e.a, reach.r from reach join e on e.b = reach.id
+)
+select id doc_id, min(r) cluster_id from reach group by id
+"""
+
+
+# ---------------------------------------------------------------------------
+# 1-D containment suppression (relational form of the layout dedup)
+# ---------------------------------------------------------------------------
+
+def q_containment_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup as a relational operator (the layout-NMS
+    analog, picodet_postprocess.py:272-296: a region fully contained in
+    a higher-priority region is suppressed). Intervals are derived per
+    lineitem within its order; a row is dropped iff another row of the
+    same order contains its interval and wins the (score desc,
+    linenumber asc) priority. One equi-shuffle on l_orderkey; the
+    containment predicate stays inside each (small) group."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("lo"),
+        (F.col("l_quantity") + F.col("l_discount") * 100).alias("hi"),
+        F.col("l_extendedprice").alias("score"),
+    )
+    other = (
+        li.select(
+            F.col("l_orderkey").alias("o_key"),
+            F.col("l_linenumber").alias("o_ln"),
+            F.col("lo").alias("o_lo"),
+            F.col("hi").alias("o_hi"),
+            F.col("score").alias("o_score"),
+        )
+    )
+    cond = (
+        (F.col("l_orderkey") == F.col("o_key"))
+        & (F.col("o_lo") <= F.col("lo"))
+        & (F.col("o_hi") >= F.col("hi"))
+        & (
+            (F.col("o_score") > F.col("score"))
+            | ((F.col("o_score") == F.col("score")) & (F.col("o_ln") < F.col("l_linenumber")))
+        )
+    )
+    return li.join(other, cond, "left_anti").select(
+        "l_orderkey", "l_linenumber", "score"
+    )
+
+
+SQL_CONTAINMENT_SUPPRESS = """
+with iv as (
+  select l_orderkey, l_linenumber, l_quantity lo,
+         l_quantity + l_discount * 100 hi, l_extendedprice score
+  from lineitem
+)
+select l_orderkey, l_linenumber, score from iv a
+where not exists (
+  select 1 from iv b
+  where b.l_orderkey = a.l_orderkey
+    and b.lo <= a.lo and b.hi >= a.hi
+    and (b.score > a.score
+         or (b.score = a.score and b.l_linenumber < a.l_linenumber))
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: multi-way join + top-k, conditional aggregation
+# ---------------------------------------------------------------------------
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective filters on both dims, 3-way join,
+    aggregate, exact top-10. Customer is broadcast; orders↔lineitem is
+    the one real shuffle (co-partitioned on orderkey at scale via
+    bucketing)."""
+    c = F.broadcast(
+        _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    )
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    g = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+            ).cast("double").alias("revenue")
+        )
+    )
+    return (
+        g.orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+select l_orderkey, strftime(o_orderdate, '%Y-%m-%d') orderdate, o_orderpriority,
+       cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) revenue
+from lineitem
+join orders on l_orderkey = o_orderkey
+join customer on o_custkey = c_custkey
+where c_mktsegment = 'BUILDING'
+  and o_orderdate < timestamp '1998-03-15'
+  and l_shipdate > timestamp '1998-03-15'
+group by l_orderkey, o_orderdate, o_orderpriority
+order by revenue desc, l_orderkey
+limit 10
+"""
+
+
+def q_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a broadcast-dim
+    join — monthly share of PROMO-type part revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part"))
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - _dec("l_discount")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(18,2)")))
+            .cast("double").alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_PROMO_SHARE = """
+select strftime(l_shipdate, '%Y-%m') ship_month,
+       cast(sum(case when p_type = 'PROMO'
+                     then cast(l_extendedprice as decimal(18,2)) *
+                          (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                     else cast(0 as decimal(18,2)) end) as double) promo_revenue,
+       cast(sum(cast(l_extendedprice as decimal(18,2)) *
+                (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) as double) total_revenue,
+       count(*) n_items
+from lineitem join part on l_partkey = p_partkey
+group by 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Explode fan-out + top-k terms (corpus term statistics)
+# ---------------------------------------------------------------------------
+
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-20 terms: regexp tokenize -> explode -> count -> exact
+    top-k. The explode shuffles (term, 1) pairs only; partial
+    aggregation collapses per-partition counts before the exchange, so
+    the shuffle is O(distinct terms), not O(tokens)."""
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        F.explode(F.expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).alias("t")
+    ).select(F.lower("t").alias("term"))
+    g = terms.groupBy("term").agg(F.count("*").alias("n"))
+    return g.orderBy(F.desc("n"), F.col("term")).limit(20)
+
+
+SQL_TOP_TERMS = """
+select lower(t) term, count(*) n
+from (select unnest(regexp_extract_all(text, '[A-Za-z0-9]+')) t from documents)
+group by 1 order by n desc, term limit 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Set operations (distinct-set algebra over user behavior)
+# ---------------------------------------------------------------------------
+
+def q_user_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (§2.7): users who both clicked and purchased,
+    minus those with an error in the deterministic 1/97 event sample
+    (the modulo keeps the except leg selective — and the result
+    non-empty — at every scale factor). Spark plans these as
+    distinct-aggregating joins; all three legs shuffle only user_id."""
+    ev = _t(spark, sf_dir, "events")
+
+    def users_of(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    sampled_err = ev.filter(
+        (F.col("event_type") == "error") & (F.col("event_id") % 97 == 0)
+    ).select("user_id")
+    return users_of("click").intersect(users_of("purchase")).subtract(sampled_err)
+
+
+SQL_USER_SETOPS = """
+select user_id from events where event_type = 'click'
+intersect
+select user_id from events where event_type = 'purchase'
+except
+select user_id from events where event_type = 'error' and event_id % 97 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-frame window: trailing moving aggregate
+# ---------------------------------------------------------------------------
+
+def q_events_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 4-event moving aggregate per user (explicit
+    rows-between frame, §2.5). Decimal-cast sum keeps the frame fold
+    exact across engines regardless of internal evaluation order."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "us", F.unix_micros(F.col("ts").cast("timestamp"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(-3, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("mov_value"),
+        F.count("*").over(w).cast("int").alias("mov_n"),
+    )
+
+
+SQL_EVENTS_MOVING_SUM = """
+with e as (select event_id, user_id, value, epoch_us(ts) us from events)
+select event_id, user_id,
+       cast(sum(cast(value as decimal(18,6))) over w as double) mov_value,
+       cast(count(*) over w as int) mov_n
+from e
+window w as (partition by user_id order by us, event_id
+             rows between 3 preceding and current row)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact manual median (window row_number, no interpolation ambiguity)
+# ---------------------------------------------------------------------------
+
+def q_median_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact lower-median account balance per nation, computed with
+    row_number + count over a window — engine-portable (no float
+    interpolation, explicit (acctbal, custkey) tie order)."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    wp = Window.partitionBy("c_nationkey")
+    ranked = c.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select(
+        "c_nationkey",
+        F.col("c_acctbal").alias("median_acctbal"),
+        F.col("n").alias("n_customers"),
+    )
+
+
+SQL_MEDIAN_ACCTBAL = """
+with r as (
+  select c_nationkey, c_acctbal,
+         row_number() over (partition by c_nationkey
+                            order by c_acctbal, c_custkey) rn,
+         count(*) over (partition by c_nationkey) n
+  from customer
+)
+select c_nationkey, c_acctbal median_acctbal, n n_customers
+from r where rn = (n + 1) // 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-row argmax classification (ClsPostProcess relational form)
+# ---------------------------------------------------------------------------
+
+def q_cls_argmax_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClsPostProcess as a relational operator (§2.4: per-row
+    argmax+max over label probs, cls_postprocess.py): over the first 4
+    embedding dims, emit (argmax index, confidence, flip decision).
+    The flip rule mirrors the reference's `"180" and score > cls_thresh`
+    gate (predict_cls.py:119-125). Pure per-row expressions — no
+    shuffle, whole-stage codegen end to end."""
+    e = _t(spark, sf_dir, "embeddings")
+    probs = F.slice(F.col("embedding"), 1, 4)
+    conf = F.array_max(probs)
+    return e.select(
+        "vec_id",
+        F.array_position(probs, conf).cast("int").alias("pred_idx"),
+        conf.cast("double").alias("conf"),
+        ((F.array_position(probs, conf) == 2) & (conf.cast("double") > 0.15)).alias("flipped"),
+    )
+
+
+SQL_CLS_ARGMAX_EMBED = """
+with p as (select vec_id, embedding[1:4] probs from embeddings)
+select vec_id,
+       cast(list_position(probs, list_max(probs)) as int) pred_idx,
+       cast(list_max(probs) as double) conf,
+       (list_position(probs, list_max(probs)) = 2
+        and cast(list_max(probs) as double) > 0.15) flipped
+from p
+"""
+
+
+# ---------------------------------------------------------------------------
+# Histogram (corpus length distribution)
+# ---------------------------------------------------------------------------
+
+def q_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document length histogram: integer bucketing + count + exact
+    sums — the 'distribution profile' every corpus-curation pipeline
+    starts with. Integer arithmetic only."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / 200) * 200).cast("bigint")
+    return d.groupBy(bucket.alias("len_bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SQL_DOC_LEN_HISTOGRAM = """
+select cast(n_chars // 200 * 200 as bigint) len_bucket,
+       count(*) n_docs, sum(n_chars) total_chars
+from documents group by 1
+"""
+
+
+QUERIES_EXT = {
+    "events_asof_purchase": q_events_asof_purchase,
+    "dup_clusters": q_dup_clusters,
+    "containment_suppress": q_containment_suppress,
+    "shipping_priority": q_shipping_priority,
+    "promo_share": q_promo_share,
+    "top_terms": q_top_terms,
+    "user_setops": q_user_setops,
+    "events_moving_sum": q_events_moving_sum,
+    "median_acctbal": q_median_acctbal,
+    "cls_argmax_embed": q_cls_argmax_embed,
+    "doc_len_histogram": q_doc_len_histogram,
+}
+
+ORACLES_EXT = {
+    "events_asof_purchase": SQL_EVENTS_ASOF_PURCHASE,
+    "dup_clusters": SQL_DUP_CLUSTERS,
+    "containment_suppress": SQL_CONTAINMENT_SUPPRESS,
+    "shipping_priority": SQL_SHIPPING_PRIORITY,
+    "promo_share": SQL_PROMO_SHARE,
+    "top_terms": SQL_TOP_TERMS,
+    "user_setops": SQL_USER_SETOPS,
+    "events_moving_sum": SQL_EVENTS_MOVING_SUM,
+    "median_acctbal": SQL_MEDIAN_ACCTBAL,
+    "cls_argmax_embed": SQL_CLS_ARGMAX_EMBED,
+    "doc_len_histogram": SQL_DOC_LEN_HISTOGRAM,
+}
