@@ -738,8 +738,15 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n² pair space), verified by exact cosine >= threshold. The
     embedding-space twin of the MinHash text path."""
     thresh = 0.4
+    # norms are per-row, computed ONCE before the pair join (the join
+    # multiplies row counts ~n/16-fold; only the cross dot product is
+    # inherently per-pair). sqrt(dot(v,v)) here is bitwise the value the
+    # oracle computes inline, so the product a.norm*b.norm matches.
     e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", similarity.lsh_bucket(F.col("embedding")).alias("b")
+        "vec_id",
+        "embedding",
+        similarity.lsh_bucket(F.col("embedding")).alias("b"),
+        F.sqrt(similarity.dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
     a, bb = e.alias("a"), e.alias("b")
     j = a.join(
@@ -750,7 +757,9 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
         F.round(
-            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            similarity.dot(F.col("a.embedding"), F.col("b.embedding"))
+            / (F.col("a.nrm") * F.col("b.nrm")),
+            6,
         ).alias("cos_sim"),
     )
     return out.filter(F.col("cos_sim") >= thresh)
