@@ -1,0 +1,177 @@
+"""Property-based tests (hypothesis) over the pure extraction core.
+
+The reference has no randomized testing (SURVEY.md §5); we add it for
+the discrete operators whose invariants must hold on ALL inputs, since
+they feed the byte-identical gate: CTC collapse invariances, reading-
+order permutation, merge fixpoint, NMS pairwise suppression, span
+bookkeeping, and tokenizer crash-freedom on arbitrary bytes.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from paddleocr_spark.core.geometry import (
+    hard_nms,
+    iou_xyxy,
+    merge_fragmented,
+    sorted_boxes,
+)
+from paddleocr_spark.core.text import (
+    ctc_greedy_decode,
+    get_word_info,
+    normalize_ws,
+    pred_reverse,
+)
+from paddleocr_spark.core.tokenizer import tokenize_page
+
+coord = st.integers(min_value=0, max_value=400)
+boxes_st = st.lists(
+    st.tuples(coord, coord, coord, coord).map(
+        lambda t: (min(t[0], t[2]), min(t[1], t[3]), max(t[0], t[2]) + 1, max(t[1], t[3]) + 1)
+    ),
+    max_size=12,
+)
+
+VOCAB = ["", "a", "b", "c", "d"]  # index 0 = blank
+ids_st = st.lists(st.integers(min_value=0, max_value=len(VOCAB) - 1), max_size=30)
+
+
+# ---------------------------------------------------------------- CTC decode
+
+@given(ids_st)
+def test_ctc_blank_insertion_makes_tokens_verbatim(ids):
+    """The reference collapses adjacent repeats FIRST and drops blanks
+    AFTER (rec_postprocess.py:148-152) — so with a blank between every
+    token no collapse can fire and every non-blank token survives
+    verbatim. (Distinguishes these semantics from textbook CTC, where
+    repeat-collapse happens per-frame before blank removal too but a
+    repeated label separated by blank also survives — the two agree
+    here, and differ on adjacent repeats without blanks.)"""
+    spaced = []
+    for t in ids:
+        spaced.extend([0, t])
+    spaced.append(0)
+    text2, _ = ctc_greedy_decode(spaced, None, VOCAB)
+    assert text2 == "".join(VOCAB[t] for t in ids if t != 0)
+
+
+@given(ids_st)
+def test_ctc_duplication_invariant(ids):
+    """Doubling every token (classic CTC stutter) never changes the
+    decoded text under collapse-then-drop-blank semantics."""
+    doubled = [t for t in ids for _ in range(2)]
+    assert (
+        ctc_greedy_decode(doubled, None, VOCAB)[0]
+        == ctc_greedy_decode(ids, None, VOCAB)[0]
+    )
+
+
+@given(ids_st)
+def test_ctc_no_adjacent_repeats_no_blanks_is_verbatim(ids):
+    """A stream with no blanks and no adjacent repeats decodes to the
+    verbatim char join."""
+    clean = [t for i, t in enumerate(ids) if t != 0 and (i == 0 or t != ids[i - 1])]
+    # clean can still contain adjacent repeats after blank removal; drop them
+    clean = [t for i, t in enumerate(clean) if i == 0 or t != clean[i - 1]]
+    text, _ = ctc_greedy_decode(clean, None, VOCAB)
+    assert text == "".join(VOCAB[t] for t in clean)
+
+
+# ------------------------------------------------------------- reading order
+
+@given(boxes_st)
+def test_sorted_boxes_is_permutation(boxes):
+    order = sorted_boxes(boxes)
+    assert sorted(order) == list(range(len(boxes)))
+
+
+@given(boxes_st)
+def test_sorted_boxes_plain_sort_when_lines_far_apart(boxes):
+    """If all y1 are pairwise >= 10 apart the bubble pass never fires:
+    result is exactly the stable (y1, x1) sort."""
+    spread = [(x1, 20 * i, x2, 20 * i + 5) for i, (x1, _, x2, _) in enumerate(boxes)]
+    order = sorted_boxes(spread)
+    expect = sorted(range(len(spread)), key=lambda k: (spread[k][1], spread[k][0]))
+    assert order == expect
+
+
+# ------------------------------------------------------------- merge fixpoint
+
+@given(boxes_st)
+def test_merge_fragmented_reaches_fixpoint(boxes):
+    out = merge_fragmented(boxes)
+    # membership partitions the input indices
+    members = sorted(i for _, mem in out for i in mem)
+    assert members == list(range(len(boxes)))
+    # running the merge again on the merged boxes changes nothing
+    again = merge_fragmented([b for b, _ in out])
+    assert [b for b, _ in again] == [b for b, _ in out]
+
+
+# ---------------------------------------------------------------------- NMS
+
+@given(boxes_st.flatmap(lambda bs: st.tuples(
+    st.just(bs),
+    st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=len(bs), max_size=len(bs),
+    ),
+)))
+def test_hard_nms_pairwise_suppression(args):
+    boxes, scores = args
+    kept = hard_nms(boxes, scores, iou_threshold=0.5)
+    assert len(set(kept)) == len(kept)
+    for a_i in range(len(kept)):
+        for b_i in range(a_i + 1, len(kept)):
+            assert iou_xyxy(boxes[kept[a_i]], boxes[kept[b_i]]) <= 0.5
+
+
+# --------------------------------------------------------------- text spans
+
+text_st = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+)
+
+
+@given(text_st)
+def test_get_word_info_span_bookkeeping(text):
+    """Spans ascend, never overlap, and each word IS the substring at
+    its span (end exclusive)."""
+    prev_end = 0
+    for word, _state, start, end in get_word_info(text):
+        assert start >= prev_end
+        assert text[start:end] == word
+        prev_end = end
+
+
+@given(text_st)
+def test_normalize_ws_idempotent(text):
+    once = normalize_ws(text)
+    assert normalize_ws(once) == once
+
+
+@given(text_st)
+def test_pred_reverse_involution_on_pure_latin(text):
+    """On pure-Latin-run text the RTL reverse is the identity; on any
+    text it preserves the multiset of characters."""
+    out = pred_reverse(text)
+    assert sorted(out) == sorted(text)
+
+
+# ------------------------------------------------------------- tokenizer fuzz
+
+@settings(max_examples=50, deadline=None)
+@given(st.binary(max_size=400))
+def test_tokenizer_never_crashes_on_garbage(data):
+    blocks = tokenize_page(data)
+    assert isinstance(blocks, list)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=200))
+def test_tokenizer_never_crashes_on_text_soup(s):
+    blocks = tokenize_page(("<html><body>" + s).encode("utf-8", "replace"))
+    for b in blocks:
+        assert b.end >= b.start
