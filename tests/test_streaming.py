@@ -62,3 +62,20 @@ def test_stateful_sessionize_matches_batch(spark, events_dir):
         for r in Q.q_events_sessionize(spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_dedup_first_seen_keys(spark, events_dir):
+    """Watermarked dropDuplicates under readStream: the emitted key set
+    equals the batch distinct key set (first-seen-wins semantics)."""
+    from paddleocr_spark.streaming.dedup import run_dedup_stream
+
+    got = run_dedup_stream(spark, events_dir, "t_dedup")
+    got_keys = {(r["user_id"], r["event_type"]) for r in got.collect()}
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want_keys = {
+        (r["user_id"], r["event_type"])
+        for r in batch.select("user_id", "event_type").distinct().collect()
+    }
+    assert got_keys == want_keys and len(want_keys) > 0
+    # exactly one row per key
+    assert got.count() == len(want_keys)
