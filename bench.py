@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "median_acctbal",
     "cls_argmax_embed",
     "doc_len_histogram",
+    "sim_ann_ivf",
 ]
 
 

@@ -131,3 +131,90 @@ def sql_lsh_bucket(vec: str, n_planes: int = N_PLANES, dim: int = 64) -> str:
         for j in range(n_planes)
     )
     return f"cast({terms} as int)"
+
+
+# ---------------------------------------------------------------- IVF variant
+
+N_CENTROIDS = 8  # coarse-quantizer cells
+_IVF_DIM = 64
+
+
+def centroid_coef(i: str | int, j: str | int) -> str:
+    """Deterministic pseudo-random centroid coefficient in [-5, 5]:
+    ((i+1)*(j+5)) % 11 - 5 for element i, centroid j. A real
+    deployment trains centroids with offline k-means and broadcasts
+    them; the plumbing (cell assignment, probe, in-cell search) is
+    identical and is what this implements."""
+    return f"(({i}+1)*({j}+5)) % 11 - 5"
+
+
+def centroid_dots(a: Column, n: int = N_CENTROIDS) -> Column:
+    """array<double> of v·c_j for j in 0..n-1 (nested higher-order
+    functions, no UDF)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda j: F.aggregate(
+            F.transform(
+                a,
+                lambda x, i: x.cast("double")
+                * (((i + 1) * (j + 5)) % 11 - 5).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def ivf_cell(a: Column) -> Column:
+    """Cell id 1..N_CENTROIDS: first argmax of the centroid dots
+    (max-inner-product coarse assignment, ties to the lowest j)."""
+    d = centroid_dots(a)
+    return F.array_position(d, F.array_max(d)).cast("int")
+
+
+def topk_cosine_ivf(
+    df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: assign every row to its coarse cell, probe the query's
+    nprobe best cells, exact cosine top-k within them. The probe-cell
+    computation collects ONE row (the query) — at scale the cell is an
+    Iceberg partition key, so the IN-filter prunes the scan to
+    nprobe/N_CENTROIDS of the data."""
+    qrow = query_df.select(
+        F.col(vec_col).alias("qv"), centroid_dots(F.col(vec_col)).alias("qd")
+    ).collect()[0]
+    dots = list(qrow["qd"])
+    probe = [
+        j + 1
+        for j in sorted(range(len(dots)), key=lambda j: (-dots[j], j))[:nprobe]
+    ]
+    q = F.broadcast(query_df.select(F.col(vec_col).alias("__qv")))
+    cand = (
+        df.withColumn("cell", ivf_cell(F.col(vec_col)))
+        .filter(F.col("cell").isin(probe))
+        .crossJoin(q)
+    )
+    scored = cand.select(
+        id_col,
+        "cell",
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.col(id_col)).limit(k)
+
+
+def sql_centroid_dots(vec: str, n: int = N_CENTROIDS, dim: int = _IVF_DIM) -> str:
+    return (
+        f"list_transform(range({n}), j -> "
+        f"list_sum(list_transform(range({dim}), i -> "
+        f"{vec}[i+1]::DOUBLE * (({centroid_coef('i', 'j')})::DOUBLE))))"
+    )
+
+
+def sql_ivf_cell(vec: str) -> str:
+    d = sql_centroid_dots(vec)
+    return f"cast(list_position({d}, list_max({d})) as int)"

@@ -462,3 +462,50 @@ ORACLES_EXT = {
     "cls_argmax_embed": SQL_CLS_ARGMAX_EMBED,
     "doc_len_histogram": SQL_DOC_LEN_HISTOGRAM,
 }
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate nearest neighbor (coarse-quantizer cells + in-cell search)
+# ---------------------------------------------------------------------------
+
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse-quantizer cell per row, probe the
+    query's 2 best cells, exact cosine top-5 within them (the
+    inverted-file twin of the LSH-bucketed path; at scale `cell` is a
+    partition key and the probe prunes the scan)."""
+    from paddleocr_spark.functions import similarity
+    from paddleocr_spark.queries import _qvec
+
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.topk_cosine_ivf(e, _qvec(spark, sf_dir), k=5, nprobe=2)
+
+
+def _sql_sim_ann_ivf() -> str:
+    from paddleocr_spark.functions import similarity as S
+
+    qdot_j = (
+        f"list_sum(list_transform(range(64), i -> "
+        f"qv[i+1]::DOUBLE * ((({S.centroid_coef('i', 'j')}))::DOUBLE)))"
+    )
+    return f"""
+with q as (select embedding qv from embeddings where vec_id = 0),
+cells as (
+  select j, {qdot_j} d
+  from (select unnest(range({S.N_CENTROIDS})) j), q
+),
+probe as (select j + 1 cell from cells order by d desc, j limit 2),
+e as (
+  select vec_id, embedding, {S.sql_ivf_cell('embedding')} cell from embeddings
+)
+select vec_id, cell,
+       round({S.sql_cosine('embedding', 'qv')}, 6) cos_sim
+from e, q
+where cell in (select cell from probe)
+order by cos_sim desc, vec_id limit 5
+"""
+
+
+SQL_SIM_ANN_IVF = _sql_sim_ann_ivf()
+
+QUERIES_EXT["sim_ann_ivf"] = q_sim_ann_ivf
+ORACLES_EXT["sim_ann_ivf"] = SQL_SIM_ANN_IVF
