@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "cls_argmax_embed",
     "doc_len_histogram",
     "sim_ann_ivf",
+    "lang_dict_lookup",
 ]
 
 

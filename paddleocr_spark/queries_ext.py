@@ -509,3 +509,46 @@ SQL_SIM_ANN_IVF = _sql_sim_ann_ivf()
 
 QUERIES_EXT["sim_ann_ivf"] = q_sim_ann_ivf
 ORACLES_EXT["sim_ann_ivf"] = SQL_SIM_ANN_IVF
+
+
+# ---------------------------------------------------------------------------
+# Dict lookup (the 6.6k-char vocab broadcast-map analog, §2.8)
+# ---------------------------------------------------------------------------
+
+_LANG_NAMES = {
+    "en": "English", "zh": "Chinese", "es": "Spanish",
+    "de": "German", "fr": "French",
+}
+
+
+def q_lang_dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary lookup as a literal map column (the CTC char-dict
+    analog, rec_postprocess.py:24-49: id->char via a broadcast table).
+    A literal `create_map` ships with the plan itself — zero join, zero
+    shuffle beyond the aggregate; a 6.6k-entry vocab ships the same way
+    (or as an explicit broadcast var feeding the stage UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = []
+    for k, v in _LANG_NAMES.items():
+        pairs.extend([F.lit(k), F.lit(v)])
+    m = F.create_map(*pairs)
+    return (
+        d.select(
+            F.coalesce(m[F.col("lang")], F.lit("Other")).alias("lang_name")
+        )
+        .groupBy("lang_name")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_SQL_LANG_CASE = " ".join(
+    f"when '{k}' then '{v}'" for k, v in _LANG_NAMES.items()
+)
+SQL_LANG_DICT_LOOKUP = f"""
+select case lang {_SQL_LANG_CASE} else 'Other' end lang_name,
+       count(*) n_docs
+from documents group by 1
+"""
+
+QUERIES_EXT["lang_dict_lookup"] = q_lang_dict_lookup
+ORACLES_EXT["lang_dict_lookup"] = SQL_LANG_DICT_LOOKUP

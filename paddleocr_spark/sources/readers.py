@@ -73,3 +73,17 @@ def write_jsonl_results(df: DataFrame, path: str) -> None:
         ).alias("value")
     )
     out.write.mode("overwrite").text(path)
+
+
+def read_labels_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """SimpleDataSet label-file source (ppocr/data/simple_dataset.py:
+    25-99 reads ``img_path \\t label`` lines): tab-separated
+    (url, label) with an explicit schema, no header; malformed lines
+    are dropped, mirroring the reference's log-and-skip on bad rows.
+    Distributed text-splitting — a 10^9-line label file reads in
+    parallel like any other source."""
+    schema = StructType(
+        [StructField("url", StringType()), StructField("label", StringType())]
+    )
+    df = spark.read.csv(path, sep="\t", schema=schema, mode="DROPMALFORMED")
+    return df.filter(F.col("url").isNotNull() & F.col("label").isNotNull())

@@ -129,3 +129,24 @@ def test_frame_sample_plan(spark):
     got = sorted((r["doc_id"], r["frame_no"]) for r in rows)
     # doc 1: 4 frames -> indices 0,2; doc 2: 0 frames -> clamped single 0
     assert got == [(1, 0), (1, 2), (2, 0)]
+
+
+def test_labels_tsv_source_drops_malformed(spark, tmp_path):
+    """SimpleDataSet analog: tab-separated (url, label), bad lines
+    skipped not fatal."""
+    from paddleocr_spark.sources.readers import read_labels_tsv
+
+    p = tmp_path / "labels.tsv"
+    p.write_text(
+        "http://a/1\tcontent\n"
+        "http://a/2\tboilerplate\n"
+        "no_tab_on_this_line\n"
+        "http://a/3\tcontent\n"
+    )
+    got = read_labels_tsv(spark, str(p))
+    rows = {(r["url"], r["label"]) for r in got.collect()}
+    assert rows == {
+        ("http://a/1", "content"),
+        ("http://a/2", "boilerplate"),
+        ("http://a/3", "content"),
+    }
