@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     "doc_len_histogram",
     "sim_ann_ivf",
     "lang_dict_lookup",
+    "json_props",
+    "event_pivot",
 ]
 
 

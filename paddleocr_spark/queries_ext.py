@@ -552,3 +552,63 @@ from documents group by 1
 
 QUERIES_EXT["lang_dict_lookup"] = q_lang_dict_lookup
 ORACLES_EXT["lang_dict_lookup"] = SQL_LANG_DICT_LOOKUP
+
+
+# ---------------------------------------------------------------------------
+# JSON extraction + pivot (semi-structured props -> typed columns)
+# ---------------------------------------------------------------------------
+
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction as a typed column (the results-sink
+    round-trip analog, predict_system.py:244-267 json.dumps/loads):
+    `get_json_object` stays inside whole-stage codegen — no UDF, no
+    shuffle before the aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(k).alias("n_with_k"),
+    )
+
+
+SQL_JSON_PROPS = """
+select event_type,
+       sum(cast(props->>'k' as bigint)) sum_k,
+       min(cast(props->>'k' as bigint)) min_k,
+       max(cast(props->>'k' as bigint)) max_k,
+       count(cast(props->>'k' as bigint)) n_with_k
+from events group by event_type
+"""
+
+
+def q_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts as one column per event type
+    (Spark `groupBy().pivot()` with explicit values so the plan is a
+    single pass — no second job to discover the pivot domain)."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [*types])
+        .select("user_id", *[F.col(t).cast("bigint").alias(f"n_{t}") for t in types])
+    )
+
+
+SQL_EVENT_PIVOT = """
+select user_id,
+       count(*) filter (event_type = 'click')    n_click,
+       count(*) filter (event_type = 'view')     n_view,
+       count(*) filter (event_type = 'purchase') n_purchase,
+       count(*) filter (event_type = 'signup')   n_signup,
+       count(*) filter (event_type = 'error')    n_error
+from events group by user_id
+"""
+
+QUERIES_EXT["json_props"] = q_json_props
+ORACLES_EXT["json_props"] = SQL_JSON_PROPS
+QUERIES_EXT["event_pivot"] = q_event_pivot
+ORACLES_EXT["event_pivot"] = SQL_EVENT_PIVOT
