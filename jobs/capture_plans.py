@@ -66,6 +66,53 @@ def main():
         formatted(Q.q_top_customers(spark, SF)),
     ))
 
+    sections.append((
+        "As-of join (events_asof_purchase)",
+        "No Join operator at all: the as-of pairing compiles to a single "
+        "Window pass (last(purchase_ts, ignorenulls) over unbounded "
+        "preceding) — one shuffle on user_id, no pair explosion.",
+        formatted(Q.QUERIES["events_asof_purchase"](spark, SF)),
+    ))
+
+    from paddleocr_spark.operators.kie_stage import link_key_values_df
+
+    sections.append((
+        "KIE key-value linking (window form)",
+        "Same as-of shape over the exploded blocks: nearest preceding "
+        "key via last(...) ignorenulls — zero joins.",
+        formatted(
+            link_key_values_df(
+                spark.createDataFrame(
+                    [("u", 0, "h1", "T"), ("u", 1, "p", "v")],
+                    "url string, block_id int, tag string, text string",
+                )
+            )
+        ),
+    ))
+
+    # bucketed co-located join: write two bucketed tables, show the
+    # zero-Exchange joined plan
+    from paddleocr_spark.sources.bucketed import cojoin, write_bucketed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).select(F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("v"))
+        b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") % 5).alias("g"))
+        write_bucketed(a, "plans_a_b", "k", n_buckets=8)
+        write_bucketed(b, "plans_b_b", "k", n_buckets=8)
+        sections.append((
+            "Bucketed co-located join",
+            "Both sides written bucketBy(8, k).sortBy(k): the join has ZERO "
+            "Exchange and ZERO Sort — the shuffle happened once at ingest. "
+            "At 10^12 rows this is the recurring-join strategy.",
+            formatted(cojoin(spark, "plans_a_b", "plans_b_b", "k")),
+        ))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("drop table if exists plans_a_b")
+        spark.sql("drop table if exists plans_b_b")
+
     out = ["# PLANS — captured physical plans (regenerate: `python jobs/capture_plans.py`)\n"]
     for title, note, plan in sections:
         plan = re.sub(r"file:[^\s,\]]*", "file:<elided>", plan)

@@ -1,9 +1,15 @@
 """Batch extraction job — the ``spark-submit --py-files`` entrypoint.
 
 Usage:
-    spark-submit --master local[N] --py-files dist/paddleocr_spark.zip \
+    spark-submit --master local[N] --driver-memory 8g \
+        --py-files dist/paddleocr_spark.zip \
         jobs/extract.py --input <pages.parquet> --output <dir> \
         [--mode array|relational] [--partitions 64] [--salt 8] [--resume]
+
+(local mode hosts all executor threads in the driver JVM — size
+--driver-memory for the thread count; the 1g spark-submit default can
+OOM (SparkExitCode 52) under 8+ threads of dynamic-partition parquet
+writers. On a real cluster use --executor-memory as usual.)
 
 Replaces the reference's subprocess striping
 (tools/infer/predict_system.py:313-324) with salted url-hash

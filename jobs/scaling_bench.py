@@ -55,6 +55,10 @@ def run_once(cores: int, zpath: str, input_path: str, out_dir: str,
     cmd = (["taskset", "-c", f"0-{cores - 1}"] if pin else []) + [
         "spark-submit",
         "--master", f"local[{cores}]",
+        # local mode: the driver JVM hosts all executor threads — the
+        # 1g spark-submit default intermittently dies with SparkExitCode
+        # OOM(52) at 8 threads × dynamic-partition parquet writers.
+        "--driver-memory", "8g",
         "--conf", "spark.ui.enabled=false",
         "--conf", f"spark.sql.shuffle.partitions={max(cores * 2, 16)}",
         "--conf", "spark.sql.adaptive.enabled=true",
@@ -65,9 +69,17 @@ def run_once(cores: int, zpath: str, input_path: str, out_dir: str,
         "--partitions", str(partitions),
         "--salt", str(salt),
     ]
+    load_before = os.getloadavg()[0]
     proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO, check=True)
     last = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(last)
+    out = json.loads(last)
+    # external-contention audit trail: this box is multi-tenant, and a
+    # leg measured while other tenants are busy is NOT a valid scaling
+    # sample (the external load competes for the pinned cores and the
+    # shared disk). loadavg beyond our own job ≈ contamination.
+    out["loadavg_before"] = round(load_before, 2)
+    out["loadavg_after"] = round(os.getloadavg()[0], 2)
+    return out
 
 
 def update_baseline(result: dict) -> None:
@@ -116,6 +128,15 @@ def main() -> None:
         pages_dir = ensure_pages(args.sf_dir)
     input_path = os.path.join(pages_dir, "pages.parquet")
 
+    start_load = os.getloadavg()[0]
+    if start_load > 1.0:
+        print(
+            json.dumps({"warning": "host loadavg %.2f > 1 before start — "
+                        "external tenants will contaminate the measurement; "
+                        "re-run in a quiet window" % start_load}),
+            file=sys.stderr,
+        )
+
     zpath = build_zip()
     r_n = run_once(args.n, zpath, input_path, "/tmp/scale_n", args.partitions, args.salt, args.pin)
     r_4n = run_once(args.n * 4, zpath, input_path, "/tmp/scale_4n", args.partitions, args.salt, args.pin)
@@ -131,6 +152,10 @@ def main() -> None:
         "docs_per_sec_n": r_n["docs_per_sec"],
         "docs_per_sec_4n": r_4n["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "loadavg": {
+            "n_before": r_n["loadavg_before"], "n_after": r_n["loadavg_after"],
+            "n4_before": r_4n["loadavg_before"], "n4_after": r_4n["loadavg_after"],
+        },
     }
     if args.update_baseline:
         update_baseline(result)

@@ -28,6 +28,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -87,3 +90,70 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     n_frames = (F.octet_length("payload") / F.lit(1024)).cast("int")
     idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
     return df.select("doc_id", F.explode(idx).alias("frame_no"))
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("thumb", BinaryType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, max_side: int = 128, payload_col: str = "payload") -> DataFrame:
+    """Resize plumbing (DetResizeForTest analog, operators.py:206-333:
+    rescale + record dims): emits the clamped target dims plus a
+    deterministic 'thumbnail' (payload prefix — stands in for the
+    re-encoded bytes a real resizer returns). Binary-in/binary-out
+    mapInPandas contract; the full payload never leaves this stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf[payload_col].map(len)
+            w = 64 + n % 512
+            h = 64 + n * 7 % 512
+            scale = pd.concat([w, h], axis=1).max(axis=1).clip(lower=1)
+            ratio = (max_side / scale).clip(upper=1.0)
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "width": (w * ratio).astype("int32").clip(lower=1),
+                    "height": (h * ratio).astype("int32").clip(lower=1),
+                    "thumb": pdf[payload_col].map(lambda b: bytes(b)[:64]),
+                }
+            )
+            yield out
+
+    return df.select("doc_id", payload_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def media_embedding(df: DataFrame, dim: int = 16, payload_col: str = "payload") -> DataFrame:
+    """Feature-extract plumbing: payload -> fixed-dim float vector (the
+    image-encoder stub) feeding the similarity/ANN operators. The fake
+    features are a pure function of the bytes (md5 of the payload,
+    one byte per dimension, scaled to [0,1)) so results are
+    deterministic across partitionings; a real deployment swaps in a
+    model forward pass over the same Arrow batches."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = pdf[payload_col].map(
+                lambda b: [
+                    d / 256.0
+                    for d in hashlib.md5(bytes(b)).digest()[:dim]
+                ]
+            )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].astype("int64"), "embedding": vecs}
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    return df.select("doc_id", payload_col).mapInPandas(batches, schema)

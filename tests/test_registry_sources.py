@@ -150,3 +150,41 @@ def test_labels_tsv_source_drops_malformed(spark, tmp_path):
         ("http://a/2", "boilerplate"),
         ("http://a/3", "content"),
     }
+
+
+def test_resize_media_contract(spark):
+    """Resize plumbing: dims clamped to max_side, thumb is a payload
+    prefix, payload column not in output (pruning discipline)."""
+    from paddleocr_spark.functions.multimodal import resize_media
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 1000), (2, b"y" * 10)], "doc_id long, payload binary"
+    )
+    out = resize_media(df, max_side=128)
+    assert out.columns == ["doc_id", "width", "height", "thumb"]
+    rows = {r["doc_id"]: r for r in out.collect()}
+    for r in rows.values():
+        assert 1 <= r["width"] <= 128 and 1 <= r["height"] <= 128
+    assert bytes(rows[1]["thumb"]) == b"x" * 64
+    assert bytes(rows[2]["thumb"]) == b"y" * 10
+
+
+def test_media_embedding_deterministic_and_feeds_ann(spark):
+    """Feature-extract stub: same bytes -> same vector regardless of
+    partitioning, and the output composes with the similarity ops."""
+    from paddleocr_spark.functions.multimodal import media_embedding
+    from paddleocr_spark.functions.similarity import topk_cosine
+
+    data = [(i, bytes([i % 7] * (50 + i))) for i in range(40)]
+    df1 = spark.createDataFrame(data, "doc_id long, payload binary").repartition(1)
+    df7 = spark.createDataFrame(data, "doc_id long, payload binary").repartition(7)
+    e1 = {r["doc_id"]: r["embedding"] for r in media_embedding(df1).collect()}
+    e7 = {r["doc_id"]: r["embedding"] for r in media_embedding(df7).collect()}
+    assert e1 == e7 and len(e1) == 40
+    assert all(len(v) == 16 for v in e1.values())
+
+    emb = media_embedding(df1).withColumnRenamed("doc_id", "vec_id")
+    q = emb.filter(emb.vec_id == 0)
+    top = topk_cosine(emb, q, k=3)
+    got = [r["vec_id"] for r in top.collect()]
+    assert len(got) == 3 and got[0] == 0  # self is the best match
