@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "lang_dict_lookup",
     "json_props",
     "event_pivot",
+    "value_band_join",
+    "purchasers_semi",
 ]
 
 

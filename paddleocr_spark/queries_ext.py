@@ -612,3 +612,72 @@ QUERIES_EXT["json_props"] = q_json_props
 ORACLES_EXT["json_props"] = SQL_JSON_PROPS
 QUERIES_EXT["event_pivot"] = q_event_pivot
 ORACLES_EXT["event_pivot"] = SQL_EVENT_PIVOT
+
+
+# ---------------------------------------------------------------------------
+# Range join (cross-table interval overlap) + semi join
+# ---------------------------------------------------------------------------
+
+def q_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events banded by a small value-interval dimension
+    (the cross-table form of the per-document interval-overlap join,
+    §2.3 `_has_intersection`). The band table is tiny and broadcast —
+    a BroadcastNestedLoopJoin over 4 rows is the right plan; at scale
+    the bands become a partition dimension and the join prunes."""
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0),
+         ("high", 150.0, 400.0), ("extreme", 400.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    ev = _t(spark, sf_dir, "events")
+    j = ev.join(
+        F.broadcast(bands),
+        (ev.value >= bands.lo) & (ev.value < bands.hi),
+    )
+    return j.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+SQL_VALUE_BAND_JOIN = """
+with bands(band, lo, hi) as (values
+  ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+  ('high', 150.0, 400.0), ('extreme', 400.0, 1000000000.0))
+select band, count(*) n_events, count(distinct user_id) n_users
+from events join bands on value >= lo and value < hi
+group by band
+"""
+
+
+def q_purchasers_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (existence filter, the complement of the resume
+    anti-join): customers of nations that have at least one supplier
+    with above-average balance."""
+    s = _t(spark, sf_dir, "supplier")
+    avg_bal = s.agg(F.avg("s_acctbal").alias("__avg"))
+    rich = (
+        s.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("s_acctbal") > F.col("__avg"))
+        .select("s_nationkey")
+    )
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.join(rich, c.c_nationkey == rich.s_nationkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_PURCHASERS_SEMI = """
+select c_nationkey, count(*) n_customers from customer
+where c_nationkey in (
+  select s_nationkey from supplier
+  where s_acctbal > (select avg(s_acctbal) from supplier))
+group by c_nationkey
+"""
+
+QUERIES_EXT["value_band_join"] = q_value_band_join
+ORACLES_EXT["value_band_join"] = SQL_VALUE_BAND_JOIN
+QUERIES_EXT["purchasers_semi"] = q_purchasers_semi
+ORACLES_EXT["purchasers_semi"] = SQL_PURCHASERS_SEMI
