@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "event_pivot",
     "value_band_join",
     "purchasers_semi",
+    "cube_status",
+    "simhash_near_dup",
 ]
 
 

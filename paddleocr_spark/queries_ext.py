@@ -681,3 +681,66 @@ QUERIES_EXT["value_band_join"] = q_value_band_join
 ORACLES_EXT["value_band_join"] = SQL_VALUE_BAND_JOIN
 QUERIES_EXT["purchasers_semi"] = q_purchasers_semi
 ORACLES_EXT["purchasers_semi"] = SQL_PURCHASERS_SEMI
+
+
+# ---------------------------------------------------------------------------
+# Cube aggregation + SimHash near-dup pair join
+# ---------------------------------------------------------------------------
+
+def q_cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full grouping-set cube over (returnflag, linestatus) — the
+    grouping-sets completion of the rollup query (§2.4)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+    )
+
+
+SQL_CUBE_STATUS = """
+select l_returnflag, l_linestatus, count(*) n,
+       cast(sum(cast(l_quantity as decimal(18,2))) as double) sum_qty
+from lineitem group by cube (l_returnflag, l_linestatus)
+"""
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: bit-prefix bucketing (top byte of the
+    16-bit signature) prunes the pair space, exact Hamming distance
+    (xor + bit_count) <= 3 verifies — the 'cheap band/bit-prefix join'
+    that completes the SimHash path. One shuffle of (prefix, id,
+    simhash) triples; O(bucket²) comparisons within buckets only."""
+    d = _t(spark, sf_dir, "documents")
+    s = dedup.simhash16(d).withColumn(
+        "prefix", (F.col("simhash") / 256).cast("int")
+    )
+    a = s.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("h_a"),
+        F.col("prefix").alias("p_a"),
+    )
+    b = s.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("h_b"),
+        F.col("prefix").alias("p_b"),
+    )
+    j = a.join(b, (F.col("p_a") == F.col("p_b")) & (F.col("id_a") < F.col("id_b")))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return j.select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= 3)
+
+
+SQL_SIMHASH_NEAR_DUP = f"""
+with s as ({dedup.sql_simhash16('documents')}),
+p as (select doc_id, simhash, cast(simhash // 256 as int) prefix from s)
+select a.doc_id id_a, b.doc_id id_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) as int) hamming
+from p a join p b on a.prefix = b.prefix and a.doc_id < b.doc_id
+where bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+QUERIES_EXT["cube_status"] = q_cube_status
+ORACLES_EXT["cube_status"] = SQL_CUBE_STATUS
+QUERIES_EXT["simhash_near_dup"] = q_simhash_near_dup
+ORACLES_EXT["simhash_near_dup"] = SQL_SIMHASH_NEAR_DUP
