@@ -13,9 +13,9 @@ iteration is one join + one groupBy (two shuffles over (id, label)
 pairs only, never document bodies). Convergence is O(graph diameter)
 iterations; near-dup clusters are dense and shallow (diameter ~2-3), so
 this settles in a handful of rounds. For adversarially long chain
-graphs at 10^12-row scale, swap the step for large-star/small-star
-(Kiveris et al., "Connected Components in MapReduce"), which contracts
-chains in O(log n) rounds — same driver loop, different step function.
+graphs at 10^12-row scale use `connected_components_two_phase` below —
+the large-star/small-star algorithm (Kiveris et al.), which contracts
+chains in O(log n) rounds; tests assert both give identical labels.
 
 The driver-side loop is control flow only (a bounded iteration counter
 and an empty-check); all data stays distributed. Lineage is truncated
@@ -76,3 +76,92 @@ def connected_components(
             break
 
     return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def connected_components_two_phase(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Alternating large-star / small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log n)-round variant for adversarially deep
+    graphs (long chains), where plain neighbor propagation needs
+    O(diameter) rounds.
+
+    Each round is two groupBy-aggregations over the edge list:
+    - large-star: every node u computes m = min(N(u) ∪ {u}) and
+      re-points its LARGER neighbors at m;
+    - small-star: every node u re-points its not-larger neighbors
+      (and itself) at the minimum of that set.
+    The edge list contracts toward a star forest; at the fixpoint every
+    surviving edge is (node -> component minimum). Deterministic: pure
+    integer mins, partitioning-independent. Same output contract as
+    `connected_components`: (id, cluster_id), cluster_id = component
+    min, every node of every input edge present.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        big = nbrs.filter(F.col("v") > F.col("u"))
+        return (
+            big.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient every edge large -> small, group by the large end
+        oriented = e.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = oriented.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        with_self = oriented.union(
+            oriented.select(F.col("u"), F.col("u").alias("v")).distinct()
+        )
+        return (
+            with_self.join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
+        changed = (
+            nxt.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(nxt).limit(1).count()
+        )
+        edges = nxt
+        if changed == 0:
+            break
+
+    # fixpoint: edges form a star forest (u -> component min)
+    labels = edges.select(
+        F.col("u").alias("id"), F.col("v").alias("cluster_id")
+    )
+    return (
+        all_nodes.join(labels, "id", "left")
+        .select(
+            "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
+        )
+    )
