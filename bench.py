@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "purchasers_semi",
     "cube_status",
     "simhash_near_dup",
+    "dup_clusters_twophase",
 ]
 
 

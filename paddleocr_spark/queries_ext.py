@@ -744,3 +744,21 @@ QUERIES_EXT["cube_status"] = q_cube_status
 ORACLES_EXT["cube_status"] = SQL_CUBE_STATUS
 QUERIES_EXT["simhash_near_dup"] = q_simhash_near_dup
 ORACLES_EXT["simhash_near_dup"] = SQL_SIMHASH_NEAR_DUP
+
+
+def q_dup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as dup_clusters, computed with the
+    large-star/small-star algorithm (functions/graph.
+    connected_components_two_phase) — the O(log n)-round path for
+    adversarially deep candidate graphs. Checked against the identical
+    recursive-CTE oracle."""
+    from paddleocr_spark.functions.graph import connected_components_two_phase
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.lsh_candidate_pairs(d)
+    cc = connected_components_two_phase(pairs)
+    return cc.select(F.col("id").alias("doc_id"), "cluster_id")
+
+
+QUERIES_EXT["dup_clusters_twophase"] = q_dup_clusters_twophase
+ORACLES_EXT["dup_clusters_twophase"] = SQL_DUP_CLUSTERS
