@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "cube_status",
     "simhash_near_dup",
     "dup_clusters_twophase",
+    "redact_text",
+    "dataset_split",
 ]
 
 

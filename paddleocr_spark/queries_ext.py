@@ -762,3 +762,75 @@ def q_dup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_EXT["dup_clusters_twophase"] = q_dup_clusters_twophase
 ORACLES_EXT["dup_clusters_twophase"] = SQL_DUP_CLUSTERS
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: redaction + deterministic dataset split
+# ---------------------------------------------------------------------------
+
+def q_redact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing pass: count and strip URL/email mentions,
+    emit the redacted-text digest (so the oracle proves the actual
+    replacement bytes, not just the counts). Pure regexp columns —
+    whole-stage codegen, no UDF, no shuffle before the (absent) agg."""
+    d = _t(spark, sf_dir, "documents")
+    url_re = r"https?://[^ ]+"
+    email_re = r"[A-Za-z0-9_.]+@[A-Za-z0-9_.]+"
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), url_re, "<URL>"), email_re, "<EMAIL>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{url_re}', 0)")).alias("n_urls"),
+        F.size(F.expr(f"regexp_extract_all(text, '{email_re}', 0)")).alias("n_emails"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+SQL_REDACT_TEXT = r"""
+select doc_id,
+       cast(len(regexp_extract_all(text, 'https?://[^ ]+')) as int) n_urls,
+       cast(len(regexp_extract_all(text, '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+')) as int) n_emails,
+       md5(regexp_replace(regexp_replace(text, 'https?://[^ ]+', '<URL>', 'g'),
+                          '[A-Za-z0-9_.]+@[A-Za-z0-9_.]+', '<EMAIL>', 'g')) redacted_md5
+from documents
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment: a content-derived hash
+    bucket (md5 of the doc id, engine-portable) -> 90/5/5 split. The
+    split is a pure function of the row, so it is stable across runs,
+    partitionings and engines — the property a training pipeline needs
+    so no document migrates between splits when data is re-sharded."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return d.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SQL_DATASET_SPLIT = """
+with b as (
+  select ('0x' || substr(md5(cast(doc_id as varchar)), 1, 4))::bigint % 100 bucket,
+         n_chars
+  from documents
+)
+select case when bucket < 90 then 'train'
+            when bucket < 95 then 'val'
+            else 'test' end split,
+       count(*) n_docs, sum(n_chars) total_chars
+from b group by 1
+"""
+
+QUERIES_EXT["redact_text"] = q_redact_text
+ORACLES_EXT["redact_text"] = SQL_REDACT_TEXT
+QUERIES_EXT["dataset_split"] = q_dataset_split
+ORACLES_EXT["dataset_split"] = SQL_DATASET_SPLIT
