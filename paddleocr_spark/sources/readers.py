@@ -87,3 +87,21 @@ def read_labels_tsv(spark: SparkSession, path: str) -> DataFrame:
     )
     df = spark.read.csv(path, sep="\t", schema=schema, mode="DROPMALFORMED")
     return df.filter(F.col("url").isNotNull() & F.col("label").isNotNull())
+
+
+def latest_crawl(df: DataFrame) -> DataFrame:
+    """Recrawl dedup: keep exactly one row per url — the latest
+    `warc_ts`, ties broken by the longer (then lexicographically
+    larger) html payload so the choice is deterministic under any
+    partitioning. One shuffle on url; the streaming twin is
+    streaming/dedup.py with first-seen semantics."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc(F.octet_length("html")), F.desc(F.md5("html"))
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

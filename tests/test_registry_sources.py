@@ -188,3 +188,27 @@ def test_media_embedding_deterministic_and_feeds_ann(spark):
     top = topk_cosine(emb, q, k=3)
     got = [r["vec_id"] for r in top.collect()]
     assert len(got) == 3 and got[0] == 0  # self is the best match
+
+
+def test_latest_crawl_keeps_newest_per_url(spark):
+    from datetime import datetime
+
+    from paddleocr_spark.sources.readers import latest_crawl
+
+    rows = [
+        ("u1", datetime(2024, 1, 1), b"old"),
+        ("u1", datetime(2024, 6, 1), b"new"),
+        ("u2", datetime(2024, 3, 1), b"only"),
+        # same-ts tie: longer payload wins deterministically
+        ("u3", datetime(2024, 2, 1), b"short"),
+        ("u3", datetime(2024, 2, 1), b"longer-payload"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    got = {r["url"]: bytes(r["html"]) for r in latest_crawl(df).collect()}
+    assert got == {"u1": b"new", "u2": b"only", "u3": b"longer-payload"}
+    # partitioning-invariant
+    got7 = {
+        r["url"]: bytes(r["html"])
+        for r in latest_crawl(df.repartition(7)).collect()
+    }
+    assert got7 == got
