@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "dup_clusters_twophase",
     "redact_text",
     "dataset_split",
+    "orders_monthly_delta",
 ]
 
 

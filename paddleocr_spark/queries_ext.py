@@ -834,3 +834,39 @@ QUERIES_EXT["redact_text"] = q_redact_text
 ORACLES_EXT["redact_text"] = SQL_REDACT_TEXT
 QUERIES_EXT["dataset_split"] = q_dataset_split
 ORACLES_EXT["dataset_split"] = SQL_DATASET_SPLIT
+
+
+def q_orders_monthly_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window over an aggregate: monthly order totals with
+    previous-month delta (lag over the grouped series — the two-level
+    plan shape reporting pipelines use; the window runs on the tiny
+    aggregated output, not the fact table)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+    )
+    w = Window.orderBy("ym")
+    return monthly.select(
+        "ym",
+        "n_orders",
+        "total",
+        (F.col("n_orders") - F.lag("n_orders").over(w)).alias("orders_delta"),
+    )
+
+
+SQL_ORDERS_MONTHLY_DELTA = """
+with m as (
+  select strftime(o_orderdate, '%Y-%m') ym, count(*) n_orders,
+         cast(sum(cast(o_totalprice as decimal(18,2))) as double) total
+  from orders group by 1
+)
+select ym, n_orders, total,
+       n_orders - lag(n_orders) over (order by ym) orders_delta
+from m
+"""
+
+QUERIES_EXT["orders_monthly_delta"] = q_orders_monthly_delta
+ORACLES_EXT["orders_monthly_delta"] = SQL_ORDERS_MONTHLY_DELTA
