@@ -175,3 +175,45 @@ def test_tokenizer_never_crashes_on_text_soup(s):
     blocks = tokenize_page(("<html><body>" + s).encode("utf-8", "replace"))
     for b in blocks:
         assert b.end >= b.start
+
+
+# ------------------------------------------------- layout sort & table match
+
+from paddleocr_spark.core.geometry import sorted_layout_boxes
+from paddleocr_spark.core.table import filter_ocr_result, match_result
+
+
+@given(boxes_st, st.integers(min_value=100, max_value=2000))
+def test_sorted_layout_boxes_permutation_and_labels(boxes, page_w):
+    order, labels = sorted_layout_boxes(boxes, page_w)
+    assert sorted(order) == list(range(len(boxes)))
+    assert len(labels) == len(boxes)
+    assert set(labels) <= {"single", "double"}
+
+
+@given(boxes_st, boxes_st)
+def test_match_result_total_assignment(ocr_boxes, cell_boxes):
+    """Every OCR box is assigned to exactly one valid cell (many-to-one
+    allowed, matcher.py:77-101)."""
+    if not cell_boxes:
+        return
+    m = match_result(ocr_boxes, cell_boxes)
+    assigned = sorted(i for members in m.values() for i in members)
+    assert assigned == list(range(len(ocr_boxes)))
+    assert all(0 <= c < len(cell_boxes) for c in m)
+
+
+@given(boxes_st, boxes_st)
+def test_filter_ocr_drops_only_above_table(cell_boxes, ocr_boxes):
+    texts = [f"t{i}" for i in range(len(ocr_boxes))]
+    kept_boxes, kept_texts = filter_ocr_result(cell_boxes, ocr_boxes, texts)
+    assert len(kept_boxes) == len(kept_texts)
+    if cell_boxes:
+        y1 = min(b[1] for b in cell_boxes)
+        assert all(b[3] > y1 for b in kept_boxes)
+        # nothing kept was altered, nothing below the line was dropped
+        expect = [(b, t) for b, t in zip(ocr_boxes, texts) if b[3] > y1]
+        assert kept_boxes == [b for b, _ in expect]
+        assert kept_texts == [t for _, t in expect]
+    else:
+        assert kept_boxes == ocr_boxes
