@@ -79,3 +79,20 @@ def test_streaming_dedup_first_seen_keys(spark, events_dir):
     assert got_keys == want_keys and len(want_keys) > 0
     # exactly one row per key
     assert got.count() == len(want_keys)
+
+
+def test_stateful_run_collapse_matches_batch(spark, events_dir):
+    """applyInPandasWithState run collapse == the batch CTC-analog
+    window query (n_runs + longest_run per user)."""
+    import paddleocr_spark.queries as Q
+    from paddleocr_spark.streaming.runs import run_collapse_stream
+
+    got_df = run_collapse_stream(spark, events_dir, "t_runs")
+    got = {}
+    for r in got_df.collect():  # update mode: last row per user wins
+        got[r["user_id"]] = (r["n_runs"], r["longest_run"])
+    want = {
+        r["user_id"]: (r["n_runs"], r["longest_run"])
+        for r in Q.q_events_run_collapse(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
