@@ -66,3 +66,15 @@ def with_blocks(df, cfg: PipelineConfig = DEFAULT, html_col: str = "html"):
     SURVEY.md §4: 'don't read html when only counting')."""
     udf = make_detect_blocks_udf(cfg)
     return df.withColumn("blocks", udf(F.col(html_col))).drop(html_col)
+
+
+def register_sql(spark, name: str = "detect_blocks", cfg: PipelineConfig = DEFAULT):
+    """Expose the stage-1 tokenizer on the SQL surface:
+
+        spark.sql("SELECT url, detect_blocks(html) AS blocks FROM pages")
+
+    — the `spark.sql` twin of `with_blocks`, for users who drive the
+    engine from SQL (the reference's CLI-flag surface analog). Returns
+    the registered name."""
+    spark.udf.register(name, make_detect_blocks_udf(cfg))
+    return name

@@ -212,3 +212,22 @@ def test_latest_crawl_keeps_newest_per_url(spark):
         for r in latest_crawl(df.repartition(7)).collect()
     }
     assert got7 == got
+
+
+def test_sql_surface_matches_dataframe_path(spark, smoke_dir):
+    """spark.sql('SELECT detect_blocks(html) ...') == with_blocks(df):
+    the engine is drivable from pure SQL."""
+    import os
+
+    from paddleocr_spark.operators.detect_stage import register_sql, with_blocks
+
+    pages = spark.read.parquet(os.path.join(smoke_dir, "pages.parquet"))
+    pages.createOrReplaceTempView("t_pages_sql")
+    register_sql(spark)
+    got = spark.sql(
+        "SELECT url, detect_blocks(html) AS blocks FROM t_pages_sql"
+    )
+    want = with_blocks(pages.select("url", "lang", "html")).select("url", "blocks")
+    g = {r["url"]: [tuple(b) for b in r["blocks"]] for r in got.collect()}
+    w = {r["url"]: [tuple(b) for b in r["blocks"]] for r in want.collect()}
+    assert g == w and len(g) > 0
