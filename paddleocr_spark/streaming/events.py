@@ -121,3 +121,31 @@ def run_extract_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def run_extract_stream_filesink(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig = DEFAULT,
+) -> None:
+    """Production-shaped incremental extraction: file source -> extract
+    -> parquet FILE sink with a checkpoint. The file sink's commit log
+    + the source's processed-files log give exactly-once across
+    restarts: re-running with the same checkpoint processes ONLY files
+    that appeared since the last run (the streaming twin of the batch
+    lineage/anti-join resume, plans/job.py). availableNow: drains
+    what's currently there, then stops — the incremental-backfill
+    trigger."""
+    pages = spark.readStream.schema(PAGES_SCHEMA).parquet(pages_dir)
+    q = (
+        extract(pages, cfg)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)

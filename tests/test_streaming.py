@@ -96,3 +96,41 @@ def test_stateful_run_collapse_matches_batch(spark, events_dir):
         for r in Q.q_events_run_collapse(spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_filesink_checkpoint_incremental_exactly_once(spark, smoke_dir, tmp_path):
+    """Restart with the same checkpoint processes only NEW input files;
+    rows are appended exactly once (streaming twin of the batch
+    anti-join resume)."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    from paddleocr_spark.streaming.events import run_extract_stream_filesink
+
+    src = tmp_path / "pages_in"
+    out = str(tmp_path / "extracted_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    shutil.copy(os.path.join(smoke_dir, "pages.parquet"), src / "batch0.parquet")
+
+    run_extract_stream_filesink(spark, str(src), out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    golden_n = spark.read.parquet(os.path.join(smoke_dir, "golden.parquet")).count()
+    assert n1 == golden_n > 0
+
+    # restart with NO new input: nothing reprocessed
+    run_extract_stream_filesink(spark, str(src), out, ckpt)
+    assert spark.read.parquet(out).count() == n1
+
+    # add one new page file; only it is processed
+    t = pq.read_table(str(src / "batch0.parquet"))
+    one = t.slice(0, 3)
+    urls = one.column("url").to_pylist()
+    new_urls = pa.array([u + "?recrawl=1" for u in urls])
+    one = one.set_column(t.schema.get_field_index("url"), "url", new_urls)
+    pq.write_table(one, str(src / "batch1.parquet"))
+
+    run_extract_stream_filesink(spark, str(src), out, ckpt)
+    final = spark.read.parquet(out)
+    assert final.count() == n1 + 3
+    assert final.select("url").distinct().count() == n1 + 3
