@@ -1,0 +1,56 @@
+"""jobs/dedup.py end-to-end: exact dups dropped, near-dup clusters
+resolved to one representative, both algorithms agree."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_job(out_dir, algorithm):
+    cmd = [
+        sys.executable, os.path.join(REPO, "jobs", "dedup.py"),
+        "--input", "/root/testdata/sf0.001/documents.parquet",
+        "--output", out_dir, "--algorithm", algorithm,
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_dedup_job_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "dedup_out")
+    stats = _run_job(out, "propagation")
+    assert stats["n_input"] >= stats["n_after_exact"] >= stats["n_output"] > 0
+    # every clustered loser is absent, every winner present exactly once
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    clusters = spark.read.parquet(os.path.join(out, "clusters"))
+    ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert len(ids) == stats["n_output"]
+    for r in clusters.collect():
+        if r["doc_id"] != r["cluster_id"]:
+            assert r["doc_id"] not in ids
+        else:
+            assert r["doc_id"] in ids
+    # near-dup clustering actually fired on this fixture
+    assert stats["n_clustered_docs"] > 0
+
+
+def test_dedup_job_twophase_identical(spark, tmp_path):
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    sa = _run_job(out_a, "propagation")
+    sb = _run_job(out_b, "twophase")
+    assert sa["n_output"] == sb["n_output"]
+    ca = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(out_a, "clusters")).collect()
+    )
+    cb = sorted(
+        tuple(r) for r in spark.read.parquet(os.path.join(out_b, "clusters")).collect()
+    )
+    assert ca == cb
