@@ -149,3 +149,34 @@ def run_extract_stream_filesink(
         .start()
     )
     q.awaitTermination(180)
+
+
+def run_hourly_stream_append(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "2 hours",
+) -> None:
+    """Production shape: append-mode watermarked windows into a file
+    sink — a window row is emitted exactly once, when the watermark
+    passes its end (late-data-final semantics). maxFilesPerTrigger=1
+    advances the watermark between micro-batches so closed windows
+    flush during an availableNow drain."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+    )
+    q = (
+        hourly_agg(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)

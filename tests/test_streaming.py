@@ -134,3 +134,48 @@ def test_filesink_checkpoint_incremental_exactly_once(spark, smoke_dir, tmp_path
     final = spark.read.parquet(out)
     assert final.count() == n1 + 3
     assert final.select("url").distinct().count() == n1 + 3
+
+
+def test_hourly_append_mode_emits_only_closed_windows(spark, tmp_path):
+    """Append mode + watermark: every emitted window row is (a) final —
+    value-identical to the batch aggregate — and (b) closed, i.e. its
+    end precedes max(ts) - watermark. Input split into two files so the
+    watermark advances between micro-batches."""
+    import pyarrow.parquet as pq
+    from datetime import timedelta
+
+    from paddleocr_spark.streaming.events import run_hourly_stream_append, hourly_agg
+
+    src = tmp_path / "ev_in"
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    order = t.column("ts").to_pandas().sort_values().index
+    half = len(order) // 2
+    pq.write_table(t.take(list(order[:half])), str(src / "f0.parquet"))
+    pq.write_table(t.take(list(order[half:])), str(src / "f1.parquet"))
+
+    out = str(tmp_path / "hourly_out")
+    run_hourly_stream_append(spark, str(src), out, str(tmp_path / "ck"))
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "no closed windows emitted"
+
+    batch = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in hourly_agg(batch).collect()
+    }
+    # (a) finality: every emitted row equals the batch aggregate
+    for k, v in got.items():
+        assert want[k] == v, k
+    # (b) closedness: emitted window end <= max_ts - 2h + 1h window
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - timedelta(hours=2)
+    from datetime import datetime
+
+    for ws, _et in got:
+        start = datetime.strptime(ws, "%Y-%m-%d %H:%M:%S")
+        assert start <= cutoff
