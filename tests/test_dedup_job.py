@@ -54,3 +54,25 @@ def test_dedup_job_twophase_identical(spark, tmp_path):
         tuple(r) for r in spark.read.parquet(os.path.join(out_b, "clusters")).collect()
     )
     assert ca == cb
+
+
+def _run_job_input(out_dir, algorithm, input_path):
+    cmd = [
+        sys.executable, os.path.join(REPO, "jobs", "dedup.py"),
+        "--input", input_path, "--output", out_dir, "--algorithm", algorithm,
+    ]
+    env = dict(os.environ, PYTHONPATH=REPO)
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, check=True)
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def test_dedup_job_empty_input(spark, tmp_path):
+    """Zero-row input: the job completes with empty outputs, no crash
+    (the CC loop and LSH banding must tolerate empty frames)."""
+    src = str(tmp_path / "empty.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(0) \
+        .write.parquet(src)
+    out = str(tmp_path / "out")
+    stats = _run_job_input(out, "propagation", src)
+    assert stats["n_input"] == 0 and stats["n_output"] == 0
