@@ -8,10 +8,21 @@ cluster (min doc_id). Writes:
 - <out>/corpus/    the deduplicated corpus (parquet)
 - <out>/clusters/  (doc_id, cluster_id) for every clustered doc
 
+Scale notes (100 TB framing):
+- the loser set (every non-representative near-dup) is O(corpus) rows
+  on a web crawl (30-60% dup rates are normal), so it is NEVER
+  broadcast — the final anti-join is a plain shuffle join on doc_id
+  and AQE is free to pick a broadcast only if the runtime size
+  actually fits.
+- pass --checkpoint-dir to switch the CC fixpoint from localCheckpoint
+  (executor-local, lost on executor death) to reliable checkpoint()
+  (shared storage) — required on a real multi-executor cluster.
+
 Usage:
     spark-submit --master local[N] --driver-memory 8g \
         --py-files dist/paddleocr_spark.zip jobs/dedup.py \
-        --input <documents.parquet> --output <dir> [--algorithm twophase]
+        --input <documents.parquet> --output <dir> \
+        [--algorithm twophase] [--checkpoint-dir <dir>]
 
 Prints ONE JSON line with input/exact-dup/near-dup/output counts.
 """
@@ -20,8 +31,60 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# importable when launched as `python jobs/dedup.py` from the repo root
+# (spark-submit --py-files and PYTHONPATH launches are unaffected)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def build_dedup(spark, docs, algorithm: str = "propagation",
+                checkpoint_dir: str | None = None):
+    """Assemble the dedup plan; returns (exact, clusters, corpus)
+    DataFrames (nothing executed). Split out of main() so tests can
+    inspect the physical plan — in particular that the corpus
+    anti-join does not force a broadcast of the unbounded loser set.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.functions import dedup
+    from paddleocr_spark.functions.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    # 1) exact dedup: keep min doc_id per content hash
+    hashed = docs.withColumn("__h", dedup.content_hash(F.col("text")))
+    w = Window.partitionBy("__h").orderBy("doc_id")
+    exact = (
+        hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__h")
+    )
+
+    # 2) near-dup clusters over the exact-deduped survivors
+    pairs = dedup.lsh_candidate_pairs(exact)
+    cc_fn = (
+        connected_components_two_phase
+        if algorithm == "twophase"
+        else connected_components
+    )
+    clusters = cc_fn(pairs, checkpoint_dir=checkpoint_dir).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+    # 3) winners: cluster representative = min doc_id (== cluster_id);
+    #    docs not in any cluster pass through. The loser set is
+    #    unbounded (O(corpus) on a real crawl) — plain shuffle
+    #    anti-join on doc_id, no broadcast hint.
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    corpus = exact.join(losers, "doc_id", "left_anti")
+    return exact, clusters, corpus
 
 
 def main(argv=None) -> int:
@@ -31,16 +94,13 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--algorithm", default="propagation", choices=["propagation", "twophase"]
     )
+    ap.add_argument(
+        "--checkpoint-dir", default=None,
+        help="reliable checkpoint dir for the CC fixpoint (use on a real cluster)",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
-    from pyspark.sql import functions as F
-
-    from paddleocr_spark.functions import dedup
-    from paddleocr_spark.functions.graph import (
-        connected_components,
-        connected_components_two_phase,
-    )
 
     spark = SparkSession.builder.appName("paddleocr-spark-dedup").getOrCreate()
     t0 = time.time()
@@ -48,34 +108,11 @@ def main(argv=None) -> int:
     docs = spark.read.parquet(args.input)
     n_input = docs.count()
 
-    # 1) exact dedup: keep min doc_id per content hash
-    hashed = docs.withColumn("__h", dedup.content_hash(F.col("text")))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("__h").orderBy("doc_id")
-    exact = (
-        hashed.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__h")
+    exact, clusters, corpus = build_dedup(
+        spark, docs, args.algorithm, checkpoint_dir=args.checkpoint_dir
     )
     n_exact = exact.count()
-
-    # 2) near-dup clusters over the exact-deduped survivors
-    pairs = dedup.lsh_candidate_pairs(exact)
-    cc_fn = (
-        connected_components_two_phase
-        if args.algorithm == "twophase"
-        else connected_components
-    )
-    clusters = cc_fn(pairs).select(
-        F.col("id").alias("doc_id"), "cluster_id"
-    )
     clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
-
-    # 3) winners: cluster representative = min doc_id (== cluster_id);
-    #    docs not in any cluster pass through
-    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    corpus = exact.join(F.broadcast(losers), "doc_id", "left_anti")
     corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
     n_out = spark.read.parquet(f"{args.output}/corpus").count()
     n_clustered = clusters.count()

@@ -173,3 +173,162 @@ def sql_simhash16(table: str, id_col: str = "doc_id", text_col: str = "text") ->
         )
         select {id_col}, cast({bits} as bigint) simhash from s
     """
+
+
+# ------------------------------------------------------------------
+# 64-bit SimHash, banded (the scale-correct formulation)
+# ------------------------------------------------------------------
+#
+# The 16-bit variant above saturates at corpus scale (65k signature
+# values) and its 8-bit-prefix pair join both over-pairs (256 buckets
+# => O(n²/256)) and MISSES hamming<=3 pairs whose differing bits fall
+# in the prefix byte. The fix is the classic banded SimHash lookup:
+# a 64-bit signature split into 4 x 16-bit band tables. Pigeonhole:
+# hamming(a,b) <= 3 differing bits can touch at most 3 of the 4 bands,
+# so at least one band is IDENTICAL — a per-band equi-join has
+# guaranteed recall for hamming<=3, and 65,536 values per band keeps
+# bucket sizes bounded (expected bucket = n/65536 per band).
+
+SIMHASH64_BITS = 64
+SIMHASH64_BANDS = 4    # 4 bands x 16 bits each
+
+
+def simhash64_bands(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash emitted as four 16-bit band values (b0..b3).
+
+    Bit j (0..63) of a word's hash = bit (j % 2) of hex digit (j // 2)
+    of md5(word) — 32 hex digits x the 2 low bits of each. The document
+    bit is sign(sum(±1)) over its distinct words (ties -> 0, matching
+    simhash16). Band k packs bits 16k..16k+15; this avoids signed-64
+    overflow AND is exactly the layout the banded near-dup join needs:
+    hamming(a,b) = Σ_k bit_count(xor(a.bk, b.bk)). One shuffle of
+    (id, word) pairs; partial aggregation does the heavy lifting.
+    """
+    w = df.select(
+        id_col,
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
+    ).filter(F.col("word") != "")
+    digit = [
+        F.conv(F.substring(F.md5("word"), d + 1, 1), 16, 10).cast("int")
+        for d in range(32)
+    ]
+    contribs = [
+        (
+            F.shiftright(digit[j // 2], j % 2).bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"c{j}")
+        for j in range(SIMHASH64_BITS)
+    ]
+    w = w.select(id_col, *contribs)
+    g = w.groupBy(id_col).agg(
+        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH64_BITS)]
+    )
+    band_cols = []
+    for b in range(SIMHASH64_BANDS):
+        acc = None
+        for r in range(16):
+            j = b * 16 + r
+            bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << r)).otherwise(F.lit(0))
+            acc = bit if acc is None else acc + bit
+        band_cols.append(acc.cast("int").alias(f"b{b}"))
+    return g.select(id_col, *band_cols)
+
+
+def banded_near_dup_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """The band join itself, over a (id, b0..b3) signature frame:
+    per-band equi-join generates candidates (pigeonhole guarantees
+    recall for hamming <= SIMHASH64_BANDS - 1), exact Hamming on the
+    carried full signature verifies, distinct pairs. Split out so the
+    recall guarantee is unit-testable on synthetic signatures."""
+    banded = sigs.select(
+        id_col, "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("band_id", "band_val"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    ham = None
+    for k in range(SIMHASH64_BANDS):
+        t = F.bit_count(F.col(f"a.b{k}").bitwiseXOR(F.col(f"b.b{k}")))
+        ham = t if ham is None else ham + t
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash64_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by banded 64-bit SimHash: signature -> per-band
+    equi-join -> exact Hamming verify. Shuffles only (band_id,
+    band_val, id, b0..b3) rows — O(candidates), never O(n²)."""
+    return banded_near_dup_pairs(
+        simhash64_bands(df, id_col, text_col), id_col, max_hamming
+    )
+
+
+def sql_simhash64_bands(
+    table: str, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    """DuckDB mirror of simhash64_bands (same bit layout, same ties)."""
+    contribs = ", ".join(
+        f"sum(((('0x' || substr(md5(word), {j // 2 + 1}, 1))::int >> {j % 2}) & 1)"
+        f" * 2 - 1) s{j}"
+        for j in range(SIMHASH64_BITS)
+    )
+    bands = ", ".join(
+        "cast("
+        + " + ".join(
+            f"(case when s{b * 16 + r} > 0 then {1 << r} else 0 end)"
+            for r in range(16)
+        )
+        + f" as int) b{b}"
+        for b in range(SIMHASH64_BANDS)
+    )
+    return f"""
+        with wx64 as (
+          select {id_col}, unnest(list_distinct(str_split({text_col}, ' '))) word
+          from {table}
+        ), s64 as (
+          select {id_col}, {contribs} from wx64 where word <> '' group by {id_col}
+        )
+        select {id_col}, {bands} from s64
+    """
+
+
+def sql_simhash64_near_dup(
+    table: str, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
+) -> str:
+    """DuckDB mirror of simhash64_near_dup_pairs (same banded join)."""
+    banded = " union all ".join(
+        f"select {id_col}, {k} band_id, b{k} band_val, b0, b1, b2, b3 from sig64"
+        for k in range(SIMHASH64_BANDS)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(SIMHASH64_BANDS))
+    return f"""
+        with sig64 as ({sql_simhash64_bands(table, id_col, text_col)}),
+        banded as ({banded})
+        select distinct a.{id_col} id_a, b.{id_col} id_b,
+               cast({ham} as int) hamming
+        from banded a join banded b
+          on a.band_id = b.band_id and a.band_val = b.band_val
+         and a.{id_col} < b.{id_col}
+        where {ham} <= {max_hamming}
+    """

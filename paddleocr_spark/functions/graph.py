@@ -12,20 +12,38 @@ minimum label among itself and its neighbors until a fixpoint. Each
 iteration is one join + one groupBy (two shuffles over (id, label)
 pairs only, never document bodies). Convergence is O(graph diameter)
 iterations; near-dup clusters are dense and shallow (diameter ~2-3), so
-this settles in a handful of rounds. For adversarially long chain
-graphs at 10^12-row scale use `connected_components_two_phase` below —
-the large-star/small-star algorithm (Kiveris et al.), which contracts
-chains in O(log n) rounds; tests assert both give identical labels.
+this settles in a handful of rounds. If the loop exhausts ``max_iter``
+without reaching the fixpoint (adversarially long chains), it does NOT
+return the non-converged labels silently — it falls back to
+`connected_components_two_phase`, the large-star/small-star algorithm
+(Kiveris et al.) that contracts chains in O(log n) rounds; tests assert
+both give identical labels.
 
-The driver-side loop is control flow only (a bounded iteration counter
-and an empty-check); all data stays distributed. Lineage is truncated
-with localCheckpoint every iteration so plans don't grow unboundedly.
+Checkpointing: lineage is truncated every iteration so plans don't grow
+unboundedly. By default this uses ``localCheckpoint`` (executor-local
+blocks — fine on local[N] and for tests) but on a real cluster an
+executor loss invalidates local checkpoints mid-fixpoint, so both entry
+points take ``checkpoint_dir``: when set, the SparkContext checkpoint
+dir is configured and reliable ``checkpoint()`` (shared storage,
+survives executor death) is used instead.
 """
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _make_checkpointer(df: DataFrame, checkpoint_dir: str | None):
+    """Return a lineage-truncating function: reliable checkpoint when a
+    directory is given, executor-local otherwise."""
+    if checkpoint_dir is None:
+        return lambda d: d.localCheckpoint(eager=True)
+    sc = df.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return lambda d: d.checkpoint(eager=True)
 
 
 def connected_components(
@@ -33,17 +51,26 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+    on_nonconverged: str = "fallback",
 ) -> DataFrame:
     """(id_a, id_b) undirected edges -> (id, cluster_id) with
     cluster_id = min node id in the component. Deterministic: pure
     integer min-fixpoint, independent of partitioning.
+
+    ``on_nonconverged``: what to do if ``max_iter`` rounds pass without
+    the changed==0 fixpoint — "fallback" (default) reruns with the
+    O(log n) two-phase algorithm, "raise" raises RuntimeError,
+    "warn" returns the possibly-wrong labels with a warning (only for
+    diagnostics; never silent).
     """
+    ckpt = _make_checkpointer(pairs, checkpoint_dir)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
-    edges = edges.localCheckpoint(eager=True)
+    edges = ckpt(edges)
 
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -51,6 +78,7 @@ def connected_components(
         .withColumn("label", F.col("id"))
     )
 
+    converged = False
     for _ in range(max_iter):
         # each node's new label: min(own, min over neighbors' labels)
         nbr = (
@@ -63,7 +91,7 @@ def connected_components(
             .groupBy("id")
             .agg(F.min("label").alias("label"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = ckpt(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -73,7 +101,22 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iter} rounds "
+            "(component diameter exceeds max_iter)"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        if on_nonconverged == "fallback":
+            warnings.warn(msg + "; falling back to two-phase CC", RuntimeWarning)
+            return connected_components_two_phase(
+                pairs, id_a, id_b, checkpoint_dir=checkpoint_dir
+            )
+        warnings.warn(msg + "; returning NON-CONVERGED labels", RuntimeWarning)
 
     return labels.select("id", F.col("label").alias("cluster_id"))
 
@@ -83,6 +126,7 @@ def connected_components_two_phase(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 40,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Alternating large-star / small-star connected components
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -101,17 +145,16 @@ def connected_components_two_phase(
     `connected_components`: (id, cluster_id), cluster_id = component
     min, every node of every input edge present.
     """
-    edges = (
+    ckpt = _make_checkpointer(pairs, checkpoint_dir)
+    edges = ckpt(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    all_nodes = (
+    all_nodes = ckpt(
         edges.select(F.col("u").alias("id"))
         .union(edges.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -145,15 +188,23 @@ def connected_components_two_phase(
             .distinct()
         )
 
+    converged = False
     for _ in range(max_iter):
-        nxt = small_star(large_star(edges)).localCheckpoint(eager=True)
+        nxt = ckpt(small_star(large_star(edges)))
         changed = (
             nxt.exceptAll(edges).limit(1).count()
             + edges.exceptAll(nxt).limit(1).count()
         )
         edges = nxt
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # O(log n) bound means 40 rounds covers any realistic graph;
+        # reaching here indicates a logic error, not input shape.
+        raise RuntimeError(
+            f"two-phase CC did not converge in {max_iter} rounds"
+        )
 
     # fixpoint: edges form a star forest (u -> component min)
     labels = edges.select(

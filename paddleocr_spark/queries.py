@@ -909,9 +909,17 @@ ORACLES: dict[str, str] = {
 
 
 # Extension registry (as-of join, dup clustering, suppression, relational
-# breadth) — late-bound import so queries_ext can reuse this module's
-# helpers without a cycle.
-from paddleocr_spark.queries_ext import ORACLES_EXT, QUERIES_EXT  # noqa: E402
+# breadth). Either module may be imported first: if queries_ext is
+# mid-import (it imports our helpers at its top), its registries don't
+# exist yet — it completes the merge itself at its own bottom.
+def _merge_ext() -> None:
+    from paddleocr_spark import queries_ext
 
-QUERIES.update(QUERIES_EXT)
-ORACLES.update(ORACLES_EXT)
+    QUERIES.update(queries_ext.QUERIES_EXT)
+    ORACLES.update(queries_ext.ORACLES_EXT)
+
+
+try:  # noqa: E402
+    _merge_ext()
+except (ImportError, AttributeError):
+    pass

@@ -430,7 +430,7 @@ def q_doc_len_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_LEN_HISTOGRAM = """
 select cast(n_chars // 200 * 200 as bigint) len_bucket,
-       count(*) n_docs, sum(n_chars) total_chars
+       count(*) n_docs, cast(sum(n_chars) as bigint) total_chars
 from documents group by 1
 """
 
@@ -575,7 +575,7 @@ def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JSON_PROPS = """
 select event_type,
-       sum(cast(props->>'k' as bigint)) sum_k,
+       cast(sum(cast(props->>'k' as bigint)) as bigint) sum_k,
        min(cast(props->>'k' as bigint)) min_k,
        max(cast(props->>'k' as bigint)) max_k,
        count(cast(props->>'k' as bigint)) n_with_k
@@ -704,44 +704,37 @@ from lineitem group by cube (l_returnflag, l_linestatus)
 """
 
 
-def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: bit-prefix bucketing (top byte of the
-    16-bit signature) prunes the pair space, exact Hamming distance
-    (xor + bit_count) <= 3 verifies — the 'cheap band/bit-prefix join'
-    that completes the SimHash path. One shuffle of (prefix, id,
-    simhash) triples; O(bucket²) comparisons within buckets only."""
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures as 4x16-bit band values — the
+    production-parameterized signature (the 16-bit `simhash` query is
+    the didactic miniature; 65,536 values saturate at corpus scale).
+    One shuffle of (doc_id, word) pairs, partial aggregation map-side."""
     d = _t(spark, sf_dir, "documents")
-    s = dedup.simhash16(d).withColumn(
-        "prefix", (F.col("simhash") / 256).cast("int")
-    )
-    a = s.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("simhash").alias("h_a"),
-        F.col("prefix").alias("p_a"),
-    )
-    b = s.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("simhash").alias("h_b"),
-        F.col("prefix").alias("p_b"),
-    )
-    j = a.join(b, (F.col("p_a") == F.col("p_b")) & (F.col("id_a") < F.col("id_b")))
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return j.select(
-        "id_a", "id_b", ham.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= 3)
+    return dedup.simhash64_bands(d)
 
 
-SQL_SIMHASH_NEAR_DUP = f"""
-with s as ({dedup.sql_simhash16('documents')}),
-p as (select doc_id, simhash, cast(simhash // 256 as int) prefix from s)
-select a.doc_id id_a, b.doc_id id_b,
-       cast(bit_count(xor(a.simhash, b.simhash)) as int) hamming
-from p a join p b on a.prefix = b.prefix and a.doc_id < b.doc_id
-where bit_count(xor(a.simhash, b.simhash)) <= 3
-"""
+SQL_SIMHASH64 = dedup.sql_simhash64_bands("documents")
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via BANDED 64-bit lookup: the signature
+    splits into 4x16-bit band tables; a per-band equi-join generates
+    candidates with pigeonhole-guaranteed recall for hamming<=3 (any 3
+    differing bits leave >=1 band identical — unlike the old 8-bit
+    prefix join, which missed pairs differing inside the prefix byte),
+    then exact Hamming on the carried signature verifies. Bucket sizes
+    are bounded (~n/65536 per band) so candidate volume is O(near-dups),
+    never O(n²/buckets)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash64_near_dup_pairs(d)
+
+
+SQL_SIMHASH_NEAR_DUP = dedup.sql_simhash64_near_dup("documents")
 
 QUERIES_EXT["cube_status"] = q_cube_status
 ORACLES_EXT["cube_status"] = SQL_CUBE_STATUS
+QUERIES_EXT["simhash64"] = q_simhash64
+ORACLES_EXT["simhash64"] = SQL_SIMHASH64
 QUERIES_EXT["simhash_near_dup"] = q_simhash_near_dup
 ORACLES_EXT["simhash_near_dup"] = SQL_SIMHASH_NEAR_DUP
 
@@ -826,7 +819,7 @@ with b as (
 select case when bucket < 90 then 'train'
             when bucket < 95 then 'val'
             else 'test' end split,
-       count(*) n_docs, sum(n_chars) total_chars
+       count(*) n_docs, cast(sum(n_chars) as bigint) total_chars
 from b group by 1
 """
 
@@ -870,3 +863,13 @@ from m
 
 QUERIES_EXT["orders_monthly_delta"] = q_orders_monthly_delta
 ORACLES_EXT["orders_monthly_delta"] = SQL_ORDERS_MONTHLY_DELTA
+
+
+# Merge into the main registry here as well, so `import
+# paddleocr_spark.queries_ext` first also yields a complete
+# queries.QUERIES/ORACLES (the bottom-of-queries merge is a no-op in
+# that import order because this module was still mid-import there).
+from paddleocr_spark import queries as _queries  # noqa: E402
+
+_queries.QUERIES.update(QUERIES_EXT)
+_queries.ORACLES.update(ORACLES_EXT)

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from paddleocr_spark.streaming.events import await_drain
+
 
 def dedup_keys(df: DataFrame, keys: list[str], ts_col: str, delay: str) -> DataFrame:
     """Watermarked first-occurrence dedup on `keys` (works under both
@@ -51,5 +53,5 @@ def run_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    await_drain(q, 120)
     return spark.table(name)

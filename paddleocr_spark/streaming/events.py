@@ -72,10 +72,31 @@ def hourly_agg(df: DataFrame) -> DataFrame:
     )
 
 
-def read_event_stream(spark: SparkSession, input_dir: str, watermark: str = "2 hours") -> DataFrame:
+def await_drain(q, timeout: float | None = None) -> None:
+    """Block until the availableNow drain finishes; unlike a bare
+    `awaitTermination(t)`, a timeout is an ERROR (a silently
+    part-populated sink is worse than a failure)."""
+    if timeout is None:
+        q.awaitTermination()
+        return
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {q.name!r} did not drain within {timeout}s"
+        )
+
+
+def read_event_stream(
+    spark: SparkSession,
+    input_dir: str,
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(input_dir)
+        reader.parquet(input_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
     )
@@ -148,7 +169,7 @@ def run_extract_stream_filesink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_drain(q, 180)
 
 
 def run_hourly_stream_append(
@@ -179,4 +200,4 @@ def run_hourly_stream_append(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    await_drain(q, 180)

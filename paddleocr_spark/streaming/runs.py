@@ -52,6 +52,9 @@ def _update_runs(
             lens[0] += run_len
             new_runs = len(starts) - 1
         else:
+            # the carried run (if any) is now complete — fold its length
+            # into longest_done before the batch overwrites run_len
+            longest_done = max(longest_done, run_len)
             new_runs = len(starts)
         n_runs += new_runs
         if len(lens) > 1:
@@ -70,10 +73,14 @@ def run_collapse_stream(
     spark: SparkSession,
     input_dir: str,
     query_name: str = "runs_stream",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    stream = read_event_stream(spark, input_dir).withColumn(
-        "us", F.unix_micros(F.col("ts").cast("timestamp"))
-    )
+    """`max_files_per_trigger=1` forces one micro-batch per input file —
+    the multi-batch path where carried-run state actually merges (the
+    single-file default exercises only the in-batch segmentation)."""
+    stream = read_event_stream(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    ).withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
     out = stream.groupBy("user_id").applyInPandasWithState(
         _update_runs,
         outputStructType=OUTPUT_SCHEMA,

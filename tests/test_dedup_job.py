@@ -76,3 +76,26 @@ def test_dedup_job_empty_input(spark, tmp_path):
     out = str(tmp_path / "out")
     stats = _run_job_input(out, "propagation", src)
     assert stats["n_input"] == 0 and stats["n_output"] == 0
+
+
+def test_dedup_plan_no_broadcast_of_losers(spark):
+    """The final corpus anti-join must not force a broadcast of the
+    loser set (unbounded at corpus scale — VERDICT r1). With the
+    auto-broadcast threshold disabled and no hint in the plan, the
+    anti-join must compile to a shuffle join; a lingering broadcast
+    hint would still produce a BroadcastExchange here."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    from dedup import build_dedup  # noqa: E402
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        _, _, corpus = build_dedup(spark, docs)
+        plan = corpus._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan
+        assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -76,3 +76,51 @@ def test_two_phase_bridged_cliques(spark):
         5: 5, 6: 5, 7: 5, 20: 5, 21: 5, 22: 5
     }
     assert got[100] == got[101] == 100
+
+
+def test_cc_nonconverged_falls_back_to_two_phase(spark, recwarn):
+    """A chain whose diameter exceeds max_iter must NOT return wrong
+    labels silently: default behavior falls back to the two-phase
+    algorithm and still yields correct components (with a warning)."""
+    import warnings
+
+    pairs = [(i, i + 1) for i in range(1, 12)]  # chain 1..12, diameter 11
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = connected_components(df, max_iter=2)
+        got = {r["id"]: r["cluster_id"] for r in out.collect()}
+    assert got == {i: 1 for i in range(1, 13)}
+    assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_cc_nonconverged_raise_mode(spark):
+    import pytest
+
+    pairs = [(i, i + 1) for i in range(1, 12)]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=2, on_nonconverged="raise")
+
+
+def test_cc_reliable_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir switches localCheckpoint -> reliable checkpoint();
+    results identical and checkpoint files actually land in the dir."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11)]
+    df = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(df, checkpoint_dir=ckpt).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert any(os.scandir(ckpt)), "no checkpoint data written"
+
+    from paddleocr_spark.functions.graph import connected_components_two_phase
+
+    ckpt2 = str(tmp_path / "cc2_ckpt")
+    got2 = {r["id"]: r["cluster_id"]
+            for r in connected_components_two_phase(
+                df, checkpoint_dir=ckpt2).collect()}
+    assert got2 == got
+    assert any(os.scandir(ckpt2))

@@ -89,8 +89,10 @@ def test_stateful_run_collapse_matches_batch(spark, events_dir):
 
     got_df = run_collapse_stream(spark, events_dir, "t_runs")
     got = {}
-    for r in got_df.collect():  # update mode: last row per user wins
-        got[r["user_id"]] = (r["n_runs"], r["longest_run"])
+    for r in got_df.collect():  # final state = max-n_runs row per user
+        k = r["user_id"]
+        if k not in got or r["n_runs"] > got[k][0]:
+            got[k] = (r["n_runs"], r["longest_run"])
     want = {
         r["user_id"]: (r["n_runs"], r["longest_run"])
         for r in Q.q_events_run_collapse(spark, SF_DIR).collect()
@@ -179,3 +181,94 @@ def test_hourly_append_mode_emits_only_closed_windows(spark, tmp_path):
     for ws, _et in got:
         start = datetime.strptime(ws, "%Y-%m-%d %H:%M:%S")
         assert start <= cutoff
+
+
+def test_run_collapse_multibatch_boundary(spark, tmp_path):
+    """Regression: a run completed entirely in an earlier micro-batch
+    must survive into longest_run when the next batch starts a
+    DIFFERENT run (batch1=[A,A,A,A,A], batch2=[B] => longest_run=5,
+    not 1). maxFilesPerTrigger=1 makes each file its own micro-batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from paddleocr_spark.streaming.runs import run_collapse_stream
+
+    src = tmp_path / "runs_in"
+    os.makedirs(src)
+
+    def events_file(path, rows, mtime):
+        ids, tss, types = zip(*rows)
+        t = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(
+                    [datetime(2024, 1, 1, 0, 0, s) for s in tss],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(t, str(path))
+        os.utime(path, (mtime, mtime))
+
+    events_file(src / "f0.parquet", [(i, i, "A") for i in range(5)], 1_000_000)
+    events_file(src / "f1.parquet", [(10, 10, "B")], 1_000_100)
+
+    got = run_collapse_stream(
+        spark, str(src), "t_runs_boundary", max_files_per_trigger=1
+    )
+    # update mode: the final state per user is the row with max n_runs
+    # (monotone across batches; robust to memory-sink row order)
+    final = {}
+    for r in got.collect():
+        k = r["user_id"]
+        if k not in final or r["n_runs"] > final[k][0]:
+            final[k] = (r["n_runs"], r["longest_run"])
+    assert final == {1: (2, 5)}
+
+
+def test_run_collapse_multibatch_parity(spark, tmp_path):
+    """Full-data parity with the batch twin when the stream is split
+    into 3 ts-ordered micro-batches (many users' longest runs complete
+    before the final batch)."""
+    import pyarrow.parquet as pq
+
+    import paddleocr_spark.queries as Q
+    from paddleocr_spark.streaming.runs import run_collapse_stream
+
+    src = tmp_path / "runs_split"
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    import pandas as pd  # noqa: F401
+
+    order = (
+        t.select(["ts", "event_id"])
+        .to_pandas()
+        .sort_values(["ts", "event_id"])
+        .index
+    )
+    third = len(order) // 3
+    for i, sl in enumerate(
+        [order[:third], order[third : 2 * third], order[2 * third :]]
+    ):
+        p = src / f"f{i}.parquet"
+        pq.write_table(t.take(list(sl)), str(p))
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    got_df = run_collapse_stream(
+        spark, str(src), "t_runs_multibatch", max_files_per_trigger=1
+    )
+    got = {}
+    for r in got_df.collect():  # final state = max-n_runs row per user
+        k = r["user_id"]
+        if k not in got or r["n_runs"] > got[k][0]:
+            got[k] = (r["n_runs"], r["longest_run"])
+    want = {
+        r["user_id"]: (r["n_runs"], r["longest_run"])
+        for r in Q.q_events_run_collapse(spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
