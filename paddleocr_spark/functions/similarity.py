@@ -218,3 +218,192 @@ def sql_centroid_dots(vec: str, n: int = N_CENTROIDS, dim: int = _IVF_DIM) -> st
 def sql_ivf_cell(vec: str) -> str:
     d = sql_centroid_dots(vec)
     return f"cast(list_position({d}, list_max({d})) as int)"
+
+
+# ------------------------------------------------------------------
+# Batch-query ANN: per-row top-k for N query vectors (the corpus-scale
+# TableMatch.match_result analog, ppstructure/table/matcher.py:77-101 —
+# there each OCR box argmins over cells per document; here each query
+# vector top-ks over the corpus, distributed)
+# ------------------------------------------------------------------
+
+def topk_cosine_batch(
+    df: DataFrame,
+    queries_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = N_PLANES,
+    probe_radius: int = 1,
+) -> DataFrame:
+    """Per-query ANN top-k for a whole table of query vectors.
+
+    Plan shape (the part that matters at scale):
+    - corpus rows get their LSH bucket once (pure column exprs);
+    - each QUERY row explodes to its probe set — its own bucket plus
+      every bucket within `probe_radius` bit flips (multi-probe buys
+      recall on the small side of the join; the corpus side never
+      explodes);
+    - bucket equi-join (shuffle hash join on a bounded key — never a
+      cartesian product; at 10^12 rows the bucket is the partition
+      key and the join co-locates);
+    - exact cosine + `row_number() <= k` per query id.
+
+    A (query, corpus) pair can match at most one probe value (a corpus
+    row has exactly one bucket), so no dedup is needed before ranking.
+    """
+    from pyspark.sql import Window
+
+    if probe_radius not in (0, 1):
+        raise ValueError("probe_radius must be 0 or 1")
+    probes = [F.col("__qb")]
+    if probe_radius == 1:
+        probes += [
+            F.col("__qb").bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)
+        ]
+    q = queries_df.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        lsh_bucket(F.col(vec_col), n_planes).alias("__qb"),
+    ).select(
+        query_id_col, "__qv", F.explode(F.array(*probes)).alias("__probe")
+    )
+    c = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), n_planes).alias("__b")
+    )
+    j = c.join(q, F.col("__b") == F.col("__probe"))
+    scored = j.select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("__qv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cos_sim"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def sql_topk_cosine_batch(
+    table: str,
+    queries_cte: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    n_planes: int = N_PLANES,
+    probe_radius: int = 1,
+) -> str:
+    """DuckDB mirror of topk_cosine_batch (same buckets, same probes,
+    same tie-break). `queries_cte` must select (query_id, embedding)."""
+    probe_list = f"[{sql_lsh_bucket(vec_col)}]"
+    if probe_radius == 1:
+        flips = ", ".join(
+            f"xor({sql_lsh_bucket(vec_col)}, {1 << j})" for j in range(n_planes)
+        )
+        probe_list = f"[{sql_lsh_bucket(vec_col)}, {flips}]"
+    return f"""
+    with qsrc as ({queries_cte}),
+    q as (
+      select {query_id_col}, {vec_col} __qv,
+             unnest({probe_list}) __probe
+      from qsrc
+    ),
+    c as (
+      select {id_col}, {vec_col}, {sql_lsh_bucket(vec_col)} __b from {table}
+    ),
+    scored as (
+      select q.{query_id_col}, c.{id_col},
+             round({sql_cosine(f'c.{vec_col}', 'q.__qv')}, 6) cos_sim
+      from c join q on c.__b = q.__probe
+    )
+    select {query_id_col}, {id_col}, cos_sim, cast(rank as int) rank from (
+      select *, row_number() over (
+        partition by {query_id_col} order by cos_sim desc, {id_col}
+      ) rank from scored
+    ) where rank <= {k}
+    """
+
+
+# ------------------------------------------------------------------
+# Banded multi-table LSH near-dup over embeddings (production path)
+# ------------------------------------------------------------------
+
+def plane_dot_t(a: Column, t: int, j: int, n_planes: int) -> Column:
+    """Hyperplane dot for plane j of table t (globally distinct plane
+    index => independent hash tables)."""
+    g = t * n_planes + j
+    return F.aggregate(
+        F.transform(
+            a,
+            lambda x, i: x.cast("double")
+            * (((i + 1) * (g + 3)) % 7 - 3).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def lsh_bucket_t(a: Column, t: int, n_planes: int) -> Column:
+    acc = F.lit(0)
+    for j in range(n_planes):
+        acc = acc + F.when(plane_dot_t(a, t, j, n_planes) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+    return acc.cast("int")
+
+
+def embed_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 16,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at corpus scale: L independent
+    random-hyperplane hash tables of b planes each (the vector-space
+    twin of MinHash banding). A pair is a candidate iff it collides in
+    ANY table; exact cosine (hoisted norms) verifies >= threshold.
+
+    Parameterization: b=16 planes => 65,536 buckets per table (bounded
+    candidate volume, ~n²/65536 per table), L=4 tables for recall —
+    collision prob per table at cosine c is (1 - acos(c)/pi)^b, so for
+    true near-dups (c >= 0.95, bit-agreement ~0.90) one-table recall
+    ~0.19 and 4-table recall ~0.57; raise n_tables for higher recall,
+    n_planes for fewer candidates. The 4-plane/16-bucket
+    `q_embed_near_dup` query is the oracle-scale miniature of this.
+    """
+    sigs = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+        F.posexplode(
+            F.array(*[lsh_bucket_t(F.col(vec_col), t, n_planes) for t in range(n_tables)])
+        ).alias("__t", "__b"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.__b") == F.col("b.__b"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__nrm") * F.col("b.__nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .distinct()
+    )
+    return cand

@@ -873,3 +873,40 @@ from paddleocr_spark import queries as _queries  # noqa: E402
 
 _queries.QUERIES.update(QUERIES_EXT)
 _queries.ORACLES.update(ORACLES_EXT)
+
+
+# ---------------------------------------------------------------------------
+# Batch-query ANN: per-query top-k join (corpus-scale TableMatch analog)
+# ---------------------------------------------------------------------------
+
+def q_sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query ANN top-k for a TABLE of query vectors (every round-1
+    similarity entry point took one query row; a training-data
+    retrieval pass needs millions). LSH-bucket equi-join with
+    multi-probe on the query side + windowed row_number()<=k per query
+    — no cartesian product anywhere in the plan."""
+    from paddleocr_spark.functions import similarity
+
+    e = _t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return similarity.topk_cosine_batch(e, qs, k=5)
+
+
+def _sql_sim_batch_topk() -> str:
+    from paddleocr_spark.functions import similarity
+
+    return similarity.sql_topk_cosine_batch(
+        "embeddings",
+        "select vec_id query_id, embedding from embeddings where vec_id % 100 = 0",
+        k=5,
+    )
+
+
+SQL_SIM_BATCH_TOPK = _sql_sim_batch_topk()
+
+QUERIES_EXT["sim_batch_topk"] = q_sim_batch_topk
+ORACLES_EXT["sim_batch_topk"] = SQL_SIM_BATCH_TOPK
+_queries.QUERIES["sim_batch_topk"] = q_sim_batch_topk
+_queries.ORACLES["sim_batch_topk"] = SQL_SIM_BATCH_TOPK
