@@ -37,10 +37,30 @@ def rec_metric(pred: DataFrame, gold: DataFrame, key: str = "url",
 
 
 def det_metric(pred_spans: DataFrame, gold_spans: DataFrame, key: str = "url",
-               min_overlap: float = 0.5) -> DataFrame:
+               min_overlap: float = 0.5, bucket_width: int = 1000) -> DataFrame:
     """Span-level P/R/F1: a predicted [start,end) matches a golden span
     when intersection / union >= min_overlap (IoU-matched hmean analog,
-    det_metric.py:24-71). Expects (key, start, end) on both sides."""
+    det_metric.py:24-71). Expects (key, start, end) on both sides.
+
+    Fully lazy, single logical plan, ONE action when the caller
+    collects (round 1 ran three separate count() jobs). The overlap
+    join is banded: each span explodes to the `bucket_width`-char
+    buckets it touches and the join key is (key, bucket) — overlapping
+    spans always share a touched bucket, and the per-group pair space
+    is bounded by spans-per-bucket instead of spans-per-doc (the
+    quadratic-in-dense-docs fix). Matches are deduped before counting.
+    """
+    def banded(df, s, e):
+        return df.withColumn(
+            "__bk",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / bucket_width),
+                    F.floor((F.col(e) - 1) / bucket_width),
+                )
+            ),
+        )
+
     p = pred_spans.select(key, F.col("start").alias("ps"), F.col("end").alias("pe"))
     g = gold_spans.select(key, F.col("start").alias("gs"), F.col("end").alias("ge"))
     inter = F.greatest(
@@ -48,19 +68,41 @@ def det_metric(pred_spans: DataFrame, gold_spans: DataFrame, key: str = "url",
     ).cast("double")
     union = (F.greatest("pe", "ge") - F.least("ps", "gs")).cast("double")
     matched = (
-        p.join(g, key)
+        banded(p, "ps", "pe")
+        .join(banded(g, "gs", "ge"), [key, "__bk"])
         .filter((inter / union) >= min_overlap)
         .select(key, "ps", "pe")
         .distinct()
     )
-    n_pred = p.count()
-    n_gold = g.count()
-    n_match = matched.count()
-    precision = n_match / n_pred if n_pred else 0.0
-    recall = n_match / n_gold if n_gold else 0.0
-    f1 = (2 * precision * recall / (precision + recall)) if precision + recall else 0.0
-    spark = pred_spans.sparkSession
-    return spark.createDataFrame(
-        [(float(precision), float(recall), float(f1), n_pred, n_gold, n_match)],
-        "precision double, recall double, f1 double, n_pred long, n_gold long, n_match long",
+    # one union of tagged 1-rows -> one aggregation job for all three
+    # counters (the partial+final shape of the reference's accumulators)
+    tagged = (
+        p.select(F.lit(1).alias("p"), F.lit(0).alias("g"), F.lit(0).alias("m"))
+        .unionAll(g.select(F.lit(0), F.lit(1), F.lit(0)))
+        .unionAll(matched.select(F.lit(0), F.lit(0), F.lit(1)))
+    )
+    agg = tagged.agg(
+        F.sum("p").alias("n_pred"),
+        F.sum("g").alias("n_gold"),
+        F.sum("m").alias("n_match"),
+    )
+    prec = F.when(F.col("n_pred") > 0, F.col("n_match") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_gold") > 0, F.col("n_match") / F.col("n_gold")).otherwise(0.0)
+    return (
+        agg.withColumn("precision", prec.cast("double"))
+        .withColumn("recall", rec.cast("double"))
+        .withColumn(
+            "f1",
+            F.when(
+                F.col("precision") + F.col("recall") > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(0.0).cast("double"),
+        )
+        .select(
+            "precision", "recall", "f1",
+            F.col("n_pred").cast("long").alias("n_pred"),
+            F.col("n_gold").cast("long").alias("n_gold"),
+            F.col("n_match").cast("long").alias("n_match"),
+        )
     )

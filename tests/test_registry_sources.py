@@ -231,3 +231,30 @@ def test_sql_surface_matches_dataframe_path(spark, smoke_dir):
     g = {r["url"]: [tuple(b) for b in r["blocks"]] for r in got.collect()}
     w = {r["url"]: [tuple(b) for b in r["blocks"]] for r in want.collect()}
     assert g == w and len(g) > 0
+
+
+def test_det_metric_single_pass_and_lazy(spark):
+    """det_metric must build ONE lazy plan (round 1 eagerly ran three
+    count() jobs inside the function): constructing the result frame
+    triggers no Spark jobs, and spans overlapping across bucket
+    boundaries still match under the banded join."""
+    from paddleocr_spark.metrics import det_metric
+
+    # spans straddling the 1000-char bucket boundary on both sides
+    pred = spark.createDataFrame(
+        [("a", 950, 1050), ("a", 3000, 3010)], "url string, start int, end int"
+    )
+    gold = spark.createDataFrame(
+        [("a", 960, 1040)], "url string, start int, end int"
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("det_metric_lazy", "laziness probe")
+    try:
+        df = det_metric(pred, gold)
+        assert sc.statusTracker().getJobIdsForGroup("det_metric_lazy") == []
+        r = df.collect()[0]
+    finally:
+        sc.setJobGroup(None, None)
+    # iou = 80/100 >= 0.5 -> the straddling pair matches exactly once
+    assert r["n_match"] == 1 and r["n_pred"] == 2 and r["n_gold"] == 1
+    assert abs(r["precision"] - 0.5) < 1e-12 and abs(r["recall"] - 1.0) < 1e-12
