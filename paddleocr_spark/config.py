@@ -44,6 +44,41 @@ class PipelineConfig:
     # Score formula constant: score = (text_len - link_text_len) / (text_len + SCORE_K)
     score_k: int = 8
 
+    # Opt-in prefilters (paddleocr.py:717-723 bin/inv + alpha_to_color
+    # utility.py:86-105, applied at the head of stage 1 exactly where
+    # the reference's preprocess_image runs — inside the per-document
+    # parse, shared verbatim by the pure-Python oracle):
+    # - alpha: flatten the invisible layer — strip HTML comments
+    #   (transparent pixels -> background color).
+    # - inv:   drop struck-through content (<del>/<s>) — inverted
+    #   ("negated") text treated as non-content.
+    # - bin:   binarize whitespace — collapse runs of whitespace to a
+    #   single space before counting (grayscale -> 2 levels).
+    prefilter_alpha: bool = False
+    prefilter_inv: bool = False
+    prefilter_bin: bool = False
+
+    # PDF page-limit analog (paddleocr.py:710-713 -> SURVEY §2.6
+    # filter(page_no < n)): process only the first `page_num` layout
+    # sections ("pages") of a document; 0 = no limit.
+    page_num: int = 0
+
+    # Aspect-ratio batch sort analog (predict_rec.py:456-460,
+    # predict_cls.py:83-86): order rows by html length WITHIN each
+    # partition before the stage-1 Arrow UDF so Arrow batches hold
+    # similar-sized documents (evens out per-batch parse cost the way
+    # the reference's width-sorted batches cut padding waste). Pure
+    # performance: no shuffle, and output identity is carried by the
+    # url column so results are unaffected.
+    sort_by_len: bool = False
+
+    # Region scoring mode (db_postprocess.py:189-225): 'fast' scores
+    # over the block's full subtree text (box_score_fast: bbox-mask
+    # mean, includes nested elements), 'slow' over the element's OWN
+    # text only — nested block elements' chars excluded
+    # (box_score_slow: exact-polygon-mask mean, strict membership).
+    score_mode: str = "fast"
+
 
 DEFAULT = PipelineConfig()
 

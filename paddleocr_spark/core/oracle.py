@@ -41,6 +41,15 @@ def block_score(text_len: int, link_text_len: int, k: int) -> float:
     return (text_len - link_text_len) / (text_len + float(k))
 
 
+def block_score_for(b: Block, cfg: PipelineConfig) -> float:
+    """Mode-dispatched region score: 'fast' = full-subtree counters
+    (box_score_fast, db_postprocess.py:189-204), 'slow' = own-text
+    strict membership (box_score_slow, db_postprocess.py:206-225)."""
+    if cfg.score_mode == "slow":
+        return block_score(b.own_text_len, b.own_link_len, cfg.score_k)
+    return block_score(b.text_len, b.link_text_len, cfg.score_k)
+
+
 @dataclass
 class ScoredBlock(Block):
     score: float = 0.0
@@ -69,7 +78,7 @@ def extract_page(
 
     scored: list[ScoredBlock] = []
     for b in blocks:
-        s = block_score(b.text_len, b.link_text_len, cfg.score_k)
+        s = block_score_for(b, cfg)
         sb = ScoredBlock(**b.__dict__)
         sb.score = s
         scored.append(sb)
@@ -117,7 +126,7 @@ def detect_blocks_rows(url: str, html: bytes, cfg: PipelineConfig = DEFAULT):
     """golden_blocks rows (FIXTURES.md §3): per-block features + kept flag."""
     rows = []
     for b in tokenize_page(html, cfg):
-        s = block_score(b.text_len, b.link_text_len, cfg.score_k)
+        s = block_score_for(b, cfg)
         kept = (
             s > cfg.det_thresh
             and s >= cfg.det_box_thresh

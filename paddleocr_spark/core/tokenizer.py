@@ -45,6 +45,29 @@ _TD_RE = re.compile(r'<td([^>]*)>(.*?)</td>', re.DOTALL)
 _TR_RE = re.compile(r"<tr>(.*?)</tr>", re.DOTALL)
 _SPAN_RE = re.compile(r"<span([^>]*)>(.*?)</span>", re.DOTALL)
 _WS_SEARCH = re.compile(WS_CLASS)
+# nested block-level elements inside a top-level match (the part a
+# strict-membership 'slow' score excludes, db_postprocess.py:206-225)
+_NESTED_BLOCK_RE = re.compile(
+    r"<(" + BLOCK_TAGS + r")((?:\s[^>]*)?)>(.*?)</\1>", re.DOTALL
+)
+# opt-in prefilters (preprocess_image analog, paddleocr.py:717-723)
+_COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
+_STRUCK_RE = re.compile(r"<(del|s)\b[^>]*>.*?</\1>", re.DOTALL)
+_WS_RUN_RE = re.compile(WS_CLASS + "+")
+
+
+def prefilter_doc(doc: str, cfg: PipelineConfig) -> str:
+    """The reference's preprocess_image chain (alpha_to_color -> inv ->
+    bin, paddleocr.py:717-723) re-expressed on the decoded byte stream.
+    Runs at the head of the per-document parse, so the Spark UDF and
+    the pure-Python oracle share this single implementation."""
+    if cfg.prefilter_alpha:
+        doc = _COMMENT_RE.sub("", doc)
+    if cfg.prefilter_inv:
+        doc = _STRUCK_RE.sub("", doc)
+    if cfg.prefilter_bin:
+        doc = _WS_RUN_RE.sub(" ", doc)
+    return doc
 
 
 @dataclass
@@ -60,6 +83,8 @@ class Block:
     branch: str         # 'main' | 'layout' | 'table'
     layout: str         # '' | 'single' | 'double'
     parent_id: int      # first-chunk block_id for split chunks, else own id
+    own_text_len: int = 0   # visible chars EXCLUDING nested block elements
+    own_link_len: int = 0   # anchor chars excluding nested block elements
 
 
 def _visible(inner: str) -> str:
@@ -140,13 +165,20 @@ def _parse_table(inner: str):
 
 def tokenize_page(html: bytes, cfg: PipelineConfig = DEFAULT) -> list[Block]:
     """Parse one page into reading-ordered candidate blocks."""
-    doc = html.decode("utf-8", errors="replace")
+    doc = prefilter_doc(html.decode("utf-8", errors="replace"), cfg)
     out: list[Block] = []
+    layout_pages = 0
 
-    def emit(tag, depth, start, end, text, text_len, link_len, branch, layout=""):
+    def emit(tag, depth, start, end, text, text_len, link_len, branch,
+             layout="", own_text_len=None, own_link_len=None):
         bid = len(out)
         out.append(
-            Block(bid, tag, depth, start, end, text, text_len, link_len, branch, layout, bid)
+            Block(
+                bid, tag, depth, start, end, text, text_len, link_len,
+                branch, layout, bid,
+                text_len if own_text_len is None else own_text_len,
+                link_len if own_link_len is None else own_link_len,
+            )
         )
         return bid
 
@@ -155,6 +187,11 @@ def tokenize_page(html: bytes, cfg: PipelineConfig = DEFAULT) -> list[Block]:
         start, end = m.start(), m.end()
 
         if tag == "div" and "layout" in attrs:
+            # page_num PDF page-limit analog (paddleocr.py:710-713):
+            # each layout section is one "page" of the document
+            layout_pages += 1
+            if cfg.page_num and layout_pages > cfg.page_num:
+                continue
             pw = _PAGEW_RE.search(attrs)
             page_w = int(pw.group(1)) if pw else 1000
             kids = []
@@ -223,6 +260,14 @@ def tokenize_page(html: bytes, cfg: PipelineConfig = DEFAULT) -> list[Block]:
                 out[bid].parent_id = parent
             continue
 
-        emit(tag, 1, start, end, normalize_ws(raw_vis), len(raw_vis), link_len, "main")
+        # strict-membership features: chars belonging to the element
+        # itself, with nested block elements stripped (score_mode='slow')
+        own_inner = _NESTED_BLOCK_RE.sub("", inner)
+        emit(
+            tag, 1, start, end, normalize_ws(raw_vis), len(raw_vis), link_len,
+            "main",
+            own_text_len=len(_visible(own_inner)),
+            own_link_len=_link_len(own_inner),
+        )
 
     return out

@@ -152,7 +152,15 @@ def _assemble(df: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def scored_blocks(df: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    """url/lang/html -> url, lang, blocks, scored (array with score)."""
+    """url/lang/html -> url, lang, blocks, scored (array with score).
+
+    score_mode='fast' scores over the block's full subtree counters
+    (box_score_fast, db_postprocess.py:189-204); 'slow' over the
+    element's OWN text with nested block elements excluded
+    (box_score_slow strict membership, db_postprocess.py:206-225). The
+    min-size filter always uses the raw text_len, like the reference's
+    side<=3 drop which is score-mode-independent."""
+    slow = cfg.score_mode == "slow"
     df = with_blocks(df.select("url", "lang", "html"), cfg)
     scored = F.transform(
         F.col("blocks"),
@@ -163,7 +171,11 @@ def scored_blocks(df: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
             x["text"].alias("text"),
             x["parent_id"].alias("parent_id"),
             x["text_len"].alias("text_len"),
-            score_expr(x["text_len"], x["link_text_len"], cfg.score_k).alias("score"),
+            score_expr(
+                x["own_text_len"] if slow else x["text_len"],
+                x["own_link_len"] if slow else x["link_text_len"],
+                cfg.score_k,
+            ).alias("score"),
         ),
     )
     return df.withColumn("scored", scored)

@@ -53,9 +53,15 @@ def salted_repartition(df: DataFrame, n_partitions: int, salt: int) -> DataFrame
     return df.repartition(n_partitions, F.col("part_id"), salt_key)
 
 
+def _is_warehouse(input_path: str) -> bool:
+    return os.path.isdir(os.path.join(input_path, "_snapshots"))
+
+
 def _input_snapshot(input_path: str) -> str:
     """Stand-in for the Iceberg snapshot id: content-address the input
-    file listing (names + sizes)."""
+    file listing (names + sizes). Warehouse tables
+    (sources/warehouse.py) carry REAL snapshot ids instead — see
+    run_extract_job."""
     h = hashlib.md5()
     if os.path.isdir(input_path):
         for name in sorted(os.listdir(input_path)):
@@ -92,11 +98,21 @@ def run_extract_job(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     data_path = os.path.join(output_dir, "extracted")
     lineage_path = os.path.join(output_dir, "lineage")
-    snapshot = _input_snapshot(input_path)
     run_id = uuid.uuid4().hex[:12]
     timings: dict[str, float] = {}
 
-    pages = add_part_id(spark.read.parquet(input_path), n_partitions)
+    if _is_warehouse(input_path):
+        # snapshot-pinned scan: lineage rows reference the warehouse's
+        # committed snapshot id, and the whole run reads exactly that
+        # snapshot's files even if appends land mid-run
+        from paddleocr_spark.sources import warehouse as W
+
+        snapshot = W.current_snapshot_id(input_path)
+        src = W.read_table(spark, input_path, snapshot).drop("day", "bucket")
+    else:
+        snapshot = _input_snapshot(input_path)
+        src = spark.read.parquet(input_path)
+    pages = add_part_id(src, n_partitions)
 
     n_done_before = 0
     if resume:

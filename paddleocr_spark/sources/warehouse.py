@@ -1,0 +1,145 @@
+"""Snapshot-isolated, partition-transformed table layout ("Iceberg-lite").
+
+No Iceberg runtime exists in this environment (no catalog jars, no
+network), so the SURVEY §4 scale story — ``bucket(N, url)`` /
+``days(warc_ts)`` partition transforms, snapshot-pinned scans,
+partition-pruned reads — is reproduced here with the same *mechanism*
+Iceberg uses, at file granularity, instead of being emulated with an
+opaque listing hash:
+
+- **partition transforms**: ``bucket = pmod(xxhash64(url), N)`` and
+  ``day = date(warc_ts)`` written as hive-style partition directories
+  (``day=.../bucket=.../``) — the exact analog of Iceberg's
+  ``bucket(N, url)`` + ``days(warc_ts)`` spec on the pages table.
+- **snapshots**: every append lists the data files before and after the
+  write and commits a JSON manifest naming the full file set; readers
+  pin a snapshot id and scan exactly those files. Time travel = read an
+  older manifest; the files of later appends are invisible to it.
+- **partition pruning**: reads go through ``basePath`` + the manifest's
+  explicit file list, so filters on ``day``/``bucket`` become
+  ``PartitionFilters`` in the scan node and files outside the predicate
+  are skipped at plan time (asserted in tests/test_warehouse.py).
+
+Deliberately out of scope (what a real Iceberg deployment adds):
+atomic metadata-pointer CAS for concurrent writers, manifest-level
+column stats for file skipping within a partition, and schema
+evolution. Single-writer append-only is the contract here, which is
+exactly how the extraction job uses its tables.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_BUCKETS = 16
+
+
+def bucket_col(url_col: str = "url", n_buckets: int = N_BUCKETS):
+    """Iceberg ``bucket(N, url)`` transform analog (content-derived,
+    stable across runs and cluster sizes)."""
+    return F.pmod(F.xxhash64(url_col), F.lit(n_buckets)).cast("int")
+
+
+def day_col(ts_col: str = "warc_ts"):
+    """Iceberg ``days(warc_ts)`` transform analog."""
+    return F.date_format(F.col(ts_col), "yyyy-MM-dd")
+
+
+def _data_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "data")
+
+
+def _snap_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_snapshots")
+
+
+def _list_data_files(table_dir: str) -> list[str]:
+    out = []
+    root = _data_dir(table_dir)
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.relpath(os.path.join(dirpath, f), root))
+    return sorted(out)
+
+
+def snapshots(table_dir: str) -> list[dict]:
+    """All committed snapshots, oldest first."""
+    log = os.path.join(_snap_dir(table_dir), "log.jsonl")
+    if not os.path.exists(log):
+        return []
+    with open(log) as fh:
+        return [json.loads(line) for line in fh if line.strip()]
+
+
+def current_snapshot_id(table_dir: str) -> str | None:
+    snaps = snapshots(table_dir)
+    return snaps[-1]["snapshot_id"] if snaps else None
+
+
+def append(
+    df: DataFrame,
+    table_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """Append rows under the (day, bucket) partition layout and commit
+    a new snapshot; returns its id. The snapshot id content-addresses
+    (parent id + files added), so identical re-ingests are detectable
+    and lineage rows referencing it pin the exact input state."""
+    before = set(_list_data_files(table_dir)) if os.path.exists(_data_dir(table_dir)) else set()
+    (
+        df.withColumn("day", day_col(ts_col))
+        .withColumn("bucket", bucket_col(url_col, n_buckets))
+        .write.mode("append")
+        .partitionBy("day", "bucket")
+        .parquet(_data_dir(table_dir))
+    )
+    after = _list_data_files(table_dir)
+    added = sorted(set(after) - before)
+    parent = current_snapshot_id(table_dir)
+    h = hashlib.md5()
+    h.update((parent or "").encode())
+    for f in added:
+        h.update(f.encode())
+    snap_id = h.hexdigest()[:16]
+    os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    entry = dict(
+        snapshot_id=snap_id,
+        parent=parent,
+        n_files=len(after),
+        added=added,
+        files=after,
+        committed_ms=int(time.time() * 1000),
+    )
+    with open(os.path.join(_snap_dir(table_dir), f"{snap_id}.json"), "w") as fh:
+        json.dump(entry, fh)
+    with open(os.path.join(_snap_dir(table_dir), "log.jsonl"), "a") as fh:
+        fh.write(json.dumps({k: entry[k] for k in ("snapshot_id", "parent", "n_files", "committed_ms")}) + "\n")
+    return snap_id
+
+
+def read_table(
+    spark: SparkSession, table_dir: str, snapshot_id: str | None = None
+) -> DataFrame:
+    """Snapshot-pinned scan: exactly the pinned manifest's files, with
+    day/bucket recovered as partition columns (basePath) so predicates
+    on them prune at plan time."""
+    sid = snapshot_id or current_snapshot_id(table_dir)
+    if sid is None:
+        raise ValueError(f"no snapshots committed in {table_dir}")
+    manifest = os.path.join(_snap_dir(table_dir), f"{sid}.json")
+    if not os.path.exists(manifest):
+        raise ValueError(f"unknown snapshot {sid!r} in {table_dir}")
+    with open(manifest) as fh:
+        files = json.load(fh)["files"]
+    data = _data_dir(table_dir)
+    paths = [os.path.join(data, f) for f in files]
+    return spark.read.option("basePath", data).parquet(*paths)
