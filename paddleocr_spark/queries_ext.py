@@ -910,3 +910,77 @@ QUERIES_EXT["sim_batch_topk"] = q_sim_batch_topk
 ORACLES_EXT["sim_batch_topk"] = SQL_SIM_BATCH_TOPK
 _queries.QUERIES["sim_batch_topk"] = q_sim_batch_topk
 _queries.ORACLES["sim_batch_topk"] = SQL_SIM_BATCH_TOPK
+
+
+# ---------------------------------------------------------------------------
+# warp_boxes + softmax-expectation decode (the last §2.8 scalar rows)
+# ---------------------------------------------------------------------------
+
+def q_warp_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """warp_boxes analog (picodet_postprocess.py:129-152): spans
+    produced in canonicalized (0.5x) coordinates projected back to
+    original char space — round(x/ratio), clip to [0, n_chars],
+    min/max re-ordering. Pure integer/double column arithmetic."""
+    from paddleocr_spark.functions import boxes
+
+    d = _t(spark, sf_dir, "documents")
+    # synthetic canonical-space span per doc: [n_chars/10, n_chars/3)
+    s = (F.col("n_chars") / 10).cast("bigint")
+    e = (F.col("n_chars") / 3).cast("bigint")
+    ws, we = boxes.warp_spans(s, e, 0.5, F.col("n_chars"))
+    return d.select(
+        "doc_id", ws.alias("w_start"), we.alias("w_end"),
+        (we - ws).alias("w_len"),
+    )
+
+
+def _sql_warp_spans() -> str:
+    from paddleocr_spark.functions import boxes
+
+    ws = boxes.sql_warp_span_bound("n_chars // 10", "0.5", "n_chars")
+    we = boxes.sql_warp_span_bound("n_chars // 3", "0.5", "n_chars")
+    return f"""
+    select doc_id,
+           least({ws}, {we}) w_start,
+           greatest({ws}, {we}) w_end,
+           greatest({ws}, {we}) - least({ws}, {we}) w_len
+    from documents
+    """
+
+
+def q_softmax_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """softmax+expectation decode (picodet_postprocess.py:194-199):
+    expected index under the softmaxed first-8-element score vector of
+    each embedding — distribution-to-position regression as native
+    higher-order functions."""
+    from paddleocr_spark.functions import boxes
+
+    e = _t(spark, sf_dir, "embeddings")
+    head = F.slice(F.transform("embedding", lambda x: x.cast("double")), 1, 8)
+    return e.select(
+        "vec_id",
+        F.round(boxes.softmax_expectation(head), 6).alias("expected_idx"),
+    )
+
+
+def _sql_softmax_decode() -> str:
+    from paddleocr_spark.functions import boxes
+
+    arr = "list_transform(embedding[1:8], x -> x::DOUBLE)"
+    return f"""
+    select vec_id, round({boxes.sql_softmax_expectation(arr)}, 6) expected_idx
+    from embeddings
+    """
+
+
+SQL_WARP_SPANS = _sql_warp_spans()
+SQL_SOFTMAX_DECODE = _sql_softmax_decode()
+
+for _name, _q, _sql in [
+    ("warp_spans", q_warp_spans, SQL_WARP_SPANS),
+    ("softmax_decode", q_softmax_decode, SQL_SOFTMAX_DECODE),
+]:
+    QUERIES_EXT[_name] = _q
+    ORACLES_EXT[_name] = _sql
+    _queries.QUERIES[_name] = _q
+    _queries.ORACLES[_name] = _sql
