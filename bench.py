@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "redact_text",
     "dataset_split",
     "orders_monthly_delta",
+    "simhash64",
+    "sim_batch_topk",
+    "warp_spans",
+    "softmax_decode",
 ]
 
 

@@ -38,6 +38,18 @@ def content_hash(text: Column) -> Column:
     return F.md5(text)
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Guard against a narrow scan serializing a heavy explode stage:
+    when the input has fewer partitions than cores (the small-file /
+    local-bench case), repartition on the id so the per-word work
+    parallelizes. At corpus scale the scan already has >= cores
+    partitions and this is a no-op — no extra shuffle."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism, *cols)
+    return df
+
+
 def minhash_from_shingles(sh: Column, seed: int) -> Column:
     """One MinHash value: min over word-k-shingles of md5('{seed}|'+s).
 
@@ -58,6 +70,7 @@ def with_minhash(df: DataFrame, text_col: str = "text", n: int = N_MINHASH) -> D
     once (O(words) per row) and every signature reads it."""
     from paddleocr_spark.functions.textstats import with_shingles
 
+    df = _spread(df)
     df = with_shingles(df, text_col, 3, "__sh")
     df = df.select(
         "*",
@@ -129,12 +142,24 @@ def simhash16(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     bit is the sign of sum(±1) over its distinct words. One shuffle of
     (id, word) pairs; partial aggregation does the heavy lifting.
     """
-    w = df.select(
+    w = _spread(df, id_col).select(
         id_col, F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word")
     ).filter(F.col("word") != "")
+    # one 15-digit parse + one single-digit parse instead of 16 convs;
+    # parity of hex digit j == bit 4*(15-j) of the big-endian parse, so
+    # the values (and the DuckDB mirror) are unchanged
+    w = w.select(
+        id_col,
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint").alias("hh"),
+        F.conv(F.substring(F.md5("word"), 16, 1), 16, 10).cast("int").alias("d16"),
+    )
     contribs = [
         (
-            F.conv(F.substring(F.md5("word"), j + 1, 1), 16, 10).cast("int") % 2 * 2 - 1
+            (
+                F.shiftright(F.col("hh"), (14 - j) * 4).bitwiseAND(F.lit(1)).cast("int")
+                if j < 15
+                else F.col("d16").bitwiseAND(F.lit(1))
+            ) * 2 - 1
         ).alias(f"c{j}")
         for j in range(SIMHASH_BITS)
     ]
@@ -224,17 +249,22 @@ def simhash64_bands(
     hamming(a,b) = Σ_k bit_count(xor(a.bk, b.bk)). One shuffle of
     (id, word) pairs; partial aggregation does the heavy lifting.
     """
-    w = df.select(
+    w = _spread(df, id_col).select(
         id_col,
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
     ).filter(F.col("word") != "")
-    digit = [
-        F.conv(F.substring(F.md5("word"), d + 1, 1), 16, 10).cast("int")
-        for d in range(32)
-    ]
+    # two 15-hex-digit parses give 60 usable bits each (fits signed
+    # bigint); bits 0..31 come from the first half of the md5, 32..63
+    # from the second — 2 conv() calls per word instead of 32
+    w = w.select(
+        id_col,
+        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(F.md5("word"), 17, 15), 16, 10).cast("bigint").alias("h2"),
+    )
     contribs = [
         (
-            F.shiftright(digit[j // 2], j % 2).bitwiseAND(F.lit(1)) * 2 - 1
+            F.shiftright(F.col("h1") if j < 32 else F.col("h2"), j % 32)
+            .bitwiseAND(F.lit(1)).cast("int") * 2 - 1
         ).alias(f"c{j}")
         for j in range(SIMHASH64_BITS)
     ]
@@ -306,10 +336,12 @@ def sql_simhash64_bands(
     table: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> str:
     """DuckDB mirror of simhash64_bands (same bit layout, same ties)."""
+    def _h(j: int) -> str:
+        half = "substr(md5(word), 1, 15)" if j < 32 else "substr(md5(word), 17, 15)"
+        return f"((('0x' || {half})::bigint >> {j % 32}) & 1)"
+
     contribs = ", ".join(
-        f"sum(((('0x' || substr(md5(word), {j // 2 + 1}, 1))::int >> {j % 2}) & 1)"
-        f" * 2 - 1) s{j}"
-        for j in range(SIMHASH64_BITS)
+        f"sum({_h(j)} * 2 - 1) s{j}" for j in range(SIMHASH64_BITS)
     )
     bands = ", ".join(
         "cast("
