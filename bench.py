@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "sim_batch_topk",
     "warp_spans",
     "softmax_decode",
+    "repetition_stats",
 ]
 
 

@@ -984,3 +984,57 @@ for _name, _q, _sql in [
     ORACLES_EXT[_name] = _sql
     _queries.QUERIES[_name] = _q
     _queries.ORACLES[_name] = _sql
+
+
+# ---------------------------------------------------------------------------
+# Repetition-quality stats (Gopher-style corpus filters)
+# ---------------------------------------------------------------------------
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals used by corpus quality filters (the Gopher /
+    MassiveText family): distinct-word ratio and the fraction of all
+    word-bigrams taken by the single most frequent bigram. Pure
+    higher-order functions per row — no shuffle, no UDF; the per-row
+    distinct x total bigram count is bounded by document length."""
+    from paddleocr_spark.functions.textstats import shingles, words
+
+    d = _t(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    bg = shingles(F.col("text"), 2)
+    top = F.array_max(
+        F.transform(
+            F.array_distinct(bg),
+            lambda u: F.size(F.filter(bg, lambda x: x == u)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.size(w).alias("n_words"),
+        F.round(F.size(F.array_distinct(w)) / F.size(w), 6).alias("distinct_ratio"),
+        F.round(top / F.size(bg), 6).alias("top_bigram_frac"),
+    )
+
+
+def _sql_repetition_stats() -> str:
+    from paddleocr_spark.functions.textstats import sql_shingles, sql_words
+
+    w = sql_words("text")
+    bg = sql_shingles("text", 2)
+    top = (
+        f"list_max(list_transform(list_distinct({bg}), "
+        f"u -> len(list_filter({bg}, x -> x = u))))"
+    )
+    return f"""
+    select doc_id,
+           cast(len({w}) as int) n_words,
+           round(len(list_distinct({w}))::DOUBLE / len({w}), 6) distinct_ratio,
+           round(({top})::DOUBLE / len({bg}), 6) top_bigram_frac
+    from documents
+    """
+
+
+SQL_REPETITION_STATS = _sql_repetition_stats()
+QUERIES_EXT["repetition_stats"] = q_repetition_stats
+ORACLES_EXT["repetition_stats"] = SQL_REPETITION_STATS
+_queries.QUERIES["repetition_stats"] = q_repetition_stats
+_queries.ORACLES["repetition_stats"] = SQL_REPETITION_STATS
