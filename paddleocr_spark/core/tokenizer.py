@@ -261,13 +261,21 @@ def tokenize_page(html: bytes, cfg: PipelineConfig = DEFAULT) -> list[Block]:
             continue
 
         # strict-membership features: chars belonging to the element
-        # itself, with nested block elements stripped (score_mode='slow')
-        own_inner = _NESTED_BLOCK_RE.sub("", inner)
+        # itself, with nested block elements stripped. Computed only
+        # when slow scoring asks for them (~13% of tokenizer CPU on
+        # heavy pages); fast mode uses the subtree counters, so the
+        # own_* fields just mirror them there.
+        if cfg.score_mode == "slow":
+            own_inner = _NESTED_BLOCK_RE.sub("", inner)
+            own_text_len = len(_visible(own_inner))
+            own_link_len = _link_len(own_inner)
+        else:
+            own_text_len = own_link_len = None
         emit(
             tag, 1, start, end, normalize_ws(raw_vis), len(raw_vis), link_len,
             "main",
-            own_text_len=len(_visible(own_inner)),
-            own_link_len=_link_len(own_inner),
+            own_text_len=own_text_len,
+            own_link_len=own_link_len,
         )
 
     return out

@@ -87,3 +87,19 @@ def test_extract_job_on_warehouse_pins_real_snapshot(spark, smoke_dir, tmp_path)
     # resume on the unchanged snapshot: nothing left to do
     stats2 = run_extract_job(spark, tbl, out, n_partitions=8, salt=2, resume=True)
     assert stats2["parts_processed"] == 0 and stats2["rows_out"] == 80
+
+
+def test_read_table_error_paths(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError, match="no snapshots"):
+        W.read_table(spark, str(tmp_path / "nowhere"))
+
+    tbl = str(tmp_path / "err_tbl")
+    df = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", bytearray(b"<p>x</p>"), "x", "en")],
+        "url string, warc_ts string, html binary, text string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    W.append(df, tbl)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        W.read_table(spark, tbl, "deadbeef00000000")
