@@ -1045,3 +1045,29 @@ QUERIES_EXT["repetition_stats"] = q_repetition_stats
 ORACLES_EXT["repetition_stats"] = SQL_REPETITION_STATS
 _queries.QUERIES["repetition_stats"] = q_repetition_stats
 _queries.ORACLES["repetition_stats"] = SQL_REPETITION_STATS
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HLL++) — the 100 TB alternative to exact distinct
+# ---------------------------------------------------------------------------
+
+def q_event_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type user reach via approx_count_distinct (HLL++, rsd 2%).
+
+    At 10^12 rows an exact countDistinct shuffles every (type, user)
+    pair; the sketch is fixed-size per group and merges map-side — the
+    only viable reach counter at corpus scale. No DuckDB oracle entry:
+    HLL implementations differ across engines, so the driver records
+    the weaker rows-only check; the value contract (relative error vs
+    exact within the configured rsd) is asserted in
+    tests/test_approx.py instead."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+QUERIES_EXT["event_reach_approx"] = q_event_reach_approx
+_queries.QUERIES["event_reach_approx"] = q_event_reach_approx
+# deliberately NO ORACLES entry (engine-specific sketch values)

@@ -85,3 +85,61 @@ def sessionize_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def session_window_stream(
+    spark,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+):
+    """Native session windows (`F.session_window`) under readStream —
+    the built-in alternative to the applyInPandasWithState sessionizer
+    above: state is managed by the engine, sessions merge as events
+    arrive, and a session emits exactly once when the watermark passes
+    its close (append mode). maxFilesPerTrigger=1 advances the
+    watermark between micro-batches so closed sessions flush during an
+    availableNow drain. Emitted rows are FINAL (value-identical to the
+    batch session_window aggregate — asserted in tests)."""
+    from paddleocr_spark.streaming.events import await_drain, read_event_stream
+
+    stream = read_event_stream(
+        spark, input_dir, watermark=watermark, max_files_per_trigger=1
+    )
+    agg = (
+        stream.groupBy(
+            F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drain(q, 180)
+
+
+def session_window_batch(df, gap: str = "30 minutes"):
+    """The batch twin of session_window_stream's aggregation."""
+    return (
+        df.groupBy(F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

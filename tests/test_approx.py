@@ -1,0 +1,28 @@
+"""approx_count_distinct (HLL++) contract: within the configured
+relative error of the exact distinct count on real data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import paddleocr_spark.queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_approx_reach_within_rsd(spark):
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in Q.QUERIES["event_reach_approx"](spark, SF_DIR).collect()
+    }
+    exact = {
+        r["event_type"]: r["u"]
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) > 0
+    for t, approx in got.items():
+        rel = abs(approx - exact[t]) / exact[t]
+        assert rel <= 0.05, (t, approx, exact[t])  # 2% rsd, 5% head-room

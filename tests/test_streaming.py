@@ -272,3 +272,45 @@ def test_run_collapse_multibatch_parity(spark, tmp_path):
         for r in Q.q_events_run_collapse(spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_session_window_stream_emits_final_closed_sessions(spark, tmp_path):
+    """Native F.session_window under readStream (append + watermark):
+    every emitted session is final — identical to the batch
+    session_window aggregate — and at least one session closes when
+    the input is split so the watermark advances between batches."""
+    import pyarrow.parquet as pq
+
+    from paddleocr_spark.streaming.sessions import (
+        session_window_batch,
+        session_window_stream,
+    )
+
+    src = tmp_path / "sw_in"
+    os.makedirs(src)
+    t = pq.read_table(f"{SF_DIR}/events.parquet")
+    order = (
+        t.select(["ts", "event_id"]).to_pandas().sort_values(["ts", "event_id"]).index
+    )
+    half = len(order) // 2
+    for i, sl in enumerate([order[:half], order[half:]]):
+        p = src / f"f{i}.parquet"
+        pq.write_table(t.take(list(sl)), str(p))
+        os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+    out = str(tmp_path / "sw_out")
+    session_window_stream(spark, str(src), out, str(tmp_path / "sw_ck"))
+
+    got = {
+        (r["session_start"], r["session_end"], r["user_id"]): r["n_events"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "no closed sessions emitted"
+    want = {
+        (r["session_start"], r["session_end"], r["user_id"]): r["n_events"]
+        for r in session_window_batch(
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ).collect()
+    }
+    for k, v in got.items():
+        assert want[k] == v, k
