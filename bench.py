@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "warp_spans",
     "softmax_decode",
     "repetition_stats",
+    "event_reach_approx",
 ]
 
 

@@ -55,6 +55,11 @@ def _rowset(cols, rows):
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))
 def test_query_matches_oracle(spark, duck, name):
     sdf = Q.QUERIES[name](spark, SF_DIR)
+    if name not in Q.ORACLES:
+        # oracle-less entry (engine-specific values, e.g. HLL sketches):
+        # the driver records a rows-only check; mirror that here
+        assert len(sdf.collect()) > 0
+        return
     scols = sdf.columns
     srows = [tuple(r) for r in sdf.collect()]
 
