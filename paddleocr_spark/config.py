@@ -44,6 +44,16 @@ class PipelineConfig:
     # Score formula constant: score = (text_len - link_text_len) / (text_len + SCORE_K)
     score_k: int = 8
 
+    # `unclip` region-expansion analog (db_postprocess.py:160-166: the
+    # detected polygon is dilated by area*ratio/length before cropping;
+    # `expand` box pad, ppstructure/table/predict_table.py:43-55): widen
+    # every emitted block span by this many chars each side, clipped to
+    # the document bounds. 0 (the default) = identity — our discrete
+    # spans already cover the full element, so expansion is opt-in
+    # context padding (e.g. for span-crop consumers), not a correctness
+    # requirement.
+    unclip_pad: int = 0
+
     # Opt-in prefilters (paddleocr.py:717-723 bin/inv + alpha_to_color
     # utility.py:86-105, applied at the head of stage 1 exactly where
     # the reference's preprocess_image runs — inside the per-document

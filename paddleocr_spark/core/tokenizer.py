@@ -171,6 +171,10 @@ def tokenize_page(html: bytes, cfg: PipelineConfig = DEFAULT) -> list[Block]:
 
     def emit(tag, depth, start, end, text, text_len, link_len, branch,
              layout="", own_text_len=None, own_link_len=None):
+        if cfg.unclip_pad:
+            # unclip/expand analog: widen the span, clip to the doc
+            start = max(0, start - cfg.unclip_pad)
+            end = min(len(doc), end + cfg.unclip_pad)
         bid = len(out)
         out.append(
             Block(

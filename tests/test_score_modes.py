@@ -68,3 +68,30 @@ def test_sort_by_len_output_identical(spark, smoke_dir):
         for r in extract(pages.select("url", "lang", "html"), sorted_cfg).collect()
     }
     assert got == base and len(base) > 0
+
+
+def test_unclip_pad_widens_spans_only(spark):
+    """unclip analog: spans widen by the pad (clipped to doc bounds);
+    extracted text is untouched; Spark == oracle with the pad on."""
+    from paddleocr_spark.core.tokenizer import tokenize_page
+
+    html = b"<p>alpha beta gamma delta words</p><p>second paragraph here body</p>"
+    base = tokenize_page(html, DEFAULT)
+    padded = tokenize_page(html, PipelineConfig(unclip_pad=5))
+    assert len(base) == len(padded) == 2
+    assert padded[0].start == 0                       # clipped at doc start
+    assert padded[0].end == base[0].end + 5
+    assert padded[1].start == base[1].start - 5
+    assert padded[1].end == len(html.decode())        # clipped at doc end
+    assert [b.text for b in padded] == [b.text for b in base]
+
+    cfg = PipelineConfig(unclip_pad=5)
+    df = spark.createDataFrame(
+        [("u", bytearray(html), "en")], "url string, html binary, lang string"
+    )
+    got = extract(df, cfg).collect()[0]
+    want = extract_page("u", html, "en", cfg)
+    assert got["extracted_text"] == want.extracted_text
+    assert [tuple(s) for s in got["spans"]] == [
+        (s["block_id"], s["start"], s["end"], s["score"]) for s in want.spans
+    ]
