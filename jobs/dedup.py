@@ -87,6 +87,78 @@ def build_dedup(spark, docs, algorithm: str = "propagation",
     return exact, clusters, corpus
 
 
+def build_incremental_dedup(spark, base, new,
+                            checkpoint_dir: str | None = None):
+    """Incremental (daily-crawl) dedup: admit only those NEW documents
+    that are not exact or near duplicates of the existing corpus or of
+    an admitted newcomer. Returns the surviving-new-docs DataFrame;
+    the caller appends it to the corpus (base rows are never touched —
+    the established corpus wins every tie, so re-ingesting old content
+    cannot churn representatives).
+
+    Semantics (mirrors the full-corpus job transitively): connected
+    components run over ALL candidate pairs among base ∪ new, so a new
+    doc chained to the corpus through another new doc is dropped too. A
+    new doc survives iff its component contains no base member and it
+    is the component minimum (or it collides with nothing).
+
+    Scale notes: shuffles carry (hash|band, id) pairs only, never
+    bodies; the base side's signatures are recomputed here — a
+    production deployment materializes the corpus band table once and
+    appends to it incrementally (same join, ~|new| band rows probed).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.functions import dedup
+    from paddleocr_spark.functions.graph import connected_components
+
+    # 1) exact: de-dup within the batch (min doc_id per hash), then
+    #    drop anything whose content hash already exists in the corpus
+    new_hashed = new.withColumn("__h", dedup.content_hash(F.col("text")))
+    w = Window.partitionBy("__h").orderBy("doc_id")
+    new_exact = (
+        new_hashed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    base_hashes = base.select(
+        dedup.content_hash(F.col("text")).alias("__h")
+    ).distinct()
+    new_exact = new_exact.join(base_hashes, "__h", "left_anti").drop("__h")
+
+    # 2) near-dup: candidate pairs over base ∪ surviving new, CC, then
+    #    keep a new doc only if its component is corpus-free and it is
+    #    the representative
+    combined = base.select("doc_id", "text").unionByName(
+        new_exact.select("doc_id", "text")
+    )
+    pairs = dedup.lsh_candidate_pairs(combined)
+    cc = connected_components(pairs, checkpoint_dir=checkpoint_dir)
+    base_ids = base.select(F.col("doc_id").alias("id"), F.lit(1).alias("__is_base"))
+    labeled = cc.join(base_ids, "id", "left")
+    tainted = (
+        labeled.groupBy("cluster_id")
+        .agg(F.max(F.coalesce("__is_base", F.lit(0))).alias("has_base"))
+        .filter(F.col("has_base") == 1)
+        .select("cluster_id")
+    )
+    # clustered new docs that survive: component representative
+    # (id == cluster_id) of a corpus-free component
+    clustered_survivor_ids = (
+        labeled.filter(F.col("__is_base").isNull())
+        .join(tainted, "cluster_id", "left_anti")
+        .filter(F.col("id") == F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    clustered_ids = cc.select(F.col("id").alias("doc_id"))
+    unclustered = new_exact.join(clustered_ids, "doc_id", "left_anti")
+    survivors = unclustered.unionByName(
+        new_exact.join(clustered_survivor_ids, "doc_id", "left_semi")
+    )
+    return survivors
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="documents parquet (doc_id, text, ...)")
@@ -98,6 +170,12 @@ def main(argv=None) -> int:
         "--checkpoint-dir", default=None,
         help="reliable checkpoint dir for the CC fixpoint (use on a real cluster)",
     )
+    ap.add_argument(
+        "--base", default=None,
+        help="existing deduplicated corpus parquet: run INCREMENTAL dedup "
+             "(admit only new docs that duplicate neither the corpus nor an "
+             "admitted newcomer); writes survivors to <out>/corpus",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -107,6 +185,27 @@ def main(argv=None) -> int:
 
     docs = spark.read.parquet(args.input)
     n_input = docs.count()
+
+    if args.base:
+        base = spark.read.parquet(args.base)
+        survivors = build_incremental_dedup(
+            spark, base, docs, checkpoint_dir=args.checkpoint_dir
+        )
+        survivors.write.mode("overwrite").parquet(f"{args.output}/corpus")
+        n_out = spark.read.parquet(f"{args.output}/corpus").count()
+        print(
+            json.dumps(
+                {
+                    "mode": "incremental",
+                    "n_input": n_input,
+                    "n_base": base.count(),
+                    "n_admitted": n_out,
+                    "wall_sec": round(time.time() - t0, 3),
+                }
+            )
+        )
+        spark.stop()
+        return 0
 
     exact, clusters, corpus = build_dedup(
         spark, docs, args.algorithm, checkpoint_dir=args.checkpoint_dir

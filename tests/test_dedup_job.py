@@ -99,3 +99,33 @@ def test_dedup_plan_no_broadcast_of_losers(spark):
         assert "BroadcastExchange" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_incremental_dedup_invariants(spark, tmp_path):
+    """Incremental mode: (a) the grown corpus contains no remaining
+    near-dup candidate pairs, (b) base rows are never dropped, (c)
+    re-ingesting the same batch admits nothing (idempotence)."""
+    sys.path.insert(0, os.path.join(REPO, "jobs"))
+    from dedup import build_dedup, build_incremental_dedup
+    from paddleocr_spark.functions import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    batch1 = docs.filter("doc_id % 2 = 0")
+    batch2 = docs.filter("doc_id % 2 = 1")
+
+    # establish the corpus from batch1 with the full job
+    _, _, corpus1 = build_dedup(spark, batch1)
+    base = corpus1.select("doc_id", "text")
+
+    admitted = build_incremental_dedup(spark, base, batch2)
+    grown = base.unionByName(admitted.select("doc_id", "text"))
+
+    # (a) no near-dup candidates survive in the grown corpus
+    assert D.lsh_candidate_pairs(grown).count() == 0
+    # (b) every base doc is still present
+    assert grown.join(base, "doc_id", "left_semi").count() == base.count()
+    # (c) idempotence: the same batch again admits zero docs
+    again = build_incremental_dedup(spark, grown, batch2)
+    assert again.count() == 0
+    # sanity: the increment actually admitted something
+    assert admitted.count() > 0
