@@ -89,6 +89,7 @@ def append(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     n_buckets: int = N_BUCKETS,
+    batch_id: int | None = None,
 ) -> str:
     """Append rows under the (day, bucket) partition layout and commit
     a new snapshot; returns its id. The snapshot id content-addresses
@@ -105,6 +106,16 @@ def append(
     after = _list_data_files(table_dir)
     added = sorted(set(after) - before)
     parent = current_snapshot_id(table_dir)
+    # the new snapshot = parent's live file set + the files just added
+    # (NOT the raw disk listing: after a replace/compact commit, files
+    # the parent no longer references are still on disk awaiting
+    # expiry — listing them would double-count their rows)
+    if parent is not None:
+        with open(os.path.join(_snap_dir(table_dir), f"{parent}.json")) as fh:
+            live = json.load(fh)["files"]
+    else:
+        live = []
+    files = sorted(set(live) | set(added))
     h = hashlib.md5()
     h.update((parent or "").encode())
     for f in added:
@@ -114,15 +125,16 @@ def append(
     entry = dict(
         snapshot_id=snap_id,
         parent=parent,
-        n_files=len(after),
+        n_files=len(files),
         added=added,
-        files=after,
+        files=files,
+        batch_id=batch_id,
         committed_ms=int(time.time() * 1000),
     )
     with open(os.path.join(_snap_dir(table_dir), f"{snap_id}.json"), "w") as fh:
         json.dump(entry, fh)
     with open(os.path.join(_snap_dir(table_dir), "log.jsonl"), "a") as fh:
-        fh.write(json.dumps({k: entry[k] for k in ("snapshot_id", "parent", "n_files", "committed_ms")}) + "\n")
+        fh.write(json.dumps({k: entry[k] for k in ("snapshot_id", "parent", "n_files", "batch_id", "committed_ms")}) + "\n")
     return snap_id
 
 
@@ -143,3 +155,53 @@ def read_table(
     data = _data_dir(table_dir)
     paths = [os.path.join(data, f) for f in files]
     return spark.read.option("basePath", data).parquet(*paths)
+
+
+def compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_partitions_per_day_bucket: int = 1,
+) -> str:
+    """Small-file compaction (Iceberg ``rewrite_data_files`` analog):
+    rewrite the CURRENT snapshot's rows into at most
+    ``target_partitions_per_day_bucket`` files per (day, bucket)
+    partition and commit the result as a REPLACE snapshot. Old
+    snapshots still reference the old files (which are left in place —
+    an expire-snapshots pass would garbage-collect them), so time
+    travel across the compaction boundary keeps working.
+
+    Many tiny appends (a streaming ingest, per-crawl increments) are
+    the classic small-files failure mode at scale: scan planning cost
+    grows with file count and each file under-fills its read task.
+    """
+    cur = read_table(spark, table_dir)
+    before = set(_list_data_files(table_dir))
+    (
+        cur.repartition(target_partitions_per_day_bucket, "day", "bucket")
+        .write.mode("append")
+        .partitionBy("day", "bucket")
+        .parquet(_data_dir(table_dir))
+    )
+    after = _list_data_files(table_dir)
+    added = sorted(set(after) - before)
+    parent = current_snapshot_id(table_dir)
+    h = hashlib.md5()
+    h.update((parent or "").encode())
+    h.update(b"compact")
+    for f in added:
+        h.update(f.encode())
+    snap_id = h.hexdigest()[:16]
+    entry = dict(
+        snapshot_id=snap_id,
+        parent=parent,
+        operation="replace",
+        n_files=len(added),
+        added=added,
+        files=added,  # the compacted snapshot reads ONLY the new files
+        committed_ms=int(time.time() * 1000),
+    )
+    with open(os.path.join(_snap_dir(table_dir), f"{snap_id}.json"), "w") as fh:
+        json.dump(entry, fh)
+    with open(os.path.join(_snap_dir(table_dir), "log.jsonl"), "a") as fh:
+        fh.write(json.dumps({k: entry[k] for k in ("snapshot_id", "parent", "n_files", "committed_ms")}) + "\n")
+    return snap_id

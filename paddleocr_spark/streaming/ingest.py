@@ -1,0 +1,59 @@
+"""Streaming ingest into the snapshot warehouse — exactly-once.
+
+The file sink's commit log cannot guard a custom table format, so the
+standard Structured Streaming recipe applies: ``foreachBatch`` + an
+IDEMPOTENT write keyed on the micro-batch id. Each warehouse commit
+records the batch id in its snapshot entry; a replayed batch (failure
+between the table commit and the checkpoint advance — the at-least-once
+window foreachBatch leaves open) finds its id already committed and
+skips, so every row lands in exactly one snapshot.
+
+This is the streaming twin of the batch job's lineage/anti-join resume
+(plans/job.py) on the ingest side of the pipeline: crawl files arrive →
+micro-batch → partitioned snapshot append; downstream extraction then
+reads a PINNED snapshot (plans/job.py warehouse path), so an ingest
+running concurrently never changes the rows an extraction run sees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from paddleocr_spark.sources import warehouse as W
+from paddleocr_spark.streaming.events import PAGES_SCHEMA, await_drain
+
+
+def committed_batch_ids(table_dir: str) -> set[int]:
+    return {
+        s["batch_id"] for s in W.snapshots(table_dir) if s.get("batch_id") is not None
+    }
+
+
+def idempotent_append(batch_df, batch_id: int, table_dir: str) -> bool:
+    """Commit one micro-batch as a snapshot unless its batch id is
+    already in the snapshot log (the foreachBatch replay guard).
+    Returns True iff a commit happened."""
+    if batch_id in committed_batch_ids(table_dir):
+        return False
+    W.append(batch_df, table_dir, batch_id=batch_id)
+    return True
+
+
+def ingest_pages_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Drain all currently-available page files into the warehouse,
+    one snapshot per micro-batch, idempotent on replay."""
+    src = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    q = (
+        src.writeStream.foreachBatch(
+            lambda df, bid: idempotent_append(df, bid, table_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drain(q, 180)

@@ -314,3 +314,53 @@ def test_session_window_stream_emits_final_closed_sessions(spark, tmp_path):
     }
     for k, v in got.items():
         assert want[k] == v, k
+
+
+def test_warehouse_ingest_exactly_once(spark, smoke_dir, tmp_path):
+    """foreachBatch ingest into the snapshot warehouse: one snapshot
+    per micro-batch; a checkpoint restart with no new input commits
+    nothing; a replayed batch id is skipped (idempotent)."""
+    from paddleocr_spark.sources import warehouse as W
+    from paddleocr_spark.streaming.ingest import (
+        committed_batch_ids,
+        ingest_pages_stream,
+    )
+
+    src = tmp_path / "ing_in"
+    tbl = str(tmp_path / "ing_tbl")
+    ckpt = str(tmp_path / "ing_ck")
+    os.makedirs(src)
+    shutil.copy(os.path.join(smoke_dir, "pages.parquet"), src / "b0.parquet")
+
+    ingest_pages_stream(spark, str(src), tbl, ckpt)
+    n1 = W.read_table(spark, tbl).count()
+    n_pages = spark.read.parquet(os.path.join(smoke_dir, "pages.parquet")).count()
+    assert n1 == n_pages > 0
+    snaps1 = len(W.snapshots(tbl))
+
+    # restart, no new input: nothing recommitted
+    ingest_pages_stream(spark, str(src), tbl, ckpt)
+    assert W.read_table(spark, tbl).count() == n1
+    assert len(W.snapshots(tbl)) == snaps1
+
+    # an at-least-once replay of an already-committed batch id: the
+    # guard refuses the commit and the snapshot head does not move
+    from paddleocr_spark.streaming.ingest import idempotent_append
+
+    bid = max(committed_batch_ids(tbl))
+    before = W.current_snapshot_id(tbl)
+    pages = spark.read.parquet(os.path.join(smoke_dir, "pages.parquet"))
+    assert idempotent_append(pages, bid, tbl) is False
+    assert W.current_snapshot_id(tbl) == before
+
+    # a genuinely new file lands in exactly one new snapshot
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    t = pq.read_table(str(src / "b0.parquet")).slice(0, 5)
+    urls = pa.array([u + "?v2" for u in t.column("url").to_pylist()])
+    t = t.set_column(t.schema.get_field_index("url"), "url", urls)
+    pq.write_table(t, str(src / "b1.parquet"))
+    ingest_pages_stream(spark, str(src), tbl, ckpt)
+    assert W.read_table(spark, tbl).count() == n1 + 5
+    assert len(W.snapshots(tbl)) == snaps1 + 1

@@ -103,3 +103,48 @@ def test_read_table_error_paths(spark, tmp_path):
     W.append(df, tbl)
     with pytest.raises(ValueError, match="unknown snapshot"):
         W.read_table(spark, tbl, "deadbeef00000000")
+
+
+def test_compaction_replace_snapshot_preserves_rows_and_time_travel(
+    spark, smoke_dir, tmp_path
+):
+    """compact() rewrites the current snapshot into fewer files as a
+    REPLACE commit: row set identical, file count drops, and the
+    pre-compaction snapshot still reads its own (old) files."""
+    tbl = str(tmp_path / "cmp_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    # several tiny appends -> many small files
+    for i in range(4):
+        W.append(pages.limit(40 + i), tbl)
+    s_pre = W.current_snapshot_id(tbl)
+    pre_rows = {tuple(r) for r in W.read_table(spark, tbl).select("url").collect()}
+    n_files_pre = len(W.read_table(spark, tbl).inputFiles())
+
+    s_cmp = W.compact(spark, tbl)
+    post = W.read_table(spark, tbl)
+    post_rows = {tuple(r) for r in post.select("url").collect()}
+    assert post_rows == pre_rows
+    assert len(post.inputFiles()) < n_files_pre
+    assert W.current_snapshot_id(tbl) == s_cmp
+
+    # time travel to the pre-compaction snapshot still works
+    old = W.read_table(spark, tbl, s_pre)
+    assert {tuple(r) for r in old.select("url").collect()} == pre_rows
+
+
+def test_append_after_compact_does_not_double_count(spark, smoke_dir, tmp_path):
+    """Regression: an append AFTER a replace/compact commit must build
+    its manifest from the parent snapshot's live files + its own
+    additions — not the raw disk listing, which still holds the
+    replaced pre-compaction files awaiting expiry."""
+    tbl = str(tmp_path / "ac_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    W.append(pages.limit(60), tbl)
+    W.append(pages.limit(100), tbl)  # overlapping urls -> dup rows, fine
+    n_pre = W.read_table(spark, tbl).count()
+    W.compact(spark, tbl)
+    assert W.read_table(spark, tbl).count() == n_pre
+
+    more = pages.withColumn("url", F.concat("url", F.lit("?x"))).limit(30)
+    W.append(more, tbl)
+    assert W.read_table(spark, tbl).count() == n_pre + 30
