@@ -1,0 +1,214 @@
+"""End-to-end training-data curation pipeline — ``spark-submit`` entry.
+
+Composes the engine's production stages into the single pass a user of
+the reference would actually run over a crawl (the corpus-scale analog
+of the reference's predict_system.py main() orchestration, re-expressed
+as one resumable Spark job):
+
+  1. extract   — salted url-hash partitioning, one Arrow UDF pass,
+                 per-partition lineage, anti-join resume
+                 (plans/job.py:run_extract_job; snapshot-pinned when
+                 --input is a warehouse table dir)
+  2. curate    — language-ID + quality-score + token-count gates, all
+                 pure column expressions (functions/textstats.py), so
+                 the filter rides the scan: no shuffle, no Python
+  3. dedup     — exact md5 pass, then MinHash-LSH candidates ->
+                 connected components -> keep cluster representative
+                 (jobs/dedup.py:build_dedup; no broadcast of the
+                 unbounded loser set)
+  4. split     — deterministic content-hash train/val/test assignment
+                 (pure function of url: stable across runs, reshards
+                 and cluster sizes), written partitioned by split
+  5. manifest  — one JSON line + <out>/manifest.json with per-stage
+                 row counts, retention, input snapshot and run id
+
+Usage:
+    spark-submit --master local[N] --driver-memory 8g \
+        --py-files dist/paddleocr_spark.zip jobs/pipeline.py \
+        --input <pages.parquet | warehouse dir> --output <dir> \
+        [--partitions 32] [--salt 8] [--resume] \
+        [--min-quality 0.3] [--langs en,de,fr,es,zh] [--min-tokens 5] \
+        [--algorithm twophase] [--checkpoint-dir <dir>]
+
+Scale notes (100 TB framing): stage boundaries are parquet writes, so
+a failure resumes from the last completed stage (stages 2-4 are cheap
+re-runs; stage 1 resumes per-partition via its own lineage). The only
+shuffles in the whole job are the dedup joins/aggs and the final
+split write's partitionBy — extraction and curation are shuffle-free.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def split_col(url_col: str = "url"):
+    """90/5/5 deterministic split bucket — same formula as
+    queries_ext.q_dataset_split (content-derived md5 bucket)."""
+    from pyspark.sql import functions as F
+
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(url_col).cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+
+
+def run_pipeline(
+    spark,
+    input_path: str,
+    output_dir: str,
+    n_partitions: int = 32,
+    salt: int = 8,
+    resume: bool = False,
+    min_quality: float = 0.3,
+    langs: list[str] | None = None,
+    min_tokens: int = 5,
+    algorithm: str = "twophase",
+    checkpoint_dir: str | None = None,
+) -> dict:
+    from pyspark.sql import functions as F
+
+    from jobs.dedup import build_dedup
+    from paddleocr_spark.functions import textstats
+    from paddleocr_spark.plans.job import run_extract_job
+
+    timings: dict[str, float] = {}
+    langs = langs or ["en", "de", "fr", "es", "zh"]
+
+    # -- 1. extract ---------------------------------------------------
+    t0 = time.monotonic()
+    ex_stats = run_extract_job(
+        spark,
+        input_path=input_path,
+        output_dir=output_dir,
+        n_partitions=n_partitions,
+        salt=salt,
+        resume=resume,
+    )
+    timings["extract_s"] = round(time.monotonic() - t0, 3)
+
+    # -- 2. curate (pure column exprs, filter rides the scan) ---------
+    t0 = time.monotonic()
+    ext = spark.read.parquet(os.path.join(output_dir, "extracted")).select(
+        "url", "extracted_text"
+    )
+    txt = F.col("extracted_text")
+    # token gate FIRST: quality_score divides by length and token count
+    # (ANSI mode), so empty/whitespace-only extractions (garbage html)
+    # must never reach it. max(min_tokens, 1) keeps the guard even if
+    # the caller sets --min-tokens 0.
+    curated = (
+        ext.withColumn("n_tokens", textstats.token_count_ws(txt))
+        .filter((F.col("n_tokens") >= max(min_tokens, 1)) & (F.length(txt) > 0))
+        .withColumn("lang", textstats.langid_pred(txt))
+        .withColumn("quality", F.round(textstats.quality_score(txt), 6))
+        .filter((F.col("quality") >= min_quality) & F.col("lang").isin(langs))
+    )
+    curated_path = os.path.join(output_dir, "curated")
+    curated.write.mode("overwrite").parquet(curated_path)
+    n_extracted = int(ex_stats["rows_out"])
+    curated = spark.read.parquet(curated_path)
+    n_curated = curated.count()
+    timings["curate_s"] = round(time.monotonic() - t0, 3)
+
+    # -- 3. dedup (exact -> LSH -> CC -> representatives) -------------
+    t0 = time.monotonic()
+    docs = curated.select(
+        F.col("url").alias("doc_id"),
+        F.col("extracted_text").alias("text"),
+        "lang", "quality", "n_tokens",
+    )
+    _exact, clusters, corpus = build_dedup(
+        spark, docs, algorithm=algorithm, checkpoint_dir=checkpoint_dir
+    )
+    corpus_path = os.path.join(output_dir, "corpus")
+    corpus.write.mode("overwrite").parquet(corpus_path)
+    clusters.write.mode("overwrite").parquet(os.path.join(output_dir, "clusters"))
+    corpus = spark.read.parquet(corpus_path)
+    n_corpus = corpus.count()
+    timings["dedup_s"] = round(time.monotonic() - t0, 3)
+
+    # -- 4. split (deterministic, content-derived) --------------------
+    t0 = time.monotonic()
+    dataset = corpus.withColumn("split", split_col("doc_id"))
+    dataset_path = os.path.join(output_dir, "dataset")
+    dataset.write.mode("overwrite").partitionBy("split").parquet(dataset_path)
+    split_counts = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(dataset_path)
+        .groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    timings["split_s"] = round(time.monotonic() - t0, 3)
+
+    manifest = dict(
+        input=input_path,
+        input_snapshot=ex_stats["input_snapshot"],
+        run_id=ex_stats["run_id"],
+        n_extracted=n_extracted,
+        n_curated=n_curated,
+        n_corpus=n_corpus,
+        curate_retention=round(n_curated / n_extracted, 4) if n_extracted else None,
+        dedup_retention=round(n_corpus / n_curated, 4) if n_curated else None,
+        splits=split_counts,
+        params=dict(
+            min_quality=min_quality, langs=langs, min_tokens=min_tokens,
+            algorithm=algorithm, partitions=n_partitions, salt=salt,
+        ),
+        timings=timings,
+    )
+    with open(os.path.join(output_dir, "manifest.json"), "w") as fh:
+        json.dump(manifest, fh, indent=2)
+    return manifest
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--salt", type=int, default=8)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--langs", default="en,de,fr,es,zh")
+    ap.add_argument("--min-tokens", type=int, default=5)
+    ap.add_argument("--algorithm", default="twophase",
+                    choices=["propagation", "twophase"])
+    ap.add_argument("--checkpoint-dir", default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("paddleocr-spark-pipeline").getOrCreate()
+    t0 = time.time()
+    manifest = run_pipeline(
+        spark,
+        input_path=args.input,
+        output_dir=args.output,
+        n_partitions=args.partitions,
+        salt=args.salt,
+        resume=args.resume,
+        min_quality=args.min_quality,
+        langs=[s for s in args.langs.split(",") if s],
+        min_tokens=args.min_tokens,
+        algorithm=args.algorithm,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    manifest["wall_sec"] = round(time.time() - t0, 3)
+    print(json.dumps(manifest))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

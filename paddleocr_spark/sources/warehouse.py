@@ -205,3 +205,49 @@ def compact(
     with open(os.path.join(_snap_dir(table_dir), "log.jsonl"), "a") as fh:
         fh.write(json.dumps({k: entry[k] for k in ("snapshot_id", "parent", "n_files", "committed_ms")}) + "\n")
     return snap_id
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Iceberg ``expire_snapshots`` analog: retain only the newest
+    ``keep_last`` snapshots, delete manifests of the expired ones, and
+    garbage-collect data files no retained snapshot references (the
+    pre-compaction files ``compact()`` leaves in place). Time travel to
+    an expired snapshot becomes a clean "unknown snapshot" error; the
+    retained snapshots are untouched.
+
+    Driver-side metadata surgery only — file counts are O(snapshots ×
+    files-per-manifest), no Spark job. Returns counts for audit:
+    ``{"expired_snapshots": n, "deleted_files": m, "kept_files": k}``.
+    """
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    snaps = snapshots(table_dir)
+    if len(snaps) <= keep_last:
+        return dict(expired_snapshots=0, deleted_files=0,
+                    kept_files=len(_list_data_files(table_dir)))
+    kept, expired = snaps[-keep_last:], snaps[:-keep_last]
+    sdir, data = _snap_dir(table_dir), _data_dir(table_dir)
+
+    def _manifest_files(sid: str) -> set[str]:
+        with open(os.path.join(sdir, f"{sid}.json")) as fh:
+            return set(json.load(fh)["files"])
+
+    live: set[str] = set()
+    for s in kept:
+        live |= _manifest_files(s["snapshot_id"])
+    dead = [f for f in _list_data_files(table_dir) if f not in live]
+    for f in dead:
+        os.remove(os.path.join(data, f))
+    # drop now-empty partition dirs so the hive layout stays clean
+    for dirpath, _dirs, _files in os.walk(data, topdown=False):
+        if dirpath != data and not os.listdir(dirpath):
+            os.rmdir(dirpath)
+    for s in expired:
+        p = os.path.join(sdir, f"{s['snapshot_id']}.json")
+        if os.path.exists(p):
+            os.remove(p)
+    with open(os.path.join(sdir, "log.jsonl"), "w") as fh:
+        for s in kept:
+            fh.write(json.dumps(s) + "\n")
+    return dict(expired_snapshots=len(expired), deleted_files=len(dead),
+                kept_files=len(live))

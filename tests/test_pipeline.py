@@ -1,0 +1,82 @@
+"""End-to-end curation pipeline (jobs/pipeline.py): extract -> curate
+-> dedup -> split, manifest accounting, and split determinism."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from jobs.pipeline import run_pipeline, split_col
+
+
+def test_pipeline_end_to_end(spark, smoke_dir, tmp_path):
+    out = str(tmp_path / "pipe")
+    m = run_pipeline(
+        spark,
+        input_path=os.path.join(smoke_dir, "pages.parquet"),
+        output_dir=out,
+        n_partitions=8,
+        salt=2,
+    )
+    # manifest accounting is internally consistent
+    assert m["n_extracted"] > 0
+    assert 0 < m["n_curated"] <= m["n_extracted"]
+    assert 0 < m["n_corpus"] <= m["n_curated"]
+    assert sum(m["splits"].values()) == m["n_corpus"]
+    assert set(m["splits"]) <= {"train", "val", "test"}
+    # manifest.json on disk matches the returned dict
+    with open(os.path.join(out, "manifest.json")) as fh:
+        assert json.load(fh)["n_corpus"] == m["n_corpus"]
+
+    # every curated row passed the gates
+    cur = spark.read.parquet(os.path.join(out, "curated"))
+    bad = cur.filter(
+        (F.col("quality") < 0.3) | (F.col("n_tokens") < 5)
+        | ~F.col("lang").isin(["en", "de", "fr", "es", "zh"])
+    ).count()
+    assert bad == 0
+
+    # dedup contract: no cluster loser survives into the corpus
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    losers = (
+        spark.read.parquet(os.path.join(out, "clusters"))
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    assert corpus.join(losers, "doc_id", "inner").count() == 0
+
+    # split is a pure function of the url: recomputing the assignment
+    # from the written dataset reproduces the partition it landed in
+    ds = spark.read.parquet(os.path.join(out, "dataset"))
+    moved = ds.filter(F.col("split") != split_col("doc_id")).count()
+    assert moved == 0
+
+
+def test_pipeline_empty_and_garbage_pages_survive(spark, tmp_path):
+    """Pages whose extraction is empty (garbage html) are dropped by the
+    token gate, never a divide-by-zero in the quality expression."""
+    rows = [
+        ("u1", "2024-01-01 00:00:00", b"<html>\xff\xfe garbage", "", "en"),
+        ("u2", "2024-01-01 00:00:00", b"", "", "en"),
+        (
+            "u3",
+            "2024-01-01 00:00:00",
+            b"<html><body><p>"
+            + " ".join(["the quick brown fox jumps over the lazy dog"] * 30).encode()
+            + b"</p></body></html>",
+            "",
+            "en",
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts string, html binary, text string, lang string"
+    ).withColumn("warc_ts", F.to_timestamp("warc_ts"))
+    src = str(tmp_path / "gpages")
+    df.write.parquet(src)
+    out = str(tmp_path / "gpipe")
+    m = run_pipeline(spark, input_path=src, output_dir=out, n_partitions=2, salt=1)
+    assert m["n_extracted"] == 3
+    assert m["n_curated"] == 1  # only the real document survives
+    assert m["n_corpus"] == 1

@@ -148,3 +148,36 @@ def test_append_after_compact_does_not_double_count(spark, smoke_dir, tmp_path):
     more = pages.withColumn("url", F.concat("url", F.lit("?x"))).limit(30)
     W.append(more, tbl)
     assert W.read_table(spark, tbl).count() == n_pre + 30
+
+
+def test_expire_snapshots_gc(spark, smoke_dir, tmp_path):
+    """expire_snapshots keeps the newest K manifests, deletes the rest,
+    and garbage-collects data files only the expired ones referenced
+    (the post-compaction cleanup path)."""
+    import pytest
+
+    tbl = str(tmp_path / "exp_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    for i in range(3):
+        W.append(pages.limit(30 + i), tbl)
+    s_old = W.snapshots(tbl)[0]["snapshot_id"]
+    W.compact(spark, tbl)
+    s_cur = W.current_snapshot_id(tbl)
+    rows = W.read_table(spark, tbl).count()
+    n_disk_pre = len(W._list_data_files(tbl))
+
+    stats = W.expire_snapshots(tbl, keep_last=1)
+    assert stats["expired_snapshots"] == 3
+    assert stats["deleted_files"] > 0
+    # current snapshot unaffected, disk now holds exactly its files
+    assert W.current_snapshot_id(tbl) == s_cur
+    assert W.read_table(spark, tbl).count() == rows
+    assert len(W._list_data_files(tbl)) == stats["kept_files"] < n_disk_pre
+    # expired snapshot is a clean error, not a missing-file crash
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        W.read_table(spark, tbl, s_old)
+    # idempotent / no-op when nothing to expire
+    assert W.expire_snapshots(tbl, keep_last=5)["expired_snapshots"] == 0
+    # appends keep working after expiry
+    W.append(pages.limit(10).withColumn("url", F.concat("url", F.lit("?e"))), tbl)
+    assert W.read_table(spark, tbl).count() == rows + 10
