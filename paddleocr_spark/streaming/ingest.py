@@ -57,3 +57,40 @@ def ingest_pages_stream(
         .start()
     )
     await_drain(q, 180)
+
+
+def extract_pages_stream_warehouse(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Streaming extraction straight into a snapshot table: crawl files
+    arrive -> the SAME batch ``extract()`` pipeline runs on each
+    micro-batch -> results commit as warehouse snapshots, exactly-once
+    via the batch-id guard. ``warc_ts`` is joined back from the
+    micro-batch (the extraction stages carry url/lang/html only) so
+    the extracted table gets the same ``days(warc_ts)``/``bucket(url)``
+    partition transforms as the pages table; within a micro-batch that
+    join is small and AQE broadcasts it.
+
+    Downstream consumers read a PINNED snapshot of the extracted table,
+    so a continuously-draining extractor never changes the rows a
+    training-data job sees mid-run.
+    """
+    from paddleocr_spark.operators.extract import extract
+
+    def _extract_commit(batch_df, batch_id: int) -> None:
+        out = extract(batch_df.select("url", "lang", "html")).join(
+            batch_df.select("url", "warc_ts"), "url"
+        )
+        idempotent_append(out, batch_id, table_dir)
+
+    src = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+    q = (
+        src.writeStream.foreachBatch(_extract_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drain(q, 180)

@@ -364,3 +364,42 @@ def test_warehouse_ingest_exactly_once(spark, smoke_dir, tmp_path):
     ingest_pages_stream(spark, str(src), tbl, ckpt)
     assert W.read_table(spark, tbl).count() == n1 + 5
     assert len(W.snapshots(tbl)) == snaps1 + 1
+
+
+def test_streaming_extract_into_warehouse_byte_identical(spark, smoke_dir, tmp_path):
+    """Streaming extraction committing warehouse snapshots: the drained
+    table's extracted_text is byte-identical to the batch extract()
+    over the same pages, and a restart with no new input commits
+    nothing (exactly-once)."""
+    from paddleocr_spark.operators.extract import extract
+    from paddleocr_spark.sources import warehouse as W
+    from paddleocr_spark.streaming.ingest import extract_pages_stream_warehouse
+
+    src = tmp_path / "xin"
+    tbl = str(tmp_path / "xtbl")
+    ckpt = str(tmp_path / "xck")
+    os.makedirs(src)
+    shutil.copy(os.path.join(smoke_dir, "pages.parquet"), src / "b0.parquet")
+
+    extract_pages_stream_warehouse(spark, str(src), tbl, ckpt)
+    got = (
+        W.read_table(spark, tbl)
+        .select("url", "extracted_text")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pages = spark.read.parquet(os.path.join(smoke_dir, "pages.parquet"))
+    want = (
+        extract(pages.select("url", "lang", "html"))
+        .select("url", "extracted_text")
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    snaps = len(W.snapshots(tbl))
+
+    extract_pages_stream_warehouse(spark, str(src), tbl, ckpt)
+    assert len(W.snapshots(tbl)) == snaps
+    assert W.read_table(spark, tbl).count() == len(want)
