@@ -246,38 +246,51 @@ def simhash64_bands(
     bit is sign(sum(±1)) over its distinct words (ties -> 0, matching
     simhash16). Band k packs bits 16k..16k+15; this avoids signed-64
     overflow AND is exactly the layout the banded near-dup join needs:
-    hamming(a,b) = Σ_k bit_count(xor(a.bk, b.bk)). One shuffle of
-    (id, word) pairs; partial aggregation does the heavy lifting.
+    hamming(a,b) = Σ_k bit_count(xor(a.bk, b.bk)).
+
+    The signature is a pure function of the row's own text, so it is
+    computed entirely per-row with higher-order functions — one
+    `transform` binds the two 15-hex-digit md5 parses per distinct word
+    (60 usable bits each: bits 0..31 from the first half, 32..63 from
+    the second), one `aggregate` folds a 64-wide ±1 vector. ZERO
+    shuffle: the old explode→groupBy formulation paid a word-row
+    aggregation for what is row-local arithmetic (~2× slower measured
+    at sf0.1, and a needless exchange at corpus scale).
     """
-    w = _spread(df, id_col).select(
-        id_col,
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("word"),
-    ).filter(F.col("word") != "")
-    # two 15-hex-digit parses give 60 usable bits each (fits signed
-    # bigint); bits 0..31 come from the first half of the md5, 32..63
-    # from the second — 2 conv() calls per word instead of 32
-    w = w.select(
-        id_col,
-        F.conv(F.substring(F.md5("word"), 1, 15), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(F.md5("word"), 17, 15), 16, 10).cast("bigint").alias("h2"),
+    ws = F.filter(
+        F.array_distinct(F.split(F.col(text_col), " ")), lambda w: w != ""
     )
-    contribs = [
-        (
-            F.shiftright(F.col("h1") if j < 32 else F.col("h2"), j % 32)
-            .bitwiseAND(F.lit(1)).cast("int") * 2 - 1
-        ).alias(f"c{j}")
-        for j in range(SIMHASH64_BITS)
-    ]
-    w = w.select(id_col, *contribs)
-    g = w.groupBy(id_col).agg(
-        *[F.sum(f"c{j}").alias(f"s{j}") for j in range(SIMHASH64_BITS)]
+    hs = F.transform(
+        ws,
+        lambda w: F.struct(
+            F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint").alias("h1"),
+            F.conv(F.substring(F.md5(w), 17, 15), 16, 10).cast("bigint").alias("h2"),
+        ),
     )
+
+    def bits(x):
+        return F.array(
+            *[
+                (
+                    F.shiftright(x["h1"] if j < 32 else x["h2"], j % 32)
+                    .bitwiseAND(F.lit(1)).cast("int") * 2 - 1
+                ).cast("bigint")
+                for j in range(SIMHASH64_BITS)
+            ]
+        )
+
+    s = F.aggregate(
+        hs,
+        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH64_BITS),
+        lambda acc, x: F.zip_with(acc, bits(x), lambda a, b: a + b),
+    )
+    g = _spread(df, id_col).select(id_col, s.alias("__s"))
     band_cols = []
     for b in range(SIMHASH64_BANDS):
         acc = None
         for r in range(16):
             j = b * 16 + r
-            bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << r)).otherwise(F.lit(0))
+            bit = F.when(F.col("__s")[j] > 0, F.lit(1 << r)).otherwise(F.lit(0))
             acc = bit if acc is None else acc + bit
         band_cols.append(acc.cast("int").alias(f"b{b}"))
     return g.select(id_col, *band_cols)
