@@ -623,11 +623,17 @@ def q_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the cross-table form of the per-document interval-overlap join,
     §2.3 `_has_intersection`). The band table is tiny and broadcast —
     a BroadcastNestedLoopJoin over 4 rows is the right plan; at scale
-    the bands become a partition dimension and the join prunes."""
-    bands = spark.createDataFrame(
-        [("low", 0.0, 50.0), ("mid", 50.0, 150.0),
-         ("high", 150.0, 400.0), ("extreme", 400.0, 1e9)],
-        "band string, lo double, hi double",
+    the bands become a partition dimension and the join prunes.
+
+    The band table is a JVM-side VALUES LocalRelation, not
+    ``createDataFrame`` over a Python list — the latter routes through
+    applySchemaToPythonRDD and launches a Python RDD worker just to
+    serve 4 rows (several seconds of first-use latency, and an
+    ExistingRDD scan that blocks codegen on the build side)."""
+    bands = spark.sql(
+        """SELECT band, CAST(lo AS double) lo, CAST(hi AS double) hi FROM VALUES
+           ('low', 0.0, 50.0), ('mid', 50.0, 150.0),
+           ('high', 150.0, 400.0), ('extreme', 400.0, 1e9) AS t(band, lo, hi)"""
     )
     ev = _t(spark, sf_dir, "events")
     j = ev.join(
@@ -1071,3 +1077,76 @@ def q_event_reach_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES_EXT["event_reach_approx"] = q_event_reach_approx
 _queries.QUERIES["event_reach_approx"] = q_event_reach_approx
 # deliberately NO ORACLES entry (engine-specific sketch values)
+
+
+# ---------------------------------------------------------------------------
+# Production banded embedding near-dup (multi-table LSH), oracle-checked
+# ---------------------------------------------------------------------------
+
+def q_embed_near_dup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION embedding near-dup path under oracle check:
+    L=4 independent 16-plane hash tables (65,536 buckets each) over
+    `functions.similarity.embed_near_dup_pairs` — the corpus-scale
+    formulation whose candidate volume is ~n²/65536 per table instead
+    of the 16-bucket miniature's n²/16 (`q_embed_near_dup`).
+
+    The synthetic embeddings have no high-cosine pairs (max ≈ 0.51),
+    so the query PLANTS one exact near-duplicate per vector — a 1.5×
+    scaled copy (same direction ⇒ cosine exactly 1, identical plane
+    signs ⇒ collides in every table) — and must recover exactly those
+    n pairs through the banded join; accidental same-bucket pairs are
+    killed by the exact-cosine ≥ 0.9 verify in both engines.
+    """
+    from paddleocr_spark.functions import similarity
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(1.5)).alias(
+            "embedding"
+        ),
+    )
+    both = e.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    ).unionByName(planted)
+    return similarity.embed_near_dup_pairs(
+        both, threshold=0.9, n_planes=16, n_tables=4
+    )
+
+
+def _sql_embed_near_dup_banded() -> str:
+    from paddleocr_spark.functions.similarity import sql_cosine, sql_plane_dot
+
+    def bucket_t(t: int, n_planes: int = 16) -> str:
+        terms = " + ".join(
+            f"(case when {sql_plane_dot('embedding', t * n_planes + j)} > 0 "
+            f"then {1 << j} else 0 end)"
+            for j in range(n_planes)
+        )
+        return f"cast({terms} as int)"
+
+    tables = "\nunion all\n".join(
+        f"select vec_id, embedding, {t} t, {bucket_t(t)} b from eb"
+        for t in range(4)
+    )
+    return f"""
+with eb as (
+  select vec_id, list_transform(embedding, x -> x::DOUBLE) embedding from embeddings
+  union all
+  select vec_id + 100000, list_transform(embedding, x -> x::DOUBLE * 1.5) from embeddings
+),
+sigs as (
+{tables}
+)
+select distinct a.vec_id id_a, b.vec_id id_b,
+       round({sql_cosine('a.embedding', 'b.embedding')}, 6) cos_sim
+from sigs a join sigs b on a.t = b.t and a.b = b.b and a.vec_id < b.vec_id
+where round({sql_cosine('a.embedding', 'b.embedding')}, 6) >= 0.9
+"""
+
+
+SQL_EMBED_NEAR_DUP_BANDED = _sql_embed_near_dup_banded()
+QUERIES_EXT["embed_near_dup_banded"] = q_embed_near_dup_banded
+ORACLES_EXT["embed_near_dup_banded"] = SQL_EMBED_NEAR_DUP_BANDED
+_queries.QUERIES["embed_near_dup_banded"] = q_embed_near_dup_banded
+_queries.ORACLES["embed_near_dup_banded"] = SQL_EMBED_NEAR_DUP_BANDED
