@@ -81,6 +81,11 @@ BENCH_QUERIES = [
     "softmax_decode",
     "repetition_stats",
     "event_reach_approx",
+    "embed_near_dup_banded",
+    "decontaminate",
+    "tfidf_top_terms",
+    "source_cap",
+    "stratified_sample",
 ]
 
 

@@ -918,6 +918,10 @@ def _merge_ext() -> None:
     QUERIES.update(queries_ext.QUERIES_EXT)
     ORACLES.update(queries_ext.ORACLES_EXT)
 
+    # self-registering curation set (decontaminate, tfidf, source cap,
+    # stratified mixture); importing it is the merge
+    from paddleocr_spark import queries_curation  # noqa: F401
+
 
 try:  # noqa: E402
     _merge_ext()

@@ -1,0 +1,268 @@
+"""Corpus-curation queries: the training-data operations that sit
+between raw extraction and dataset publication — benchmark
+decontamination, TF-IDF term weighting, per-host caps, and
+deterministic mixture resampling.
+
+Same engine-portability contract as `paddleocr_spark.queries`: every
+entry is a (spark_fn, oracle_sql) pair, value-exact across engines
+(bigint counts, md5-derived buckets, round(…,6) on the one float
+column, explicit tie-breaks on every window).
+
+Reference analog: none — PaddleOCR stops at per-document extraction
+(tools/infer/predict_system.py main loop); these are the corpus-level
+passes a 100 TB training-data pipeline runs on its output. Shapes
+follow the published pipelines (Gopher/CCNet/FineWeb-style curation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import paddleocr_spark.queries as _queries
+from paddleocr_spark.queries import _t
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: n-gram overlap against an eval set
+# ---------------------------------------------------------------------------
+
+def _word_grams(col: str, n: int = 5):
+    """All word n-grams of a space-tokenized text column as
+    array<string> — pure column expressions (split/sequence/transform/
+    slice run in whole-stage codegen; no UDF, no explode yet so the
+    gram arrays stay inside the row until the caller chooses to
+    explode)."""
+    w = F.split(F.col(col), " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.size(w) - n),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag corpus documents that share any
+    word 5-gram with the benchmark set (here the deterministic 1/97
+    doc_id sample stands in for a held-out eval suite). Output is one
+    row per contaminated document with its distinct-shared-gram count.
+
+    Scale shape: the benchmark side of the join is tiny (eval suites
+    are MBs against a 100 TB corpus), so its distinct gram set is
+    broadcast — the corpus side streams through a map-side hash join
+    with NO shuffle of corpus grams; only the surviving (doc_id, gram)
+    hits shuffle for the per-doc distinct count. The corpus grams are
+    generated per-row (transform over a slice window), not
+    pre-materialized.
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 5)
+    grams = d.select("doc_id", F.explode(_word_grams("text", 5)).alias("g"))
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    )
+    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+    )
+
+
+SQL_DECONTAMINATE = """
+with tok as (
+  select doc_id, str_split(text, ' ') w from documents
+  where len(str_split(text, ' ')) >= 5
+),
+grams as (
+  select doc_id, array_to_string(w[i+1:i+5], ' ') g
+  from tok, unnest(range(len(w) - 4)) as t(i)
+),
+bench as (select distinct g from grams where doc_id % 97 = 0)
+select doc_id, count(distinct g) n_shared
+from grams join bench using (g)
+where doc_id % 97 <> 0
+group by 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (tf × ln(N/df)), the classic
+    relevance weighting a curation pipeline uses for topic tagging and
+    keyword-based filtering.
+
+    Plan: one explode → (doc_id, term) counts (partial agg collapses
+    per-partition duplicates before the exchange); document frequency
+    is a second aggregate over the SAME shuffled term grouping; N
+    arrives via a broadcast cross join of a 1-row aggregate (no
+    driver-side .count() action — the whole thing is one plan). The
+    final window partitions by doc_id with an explicit
+    (score desc, term asc) tie-break. At corpus scale the df table is
+    vocab-sized; a real deployment thresholds it (df ≥ min_df) before
+    the join-back — expressed here as-is because the synthetic vocab
+    is small.
+    """
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_tbl, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+SQL_TFIDF_TOP_TERMS = """
+with tf as (
+  select doc_id, t term, count(*) tf
+  from (select doc_id, unnest(str_split(text, ' ')) t from documents)
+  group by 1, 2
+),
+dfq as (select term, count(*) df from tf group by 1),
+n as (select count(*) n_docs from documents),
+scored as (
+  select doc_id, term, tf, df,
+         tf::double * ln(n_docs::double / df::double) score
+  from tf join dfq using (term), n
+)
+select doc_id, term, tf, df,
+       row_number() over (partition by doc_id order by score desc, term) rank,
+       round(score, 6) score
+from scored
+qualify rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-host document cap
+# ---------------------------------------------------------------------------
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host (source) document cap: keep the 5 longest documents per
+    source — the host-balancing pass web corpora run so that a few
+    giant crawl hosts don't dominate the training mixture
+    (FineWeb/C4-style per-domain limits). Deterministic
+    (n_chars desc, doc_id asc) ranking; output the survivors.
+
+    Scale shape: a single shuffle on the source key, then a per-group
+    window — no join, no driver state. A skewed mega-host makes this
+    window the hot spot; the two-stage mitigation (per-partition
+    pre-top-k with sortWithinPartitions, then the global window over
+    ≤ k·partitions survivors) drops in here because the cap is an
+    algebraic top-k.
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("source", "doc_id", "n_chars", "rank")
+    )
+
+
+SQL_SOURCE_CAP = """
+select source, doc_id, n_chars,
+       row_number() over (partition by source order by n_chars desc, doc_id) rank
+from documents
+qualify rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified mixture resampling
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"en": 90, "de": 60, "fr": 60, "es": 40, "zh": 100}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mixture resampling: keep each document with a per-lang
+    target rate (en 90%, de/fr 60%, es 40%, zh 100%) decided by a
+    content-derived md5 bucket — the deterministic twin of
+    `dataset_split`, salted differently so mixture membership is
+    independent of split membership. Stable under re-sharding and
+    re-runs: a document's fate is a pure function of its id, never of
+    partition layout or RNG state — the property that lets a 100 TB
+    pipeline resume or backfill without resampling the corpus.
+
+    Plan: pure column expressions (md5/conv/when chain — all codegen),
+    one aggregate; zero joins, zero UDFs. Output: per-lang kept counts
+    + kept chars vs totals.
+    """
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    rate = F.when(F.lit(False), F.lit(0))
+    for lang, r in _MIX_RATES.items():
+        rate = rate.when(F.col("lang") == lang, F.lit(r))
+    keep = (bucket < rate.otherwise(F.lit(0))).cast("int")
+    return (
+        d.select("lang", "n_chars", keep.alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("keep").alias("n_kept"),
+            F.sum(F.col("keep") * F.col("n_chars")).alias("chars_kept"),
+        )
+    )
+
+
+_MIX_CASE = " ".join(
+    f"when lang = '{lang}' then {r}" for lang, r in _MIX_RATES.items()
+)
+
+SQL_STRATIFIED_SAMPLE = f"""
+with b as (
+  select lang, n_chars,
+         case when ('0x' || substr(md5('mix:' || cast(doc_id as varchar)), 1, 4))::bigint % 100
+                   < (case {_MIX_CASE} else 0 end)
+              then 1 else 0 end keep
+  from documents
+)
+select lang, count(*) n_total,
+       cast(sum(keep) as bigint) n_kept,
+       cast(sum(keep * n_chars) as bigint) chars_kept
+from b group by 1
+"""
+
+
+CURATION_QUERIES = {
+    "decontaminate": q_decontaminate,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "source_cap": q_source_cap,
+    "stratified_sample": q_stratified_sample,
+}
+CURATION_ORACLES = {
+    "decontaminate": SQL_DECONTAMINATE,
+    "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
+    "source_cap": SQL_SOURCE_CAP,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+}
+
+_queries.QUERIES.update(CURATION_QUERIES)
+_queries.ORACLES.update(CURATION_ORACLES)
