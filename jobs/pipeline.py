@@ -16,6 +16,9 @@ as one resumable Spark job):
                  connected components -> keep cluster representative
                  (jobs/dedup.py:build_dedup; no broadcast of the
                  unbounded loser set)
+  3.5 decontaminate (opt-in, --benchmark) — drop corpus docs sharing
+                 any word-5-gram with the eval-set texts; benchmark
+                 grams broadcast, corpus grams never shuffle-joined
   4. split     — deterministic content-hash train/val/test assignment
                  (pure function of url: stable across runs, reshards
                  and cluster sizes), written partitioned by split
@@ -76,6 +79,7 @@ def run_pipeline(
     min_tokens: int = 5,
     algorithm: str = "twophase",
     checkpoint_dir: str | None = None,
+    benchmark_path: str | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -139,6 +143,37 @@ def run_pipeline(
     n_corpus = corpus.count()
     timings["dedup_s"] = round(time.monotonic() - t0, 3)
 
+    # -- 3.5 decontaminate (optional, vs a benchmark/eval set) --------
+    # Drop corpus docs sharing any word-5-gram with the benchmark
+    # texts. The benchmark gram set is broadcast (eval suites are MBs
+    # against the corpus), so corpus grams stream through a map-side
+    # hash semi-join — no corpus-side shuffle on gram strings. Docs
+    # shorter than 5 words fall back to whole-text matching
+    # (with_shingles' short-row branch), i.e. exact-match removal.
+    n_contaminated = 0
+    if benchmark_path:
+        t0 = time.monotonic()
+        from paddleocr_spark.functions.textstats import with_shingles
+
+        bench = spark.read.parquet(benchmark_path).select("text")
+        bgrams = (
+            with_shingles(bench, "text", 5, "__g")
+            .select(F.explode("__g").alias("g"))
+            .distinct()
+        )
+        cg = with_shingles(
+            corpus.select("doc_id", "text"), "text", 5, "__g"
+        ).select("doc_id", F.explode("__g").alias("g"))
+        contaminated = cg.join(F.broadcast(bgrams), "g").select("doc_id").distinct()
+        clean = corpus.join(contaminated, "doc_id", "left_anti")
+        clean_path = os.path.join(output_dir, "decontaminated")
+        clean.write.mode("overwrite").parquet(clean_path)
+        corpus = spark.read.parquet(clean_path)
+        n_clean = corpus.count()
+        n_contaminated = n_corpus - n_clean
+        n_corpus = n_clean
+        timings["decontaminate_s"] = round(time.monotonic() - t0, 3)
+
     # -- 4. split (deterministic, content-derived) --------------------
     t0 = time.monotonic()
     dataset = corpus.withColumn("split", split_col("doc_id"))
@@ -158,12 +193,14 @@ def run_pipeline(
         n_extracted=n_extracted,
         n_curated=n_curated,
         n_corpus=n_corpus,
+        n_contaminated=n_contaminated,
         curate_retention=round(n_curated / n_extracted, 4) if n_extracted else None,
-        dedup_retention=round(n_corpus / n_curated, 4) if n_curated else None,
+        dedup_retention=round((n_corpus + n_contaminated) / n_curated, 4) if n_curated else None,
         splits=split_counts,
         params=dict(
             min_quality=min_quality, langs=langs, min_tokens=min_tokens,
             algorithm=algorithm, partitions=n_partitions, salt=salt,
+            benchmark=benchmark_path,
         ),
         timings=timings,
     )
@@ -185,6 +222,9 @@ def main(argv=None) -> int:
     ap.add_argument("--algorithm", default="twophase",
                     choices=["propagation", "twophase"])
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of eval-set texts (column `text`); corpus docs "
+                         "sharing any word-5-gram with it are dropped")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -203,6 +243,7 @@ def main(argv=None) -> int:
         min_tokens=args.min_tokens,
         algorithm=args.algorithm,
         checkpoint_dir=args.checkpoint_dir,
+        benchmark_path=args.benchmark,
     )
     manifest["wall_sec"] = round(time.time() - t0, 3)
     print(json.dumps(manifest))

@@ -378,13 +378,48 @@ def embed_near_dup_pairs(
     n_planes for fewer candidates. The 4-plane/16-bucket
     `q_embed_near_dup` query is the oracle-scale miniature of this.
     """
-    sigs = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
-        F.posexplode(
-            F.array(*[lsh_bucket_t(F.col(vec_col), t, n_planes) for t in range(n_tables)])
-        ).alias("__t", "__b"),
+    from paddleocr_spark.functions.dedup import _spread
+
+    nb = n_planes * n_tables
+    # All nb plane dots in ONE array expression (a single nested
+    # higher-order eval per row) instead of nb separate aggregate
+    # expressions; the per-table bucket then just slices it. `__dots`
+    # is bound with withColumn so the four bucket projections share it
+    # (CollapseProject keeps multi-referenced non-cheap projections).
+    all_dots = F.transform(
+        F.sequence(F.lit(0), F.lit(nb - 1)),
+        lambda g: F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda x, i: x.cast("double")
+                * (((i + 1) * (g + 3)) % 7 - 3).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << j) for j in range(n_planes)])
+
+    def bucket_t(t: int) -> Column:
+        signs = F.zip_with(
+            F.slice(F.col("__dots"), t * n_planes + 1, n_planes),
+            powers,
+            lambda d, p: F.when(d > 0, p).otherwise(F.lit(0)),
+        )
+        return F.aggregate(signs, F.lit(0), lambda acc, x: acc + x).cast("int")
+
+    sigs = (
+        _spread(df, id_col)
+        .select(id_col, vec_col)
+        .withColumn("__dots", all_dots)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+            F.posexplode(
+                F.array(*[bucket_t(t) for t in range(n_tables)])
+            ).alias("__t", "__b"),
+        )
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (

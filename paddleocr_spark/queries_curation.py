@@ -21,24 +21,12 @@ from pyspark.sql import functions as F
 
 import paddleocr_spark.queries as _queries
 from paddleocr_spark.queries import _t
+from paddleocr_spark.functions.textstats import with_shingles
 
 
 # ---------------------------------------------------------------------------
 # Benchmark decontamination: n-gram overlap against an eval set
 # ---------------------------------------------------------------------------
-
-def _word_grams(col: str, n: int = 5):
-    """All word n-grams of a space-tokenized text column as
-    array<string> — pure column expressions (split/sequence/transform/
-    slice run in whole-stage codegen; no UDF, no explode yet so the
-    gram arrays stay inside the row until the caller chooses to
-    explode)."""
-    w = F.split(F.col(col), " ")
-    return F.transform(
-        F.sequence(F.lit(0), F.size(w) - n),
-        lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
-    )
-
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eval-set decontamination: flag corpus documents that share any
@@ -50,12 +38,14 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     are MBs against a 100 TB corpus), so its distinct gram set is
     broadcast — the corpus side streams through a map-side hash join
     with NO shuffle of corpus grams; only the surviving (doc_id, gram)
-    hits shuffle for the per-doc distinct count. The corpus grams are
-    generated per-row (transform over a slice window), not
-    pre-materialized.
+    hits shuffle for the per-doc distinct count. Grams come from
+    `textstats.with_shingles` (split bound once per row — linear in
+    words, not the quadratic inline form).
     """
     d = _t(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 5)
-    grams = d.select("doc_id", F.explode(_word_grams("text", 5)).alias("g"))
+    grams = with_shingles(d.select("doc_id", "text"), "text", 5, "__g").select(
+        "doc_id", F.explode("__g").alias("g")
+    )
     bench = (
         grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
     )

@@ -80,3 +80,41 @@ def test_pipeline_empty_and_garbage_pages_survive(spark, tmp_path):
     assert m["n_extracted"] == 3
     assert m["n_curated"] == 1  # only the real document survives
     assert m["n_corpus"] == 1
+
+
+def test_pipeline_decontamination_drops_benchmark_overlap(spark, smoke_dir, tmp_path):
+    """With --benchmark set, any corpus doc sharing a word-5-gram with a
+    benchmark text is dropped; manifest accounts for it exactly and the
+    dataset totals follow the decontaminated corpus."""
+    out = str(tmp_path / "pipe_decon")
+
+    # baseline run (no benchmark) to harvest a real surviving text
+    base = run_pipeline(
+        spark,
+        input_path=os.path.join(smoke_dir, "pages.parquet"),
+        output_dir=str(tmp_path / "pipe_base"),
+        n_partitions=8,
+        salt=2,
+    )
+    corpus = spark.read.parquet(str(tmp_path / "pipe_base" / "corpus"))
+    victim = corpus.filter(F.size(F.split("text", " ")) >= 5).first()
+    assert victim is not None
+    # benchmark text = the victim's first five words (one shared 5-gram)
+    bench_text = " ".join(victim["text"].split(" ")[:5])
+    bench_path = str(tmp_path / "bench.parquet")
+    spark.createDataFrame([(bench_text,)], "text string").write.parquet(bench_path)
+
+    m = run_pipeline(
+        spark,
+        input_path=os.path.join(smoke_dir, "pages.parquet"),
+        output_dir=out,
+        n_partitions=8,
+        salt=2,
+        benchmark_path=bench_path,
+    )
+    assert m["n_contaminated"] >= 1
+    clean = spark.read.parquet(os.path.join(out, "decontaminated"))
+    # the victim is gone, the accounting holds, splits follow the clean corpus
+    assert clean.filter(F.col("doc_id") == victim["doc_id"]).count() == 0
+    assert m["n_corpus"] == base["n_corpus"] - m["n_contaminated"]
+    assert sum(m["splits"].values()) == m["n_corpus"]
