@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "source_cap",
     "stratified_sample",
+    "unigram_logprob",
 ]
 
 

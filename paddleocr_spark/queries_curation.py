@@ -241,17 +241,74 @@ from b group by 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram log-probability scoring (perplexity-style LM quality filter)
+# ---------------------------------------------------------------------------
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean surprise under the corpus unigram model:
+    mean over tokens of −ln(count(w)/T). This is the relational analog
+    of the KenLM perplexity gate CCNet-style pipelines run — documents
+    whose words are corpus-typical score low, gibberish scores high —
+    with the unigram table standing in for the n-gram LM (the join and
+    aggregation shapes are identical; a real deployment joins a
+    trained model table instead of the self-derived one).
+
+    Plan: one explode → term counts (map-side partial agg), join the
+    vocab-sized count table back to the token stream (broadcast here;
+    thresholded + shuffle join at corpus vocab), T by a 1-row
+    broadcast cross join, then a per-doc average — no UDFs, no driver
+    actions.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count("*").alias("n_w"))
+    total = toks.agg(F.count("*").alias("t_tokens"))
+    return (
+        toks.join(counts, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(
+                        F.col("n_w").cast("double") / F.col("t_tokens").cast("double")
+                    )
+                ),
+                6,
+            ).alias("mean_nll"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+SQL_UNIGRAM_LOGPROB = """
+with toks as (
+  select doc_id, unnest(str_split(text, ' ')) term from documents
+),
+counts as (select term, count(*) n_w from toks group by 1),
+total as (select count(*) t_tokens from toks)
+select doc_id,
+       round(avg(-ln(n_w::double / t_tokens::double)), 6) mean_nll,
+       count(*) n_tokens
+from toks join counts using (term), total
+group by doc_id
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
     "source_cap": q_source_cap,
     "stratified_sample": q_stratified_sample,
+    "unigram_logprob": q_unigram_logprob,
 }
 CURATION_ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "source_cap": SQL_SOURCE_CAP,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
 }
 
 _queries.QUERIES.update(CURATION_QUERIES)
