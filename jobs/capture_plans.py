@@ -90,6 +90,15 @@ def main():
         ),
     ))
 
+    sections.append((
+        "Eval-set decontamination (decontaminate)",
+        "The benchmark gram set is the build side of a BroadcastHashJoin "
+        "(LeftSemi-shaped via the aggregate): corpus grams stream map-side, "
+        "never shuffle-joined on gram strings; only surviving (doc_id, gram) "
+        "hits reach the distinct-count exchange.",
+        formatted(Q.QUERIES["decontaminate"](spark, SF)),
+    ))
+
     # bucketed co-located join: write two bucketed tables, show the
     # zero-Exchange joined plan
     from paddleocr_spark.sources.bucketed import cojoin, write_bucketed
