@@ -92,10 +92,11 @@ def main():
 
     sections.append((
         "Eval-set decontamination (decontaminate)",
-        "The benchmark gram set is the build side of a BroadcastHashJoin "
+        "The benchmark gram-hash set is the build side of a BroadcastHashJoin "
         "(LeftSemi-shaped via the aggregate): corpus grams stream map-side, "
-        "never shuffle-joined on gram strings; only surviving (doc_id, gram) "
-        "hits reach the distinct-count exchange.",
+        "never shuffle-joined; everything past the Generate is 8-byte "
+        "xxhash64 keys, and only surviving (doc_id, hash) hits reach the "
+        "distinct-count exchange.",
         formatted(Q.QUERIES["decontaminate"](spark, SF)),
     ))
 

@@ -37,23 +37,33 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the benchmark side of the join is tiny (eval suites
     are MBs against a 100 TB corpus), so its distinct gram set is
     broadcast — the corpus side streams through a map-side hash join
-    with NO shuffle of corpus grams; only the surviving (doc_id, gram)
+    with NO shuffle of corpus grams; only the surviving (doc_id, hash)
     hits shuffle for the per-doc distinct count. Grams come from
     `textstats.with_shingles` (split bound once per row — linear in
-    words, not the quadratic inline form).
+    words, not the quadratic inline form), and the doc_id%97 split is
+    pushed BELOW shingling so each side tokenizes only its own scan
+    (the naive formulation shingles the full corpus once per branch).
+    Everything past the Generate carries xxhash64(gram) — 8-byte keys
+    in the broadcast, the join, and the distinct — never gram text
+    (64-bit collisions would need ~2^32 distinct shared grams in one
+    document to matter; eval suites are millions of grams total).
     """
     d = _t(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 5)
-    grams = with_shingles(d.select("doc_id", "text"), "text", 5, "__g").select(
-        "doc_id", F.explode("__g").alias("g")
-    )
+
+    def gram_hashes(docs: DataFrame) -> DataFrame:
+        return with_shingles(docs.select("doc_id", "text"), "text", 5, "__g").select(
+            "doc_id",
+            F.explode(F.transform("__g", lambda s: F.xxhash64(s))).alias("h"),
+        )
+
     bench = (
-        grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+        gram_hashes(d.filter(F.col("doc_id") % 97 == 0)).select("h").distinct()
     )
-    corpus = grams.filter(F.col("doc_id") % 97 != 0)
+    corpus = gram_hashes(d.filter(F.col("doc_id") % 97 != 0))
     return (
-        corpus.join(F.broadcast(bench), "g")
+        corpus.join(F.broadcast(bench), "h")
         .groupBy("doc_id")
-        .agg(F.countDistinct("g").alias("n_shared"))
+        .agg(F.countDistinct("h").alias("n_shared"))
     )
 
 
@@ -296,12 +306,172 @@ group by doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Repeated n-gram span coverage (exact-substring-dedup analog)
+# ---------------------------------------------------------------------------
+
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage by corpus-frequent word 5-grams: the
+    relational analog of exact-substring deduplication (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better") —
+    instead of a suffix array, count every 5-gram corpus-wide, keep
+    those occurring ≥ 3 times, and measure how much of each document
+    the frequent grams cover (union of the overlapping [pos, pos+5)
+    intervals, merged with a running-max window — never by exploding
+    positions).
+
+    Scale shape: grams are hashed to xxhash64 inside the shingle array
+    (before the explode), so nothing downstream of the Generate ever
+    carries gram text — 8-byte keys only. The frequency gate is a
+    count(*) window over the hash, NOT a groupBy + self-join: one
+    shuffle of the gram stream total, no recomputation of the shingle
+    transform for a second join branch. Then one doc_id shuffle for
+    the interval-union window; the interval merge is O(hits) with a
+    rows-frame running max — no quadratic pair logic, no UDF.
+
+    Skew caveat for the window form: a boilerplate gram occurring
+    billions of times lands in one window partition. When the corpus
+    has such heads, switch to the groupBy(h)+broadcast-join variant —
+    map-side partial agg collapses hot keys before the exchange and
+    the thresholded frequent set (the Zipf head) broadcasts, so the
+    probe stream never shuffles on h at all (cost: the shingle
+    transform is evaluated once per branch, CPU for shuffle).
+    """
+    d = _t(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 5)
+    g = with_shingles(d.select("doc_id", "text"), "text", 5, "__g")
+    grams = g.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.posexplode(F.transform("__g", lambda s: F.xxhash64(s))).alias("pos", "h"),
+    )
+    cnt = F.count("*").over(Window.partitionBy("h"))
+    hits = (
+        grams.withColumn("cnt", cnt)
+        .filter(F.col("cnt") >= 3)
+        .select("doc_id", "n_tokens", "pos")
+    )
+    prev_end = F.max(F.col("pos") + 5).over(
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("pos") + 5
+        - F.greatest(F.col("pos"), F.coalesce(prev_end, F.col("pos"))),
+    )
+    return (
+        hits.select("doc_id", "n_tokens", contrib.alias("c"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.sum("c").alias("dup_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias("dup_frac"),
+        )
+    )
+
+
+SQL_DUP_NGRAM_SPANS = """
+with tok as (
+  select doc_id, str_split(text, ' ') w from documents
+  where len(str_split(text, ' ')) >= 5
+),
+grams as (
+  select doc_id, len(w) n_tokens, i pos, array_to_string(w[i+1:i+5], ' ') g
+  from tok, unnest(range(len(w) - 4)) as t(i)
+),
+freq as (select g from grams group by g having count(*) >= 3),
+hits as (select doc_id, n_tokens, pos from grams join freq using (g)),
+cov as (
+  select doc_id, n_tokens,
+         greatest(0, pos + 5 - greatest(pos, coalesce(
+           max(pos + 5) over (partition by doc_id order by pos
+                              rows between unbounded preceding and 1 preceding),
+           pos))) c
+  from hits
+)
+select doc_id, n_tokens, cast(sum(c) as bigint) dup_tokens,
+       round(cast(sum(c) as bigint) / n_tokens, 6) dup_frac
+from cov group by doc_id, n_tokens
+"""
+
+
+# ---------------------------------------------------------------------------
+# Block-level (paragraph-analog) exact dedup
+# ---------------------------------------------------------------------------
+
+def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (MassiveText/Gopher-style), with
+    fixed 20-token blocks standing in for paragraphs (the synthetic
+    corpus has no newlines; the split expression is the only thing a
+    real deployment changes). Every block is kept exactly once
+    corpus-wide — first occurrence in (doc_id, block_idx) order wins —
+    and the query reports per-document survival.
+
+    Scale shape: one shuffle on the block content (replaced by its
+    xxhash64 at corpus scale so 8-byte keys shuffle, not text), a
+    first-occurrence window with an explicit total order, one doc_id
+    aggregate. No joins, no UDFs, no driver state; deterministic under
+    any partitioning because the winner is a pure function of the data.
+    """
+    d = _t(spark, sf_dir, "documents")
+    blocks = (
+        d.select("doc_id", F.split("text", " ").alias("__w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(__w) / 20.0) as int) - 1),"
+                    " i -> array_join(slice(__w, i * 20 + 1, 20), ' '))"
+                )
+            ).alias("idx", "b"),
+        )
+    )
+    w = Window.partitionBy("b").orderBy(F.col("doc_id").asc(), F.col("idx").asc())
+    ranked = blocks.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum((F.col("rn") == 1).cast("int")).alias("n_kept"),
+        )
+        .select(
+            "doc_id",
+            "n_blocks",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_blocks"), 6).alias("kept_frac"),
+        )
+    )
+
+
+SQL_BLOCK_DEDUP = """
+with tok as (select doc_id, str_split(text, ' ') w from documents),
+blocks as (
+  select doc_id, i idx, array_to_string(w[i*20+1 : i*20+20], ' ') b
+  from tok, unnest(range(cast(ceil(len(w) / 20.0) as bigint))) t(i)
+),
+ranked as (
+  select doc_id, idx,
+         row_number() over (partition by b order by doc_id, idx) rn
+  from blocks
+)
+select doc_id, count(*) n_blocks,
+       cast(sum(case when rn = 1 then 1 else 0 end) as bigint) n_kept,
+       round(cast(sum(case when rn = 1 then 1 else 0 end) as bigint) / count(*), 6) kept_frac
+from ranked group by 1
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
     "source_cap": q_source_cap,
     "stratified_sample": q_stratified_sample,
     "unigram_logprob": q_unigram_logprob,
+    "dup_ngram_spans": q_dup_ngram_spans,
+    "block_dedup": q_block_dedup,
 }
 CURATION_ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
@@ -309,6 +479,8 @@ CURATION_ORACLES = {
     "source_cap": SQL_SOURCE_CAP,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
+    "block_dedup": SQL_BLOCK_DEDUP,
 }
 
 _queries.QUERIES.update(CURATION_QUERIES)
