@@ -87,6 +87,9 @@ BENCH_QUERIES = [
     "source_cap",
     "stratified_sample",
     "unigram_logprob",
+    "dup_ngram_spans",
+    "block_dedup",
+    "seq_packing",
 ]
 
 

@@ -337,7 +337,11 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe stream never shuffles on h at all (cost: the shingle
     transform is evaluated once per branch, CPU for shuffle).
     """
-    d = _t(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 5)
+    return dup_ngram_spans_over(_t(spark, sf_dir, "documents"))
+
+
+def dup_ngram_spans_over(docs: DataFrame) -> DataFrame:
+    d = docs.filter(F.size(F.split("text", " ")) >= 5)
     g = with_shingles(d.select("doc_id", "text"), "text", 5, "__g")
     grams = g.select(
         "doc_id",
@@ -416,7 +420,10 @@ def q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. No joins, no UDFs, no driver state; deterministic under
     any partitioning because the winner is a pure function of the data.
     """
-    d = _t(spark, sf_dir, "documents")
+    return block_dedup_over(_t(spark, sf_dir, "documents"))
+
+
+def block_dedup_over(d: DataFrame) -> DataFrame:
     blocks = (
         d.select("doc_id", F.split("text", " ").alias("__w"))
         .select(
@@ -464,6 +471,79 @@ from ranked group by 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing: concat-and-chunk into fixed-size training contexts
+# ---------------------------------------------------------------------------
+
+def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing, GPT-pretraining style: documents are
+    concatenated in a deterministic order and chunked into fixed
+    2048-token contexts; each document's placement (byte-offset analog:
+    token start offset, first chunk, chunks spanned) is a pure window
+    cumsum — no stateful bin-packing loop, no driver pass.
+
+    Scale shape: packing is embarrassingly parallel across 8
+    independent streams (doc_id % 8 — at corpus scale, hundreds of
+    streams = write parallelism of the packed shards). One shuffle on
+    the stream key for the ordered cumsum window; every offset is a
+    pure function of (stream, order, n_tokens), so re-running or
+    resuming any stream reproduces identical chunk boundaries —
+    the property that makes packed shards reproducible without a
+    serial pass over 100 TB.
+    """
+    return seq_packing_over(_t(spark, sf_dir, "documents"))
+
+
+def seq_packing_over(d: DataFrame) -> DataFrame:
+    toks = d.select(
+        (F.col("doc_id") % 8).alias("stream"),
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return toks.select(
+        "stream",
+        "doc_id",
+        "n_tokens",
+        start.alias("start_tok"),
+        F.expr(
+            "(coalesce(sum(n_tokens) over (partition by stream order by doc_id"
+            " rows between unbounded preceding and 1 preceding), 0)) div 2048"
+        ).alias("first_chunk"),
+        F.expr(
+            "((coalesce(sum(n_tokens) over (partition by stream order by doc_id"
+            " rows between unbounded preceding and 1 preceding), 0) + n_tokens - 1)"
+            " div 2048) - ((coalesce(sum(n_tokens) over (partition by stream"
+            " order by doc_id rows between unbounded preceding and 1 preceding), 0))"
+            " div 2048) + 1"
+        ).alias("n_chunks"),
+    )
+
+
+SQL_SEQ_PACKING = """
+with toks as (
+  select doc_id % 8 stream, doc_id,
+         cast(len(str_split(text, ' ')) as bigint) n_tokens
+  from documents
+),
+offs as (
+  select stream, doc_id, n_tokens,
+         cast(coalesce(sum(n_tokens) over (partition by stream order by doc_id
+              rows between unbounded preceding and 1 preceding), 0) as bigint) start_tok
+  from toks
+)
+select stream, doc_id, n_tokens, start_tok,
+       start_tok // 2048 first_chunk,
+       (start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1 n_chunks
+from offs
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -472,6 +552,7 @@ CURATION_QUERIES = {
     "unigram_logprob": q_unigram_logprob,
     "dup_ngram_spans": q_dup_ngram_spans,
     "block_dedup": q_block_dedup,
+    "seq_packing": q_seq_packing,
 }
 CURATION_ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
@@ -481,6 +562,7 @@ CURATION_ORACLES = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "block_dedup": SQL_BLOCK_DEDUP,
+    "seq_packing": SQL_SEQ_PACKING,
 }
 
 _queries.QUERIES.update(CURATION_QUERIES)

@@ -141,6 +141,95 @@ def test_stratified_sample_is_resharding_invariant(spark):
     assert rates["es"][0] < rates["es"][1]
 
 
+def test_dup_ngram_spans_plants_full_and_zero_coverage(spark):
+    """Three identical 10-token docs: every 5-gram occurs 3× corpus-wide
+    (meets the ≥3 gate), so the interval union must cover every token
+    (dup_frac=1.0). A doc sharing nothing is absent from the output."""
+    from paddleocr_spark.queries_curation import dup_ngram_spans_over
+
+    dup = "a b c d e f g h i j"
+    rows = [(1, dup), (2, dup), (3, dup), (4, "q r s t u v w x y z")]
+    out = dup_ngram_spans_over(
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+    ).collect()
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"]) for r in out}
+    assert got == {1: (10, 10, 1.0), 2: (10, 10, 1.0), 3: (10, 10, 1.0)}
+
+
+def test_dup_ngram_spans_merges_overlapping_intervals(spark):
+    """Two hits at pos 0 and pos 2 (window 5) cover tokens [0,7) = 7,
+    not 10: the running-max merge must not double-count the overlap.
+    Planted: 3 docs share the first 7 tokens (two overlapping frequent
+    5-grams each: pos 0–2), differing tails keep the rest unique."""
+    from paddleocr_spark.queries_curation import dup_ngram_spans_over
+
+    head = "a b c d e f g"
+    rows = [(i, f"{head} t{i} u{i} v{i}") for i in (1, 2, 3)]
+    out = dup_ngram_spans_over(
+        spark.createDataFrame(rows, "doc_id bigint, text string")
+    ).collect()
+    assert {(r["n_tokens"], r["dup_tokens"]) for r in out} == {(10, 7)}
+
+
+def test_block_dedup_keeps_each_block_exactly_once(spark):
+    """Corpus-wide, sum(n_kept) equals the number of DISTINCT blocks;
+    a doc that is a copy of an earlier one keeps zero blocks."""
+    from paddleocr_spark.queries_curation import block_dedup_over
+
+    text40 = " ".join(f"w{i}" for i in range(40))  # 2 full 20-token blocks
+    rows = [(1, text40), (2, text40), (3, " ".join(f"x{i}" for i in range(25)))]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r["doc_id"]: (r["n_blocks"], r["n_kept"]) for r in block_dedup_over(df).collect()}
+    assert out == {1: (2, 2), 2: (2, 0), 3: (2, 2)}
+
+    # invariant on the real table: every distinct block kept exactly once
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    agg = block_dedup_over(docs).agg(F.sum("n_kept").alias("kept")).collect()[0]
+    n_distinct = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(split(text, ' ')) / 20.0) as int) - 1),"
+                    " i -> array_join(slice(split(text, ' '), i * 20 + 1, 20), ' '))"
+                )
+            ).alias("b")
+        )
+        .select("b")
+        .distinct()
+        .count()
+    )
+    assert agg["kept"] == n_distinct
+
+
+def test_seq_packing_streams_are_contiguous(spark):
+    """Within every stream, doc placements tile the token axis with no
+    gaps or overlaps: next start == prev start + prev n_tokens, first
+    starts at 0, and chunk ids are consistent with the offsets."""
+    out = Q.QUERIES["seq_packing"](spark, SF_DIR).collect()
+    by_stream: dict[int, list] = {}
+    for r in out:
+        by_stream.setdefault(r["stream"], []).append(r)
+    assert len(by_stream) == 8
+    for stream, rows in by_stream.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in rows:
+            assert r["start_tok"] == expect, (stream, r)
+            assert r["first_chunk"] == r["start_tok"] // 2048
+            last_chunk = (r["start_tok"] + r["n_tokens"] - 1) // 2048
+            assert r["n_chunks"] == last_chunk - r["first_chunk"] + 1
+            expect += r["n_tokens"]
+
+
+def test_new_curation_ops_are_join_free(spark):
+    """dup_ngram_spans (window-count form), block_dedup, and
+    seq_packing must contain no join operator and no Python stage."""
+    for name in ("dup_ngram_spans", "block_dedup", "seq_packing"):
+        plan = _plan(Q.QUERIES[name](spark, SF_DIR))
+        assert "Join" not in plan, (name, plan)
+        assert "Python" not in plan, (name, plan)
+
+
 def test_tfidf_rank_contract(spark):
     """Exactly ≤3 rows per doc, ranks 1..k dense from 1, scores
     non-increasing with rank."""
