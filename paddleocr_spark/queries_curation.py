@@ -49,13 +49,6 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     document to matter; eval suites are millions of grams total).
     """
     d = _t(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 5)
-
-    def gram_hashes(docs: DataFrame) -> DataFrame:
-        return with_shingles(docs.select("doc_id", "text"), "text", 5, "__g").select(
-            "doc_id",
-            F.explode(F.transform("__g", lambda s: F.xxhash64(s))).alias("h"),
-        )
-
     bench = (
         gram_hashes(d.filter(F.col("doc_id") % 97 == 0)).select("h").distinct()
     )
@@ -64,6 +57,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus.join(F.broadcast(bench), "h")
         .groupBy("doc_id")
         .agg(F.countDistinct("h").alias("n_shared"))
+    )
+
+
+def gram_hashes(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, h): xxhash64 of each word k-gram. Hashing happens inside
+    the shingle array (before the explode) so gram text never leaves
+    the Generate — the shared primitive for batch and streaming
+    decontamination."""
+    return with_shingles(docs.select("doc_id", "text"), "text", k, "__g").select(
+        "doc_id",
+        F.explode(F.transform("__g", lambda s: F.xxhash64(s))).alias("h"),
     )
 
 

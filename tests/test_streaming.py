@@ -403,3 +403,34 @@ def test_streaming_extract_into_warehouse_byte_identical(spark, smoke_dir, tmp_p
     extract_pages_stream_warehouse(spark, str(src), tbl, ckpt)
     assert len(W.snapshots(tbl)) == snaps
     assert W.read_table(spark, tbl).count() == len(want)
+
+
+def test_streaming_decontaminate_matches_batch(spark, tmp_path):
+    """Stream-static broadcast decontamination == the batch oracle-
+    checked query, with maxFilesPerTrigger=1 over 4 files so the
+    complete-mode collect_set state accumulates across micro-batches."""
+    import paddleocr_spark.queries as Q
+    from paddleocr_spark.queries_curation import gram_hashes
+    from paddleocr_spark.streaming.decontaminate import run_decontaminate_stream
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "docs_in")
+    docs.filter(F.col("doc_id") % 97 != 0).repartition(4).write.parquet(src)
+
+    bench = (
+        gram_hashes(
+            docs.filter((F.col("doc_id") % 97 == 0) & (F.size(F.split("text", " ")) >= 5))
+        )
+        .select("h")
+        .distinct()
+    )
+    got_df = run_decontaminate_stream(
+        spark, src, bench, "t_decon", max_files_per_trigger=1
+    )
+    got = {r["doc_id"]: r["n_shared"] for r in got_df.collect()}
+    want = {
+        r["doc_id"]: r["n_shared"]
+        for r in Q.QUERIES["decontaminate"](spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
