@@ -100,6 +100,25 @@ def main():
         formatted(Q.QUERIES["decontaminate"](spark, SF)),
     ))
 
+    sections.append((
+        "Repeated n-gram span coverage (dup_ngram_spans)",
+        "Join-free: the frequency gate is a count(*) window over "
+        "xxhash64(gram) — ONE exchange of 8-byte keys for the whole gram "
+        "stream (no groupBy+self-join, no recomputation of the shingle "
+        "transform), then one doc_id exchange for the O(hits) interval-union "
+        "window. No Python, no join operator anywhere.",
+        formatted(Q.QUERIES["dup_ngram_spans"](spark, SF)),
+    ))
+
+    sections.append((
+        "Training-sequence packing (seq_packing)",
+        "Embarrassingly parallel concat-and-chunk: ONE exchange on the "
+        "stream key, then pure window cumsum arithmetic — every chunk "
+        "boundary is a function of the data, so packed shards are "
+        "reproducible without a serial pass.",
+        formatted(Q.QUERIES["seq_packing"](spark, SF)),
+    ))
+
     # bucketed co-located join: write two bucketed tables, show the
     # zero-Exchange joined plan
     from paddleocr_spark.sources.bucketed import cojoin, write_bucketed
