@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "unigram_logprob",
     "dup_ngram_spans",
+    "url_filter",
+    "quality_linear",
     "block_dedup",
     "seq_packing",
 ]

@@ -548,6 +548,158 @@ from offs
 """
 
 
+# ---------------------------------------------------------------------------
+# URL/domain gating: the first-pass filter of a web-curation pipeline
+# ---------------------------------------------------------------------------
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level curation gate (the CCNet/FineWeb-style first pass that
+    runs before any content is parsed): host blocklist, banned term in
+    the URL path, over-long URL. Each document's URL is derived
+    deterministically from its row (the synthetic corpus carries no url
+    column; a real deployment reads it straight off the pages table),
+    so the gate is a pure function of the row in both engines.
+
+    Scale shape: the blocklist is a broadcast build side (real
+    blocklists are 10^4-10^6 hosts — always broadcastable); every rule
+    is a native string expression evaluated in whole-stage codegen
+    before `text` is ever parsed, which is exactly why pipelines run
+    this gate first: it prunes rows while only the narrow url column
+    has been read. Reference analog: the cheap-predicate-first
+    discipline of db_postprocess.py:136-141 (score gate before unclip)
+    lifted to the corpus level.
+    """
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.array_join(F.slice(F.split("text", " "), 1, 3), "/")
+    url = F.concat(F.lit("https://"), host, F.lit("/"), F.col("lang"), F.lit("/"), path)
+    rows = d.select("doc_id", host.alias("host"), url.alias("url"))
+    blocklist = spark.createDataFrame(
+        [("src1.example.com",), ("src4.example.com",)], ["blocked_host"]
+    )
+    joined = rows.join(
+        F.broadcast(blocklist),
+        rows["host"] == blocklist["blocked_host"],
+        "left",
+    )
+    reason = (
+        F.when(F.col("blocked_host").isNotNull(), "blocked_host")
+        .when(F.col("url").rlike("/(slow|big)(/|$)"), "banned_term")
+        .when(F.length("url") > 64, "too_long")
+        .otherwise("ok")
+    )
+    return joined.select(
+        "doc_id",
+        "host",
+        reason.alias("reason"),
+        (reason == "ok").cast("int").alias("kept"),
+    )
+
+
+SQL_URL_FILTER = """
+with rows as (
+  select doc_id,
+         source || '.example.com' host,
+         'https://' || source || '.example.com/' || lang || '/' ||
+           array_to_string(str_split(text, ' ')[1:3], '/') url
+  from documents
+),
+blocklist(blocked_host) as (values ('src1.example.com'), ('src4.example.com')),
+joined as (
+  select rows.*, blocklist.blocked_host
+  from rows left join blocklist on rows.host = blocklist.blocked_host
+)
+select doc_id, host,
+       case when blocked_host is not null then 'blocked_host'
+            when regexp_matches(url, '/(slow|big)(/|$)') then 'banned_term'
+            when length(url) > 64 then 'too_long'
+            else 'ok' end reason,
+       cast(case when blocked_host is not null then 0
+                 when regexp_matches(url, '/(slow|big)(/|$)') then 0
+                 when length(url) > 64 then 0
+                 else 1 end as int) kept
+from joined
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier (fastText-analog inference)
+# ---------------------------------------------------------------------------
+
+def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference as a relational plan — the
+    fastText-style gate most published curation pipelines run: each
+    token hashes into one of 64 feature buckets (hashing trick; md5
+    prefix so both engines agree), bucket weights live in a model
+    table, a document's logit is the mean feature weight and its
+    quality the sigmoid of the scaled logit.
+
+    Scale shape: model inference is a broadcast join (the weight table
+    is the model — 2^18-2^21 rows for a real hashed bigram model,
+    always broadcastable) against the exploded token stream, then one
+    map-side-combinable per-doc average. No UDF: the "model forward
+    pass" is whole-stage-codegen arithmetic, which is what makes the
+    gate run at scan speed over 100 TB. Reference analog: the cls
+    stage's argmax-over-scores gate (predict_cls.py:119-125) with the
+    score produced by a dot product instead of a CNN.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("bigint") % 64
+    )
+    feats = toks.select("doc_id", bucket.alias("bucket"))
+    # integer centi-weights: the per-doc weight sum stays an exact
+    # bigint across engines (a rounded float logit is a half-way
+    # rounding landmine: HALF_UP vs nearest-even differ at 6 dp)
+    weights = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 37) % 101 - 50).alias("w100"),
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("w100").alias("sum_w100"),
+        )
+    )
+    logit = F.col("sum_w100").cast("double") / (100.0 * F.col("n_feats"))
+    quality = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-8.0 * logit)), 6)
+    return scored.select(
+        "doc_id",
+        "n_feats",
+        "sum_w100",
+        quality.alias("quality"),
+        (F.col("sum_w100") >= 0).cast("int").alias("kept"),
+    )
+
+
+SQL_QUALITY_LINEAR = """
+with toks as (
+  select doc_id, unnest(str_split(text, ' ')) term from documents
+),
+feats as (
+  select doc_id,
+         ('0x' || substr(md5(term), 1, 4))::bigint % 64 bucket
+  from toks
+),
+weights as (
+  select range bucket, (range * 37) % 101 - 50 w100
+  from range(64)
+),
+scored as (
+  select doc_id, count(*) n_feats, cast(sum(w100) as bigint) sum_w100
+  from feats join weights using (bucket)
+  group by 1
+)
+select doc_id, n_feats, sum_w100,
+       round(1.0 / (1.0 + exp(-8.0 * (sum_w100::double / (100.0 * n_feats)))), 6) quality,
+       cast(case when sum_w100 >= 0 then 1 else 0 end as int) kept
+from scored
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -557,6 +709,8 @@ CURATION_QUERIES = {
     "dup_ngram_spans": q_dup_ngram_spans,
     "block_dedup": q_block_dedup,
     "seq_packing": q_seq_packing,
+    "url_filter": q_url_filter,
+    "quality_linear": q_quality_linear,
 }
 CURATION_ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
@@ -567,6 +721,8 @@ CURATION_ORACLES = {
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "block_dedup": SQL_BLOCK_DEDUP,
     "seq_packing": SQL_SEQ_PACKING,
+    "url_filter": SQL_URL_FILTER,
+    "quality_linear": SQL_QUALITY_LINEAR,
 }
 
 _queries.QUERIES.update(CURATION_QUERIES)
