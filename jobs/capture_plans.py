@@ -111,6 +111,26 @@ def main():
     ))
 
     sections.append((
+        "URL/domain gating (url_filter)",
+        "First-pass gate at scan speed: the host blocklist is the "
+        "broadcast build side and every rule is a codegen string "
+        "expression — rows are pruned before `text` is ever parsed, "
+        "the corpus-level form of the reference's cheap-predicate-first "
+        "discipline (db_postprocess.py:136-141).",
+        formatted(Q.QUERIES["url_filter"](spark, SF)),
+    ))
+
+    sections.append((
+        "Hashed-feature linear quality classifier (quality_linear)",
+        "Model inference as a relational plan: the weight table IS the "
+        "model and rides a BroadcastHashJoin against the exploded token "
+        "stream; the forward pass (dot product, sigmoid) is whole-stage "
+        "codegen arithmetic. ONE exchange (the per-doc aggregate, "
+        "map-side combined). No Python anywhere.",
+        formatted(Q.QUERIES["quality_linear"](spark, SF)),
+    ))
+
+    sections.append((
         "Training-sequence packing (seq_packing)",
         "Embarrassingly parallel concat-and-chunk: ONE exchange on the "
         "stream key, then pure window cumsum arithmetic — every chunk "

@@ -574,8 +574,11 @@ def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = F.array_join(F.slice(F.split("text", " "), 1, 3), "/")
     url = F.concat(F.lit("https://"), host, F.lit("/"), F.col("lang"), F.lit("/"), path)
     rows = d.select("doc_id", host.alias("host"), url.alias("url"))
-    blocklist = spark.createDataFrame(
-        [("src1.example.com",), ("src4.example.com",)], ["blocked_host"]
+    # VALUES-based inline table: stays JVM-side (a Python-built local
+    # relation pays a py4j serialization round-trip per invocation)
+    blocklist = spark.sql(
+        "SELECT * FROM VALUES ('src1.example.com'), ('src4.example.com')"
+        " AS t(blocked_host)"
     )
     joined = rows.join(
         F.broadcast(blocklist),

@@ -230,6 +230,49 @@ def test_new_curation_ops_are_join_free(spark):
         assert "Python" not in plan, (name, plan)
 
 
+def test_url_filter_broadcasts_blocklist_and_stays_native(spark):
+    """The host blocklist must be the broadcast build side (real
+    blocklists are always broadcastable) and every gating rule must be
+    a native expression — no shuffle join on hosts, no Python stage."""
+    plan = _plan(Q.QUERIES["url_filter"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_quality_linear_broadcasts_model_weights(spark):
+    """Model inference = broadcast weight-table join + codegen
+    arithmetic: the token stream must never shuffle on the feature
+    bucket, and the forward pass has no Python stage."""
+    plan = _plan(Q.QUERIES["quality_linear"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_url_filter_gate_semantics(spark):
+    """Blocked hosts always lose with reason=blocked_host; kept==1 iff
+    reason=='ok'; every doc appears exactly once."""
+    rows = Q.QUERIES["url_filter"](spark, SF_DIR).collect()
+    n_docs = Q.QUERIES["url_filter"](spark, SF_DIR).select("doc_id").distinct().count()
+    assert len(rows) == n_docs
+    for r in rows:
+        if r["host"] in ("src1.example.com", "src4.example.com"):
+            assert r["reason"] == "blocked_host", r
+        assert (r["kept"] == 1) == (r["reason"] == "ok"), r
+
+
+def test_quality_linear_kept_matches_sign(spark):
+    """kept is exactly the sign gate on the exact integer weight sum,
+    and quality crosses 0.5 together with it."""
+    for r in Q.QUERIES["quality_linear"](spark, SF_DIR).collect():
+        assert (r["kept"] == 1) == (r["sum_w100"] >= 0), r
+        if r["sum_w100"] > 0:
+            assert r["quality"] > 0.5, r
+        elif r["sum_w100"] < 0:
+            assert r["quality"] < 0.5, r
+
+
 def test_tfidf_rank_contract(spark):
     """Exactly ≤3 rows per doc, ranks 1..k dense from 1, scores
     non-increasing with rank."""
