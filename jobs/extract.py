@@ -32,11 +32,15 @@ def main(argv=None) -> int:
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--resume", action="store_true", help="anti-join completed partitions")
+    ap.add_argument("--blocklist", default=None,
+                    help="host blocklist: a file of hosts (one per line) or a "
+                         "comma-separated list; matching pages are pruned "
+                         "before any parsing")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
 
-    from paddleocr_spark.plans.job import run_extract_job
+    from paddleocr_spark.plans.job import parse_blocklist, run_extract_job
 
     spark = SparkSession.builder.appName("paddleocr-spark-extract").getOrCreate()
     t0 = time.time()
@@ -48,6 +52,7 @@ def main(argv=None) -> int:
         n_partitions=args.partitions,
         salt=args.salt,
         resume=args.resume,
+        blocked_hosts=parse_blocklist(args.blocklist),
     )
     wall = time.time() - t0
     out = dict(stats)

@@ -8,7 +8,9 @@ as one resumable Spark job):
   1. extract   — salted url-hash partitioning, one Arrow UDF pass,
                  per-partition lineage, anti-join resume
                  (plans/job.py:run_extract_job; snapshot-pinned when
-                 --input is a warehouse table dir)
+                 --input is a warehouse table dir). With --blocklist,
+                 blocklisted hosts are pruned BEFORE any parsing — the
+                 url-level gate rides the scan (broadcast anti-join)
   2. curate    — language-ID + quality-score + token-count gates, all
                  pure column expressions (functions/textstats.py), so
                  the filter rides the scan: no shuffle, no Python
@@ -80,6 +82,7 @@ def run_pipeline(
     algorithm: str = "twophase",
     checkpoint_dir: str | None = None,
     benchmark_path: str | None = None,
+    blocked_hosts: list[str] | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -99,6 +102,7 @@ def run_pipeline(
         n_partitions=n_partitions,
         salt=salt,
         resume=resume,
+        blocked_hosts=blocked_hosts,
     )
     timings["extract_s"] = round(time.monotonic() - t0, 3)
 
@@ -201,6 +205,7 @@ def run_pipeline(
             min_quality=min_quality, langs=langs, min_tokens=min_tokens,
             algorithm=algorithm, partitions=n_partitions, salt=salt,
             benchmark=benchmark_path,
+            n_blocked_hosts=len(blocked_hosts) if blocked_hosts else 0,
         ),
         timings=timings,
     )
@@ -225,9 +230,14 @@ def main(argv=None) -> int:
     ap.add_argument("--benchmark", default=None,
                     help="parquet of eval-set texts (column `text`); corpus docs "
                          "sharing any word-5-gram with it are dropped")
+    ap.add_argument("--blocklist", default=None,
+                    help="host blocklist (file of hosts or comma-separated "
+                         "list); matching pages are pruned before extraction")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
+
+    from paddleocr_spark.plans.job import parse_blocklist
 
     spark = SparkSession.builder.appName("paddleocr-spark-pipeline").getOrCreate()
     t0 = time.time()
@@ -244,6 +254,7 @@ def main(argv=None) -> int:
         algorithm=args.algorithm,
         checkpoint_dir=args.checkpoint_dir,
         benchmark_path=args.benchmark,
+        blocked_hosts=parse_blocklist(args.blocklist),
     )
     manifest["wall_sec"] = round(time.time() - t0, 3)
     print(json.dumps(manifest))

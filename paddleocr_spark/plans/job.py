@@ -72,6 +72,45 @@ def _input_snapshot(input_path: str) -> str:
     return h.hexdigest()[:16]
 
 
+def parse_blocklist(arg: str | None) -> list[str]:
+    """CLI form of the blocklist: a file of hosts (one per line, `#`
+    comments allowed) or a comma-separated list."""
+    if not arg:
+        return []
+    if os.path.exists(arg):
+        with open(arg) as f:
+            lines = f.read().splitlines()
+    else:
+        lines = arg.split(",")
+    return [h.strip() for h in lines if h.strip() and not h.strip().startswith("#")]
+
+
+def apply_host_blocklist(
+    spark: SparkSession, pages: DataFrame, blocked_hosts: list[str]
+) -> DataFrame:
+    """URL-level gate ahead of extraction (the corpus-level
+    cheap-predicate-first discipline of db_postprocess.py:136-141):
+    drop pages whose url host is blocklisted BEFORE `html` is parsed —
+    the filter rides the scan and the blocked rows never reach the
+    Arrow UDF. The blocklist is a broadcast anti-join build side (real
+    blocklists are 10^4-10^6 hosts — always broadcastable); hosts
+    compare case-insensitively."""
+    bl = spark.createDataFrame(
+        [(h.strip().lower(),) for h in blocked_hosts if h.strip()],
+        "blocked_host string",
+    )
+    host = F.lower(F.regexp_extract("url", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1))
+    return (
+        pages.withColumn("__host", host)
+        .join(
+            F.broadcast(bl),
+            F.col("__host") == F.col("blocked_host"),
+            "left_anti",
+        )
+        .drop("__host")
+    )
+
+
 def completed_parts(spark: SparkSession, output_dir: str) -> DataFrame | None:
     lineage_path = os.path.join(output_dir, "lineage")
     if not os.path.exists(lineage_path):
@@ -92,9 +131,12 @@ def run_extract_job(
     resume: bool = False,
     cfg: PipelineConfig = DEFAULT,
     only_first_parts: int | None = None,
+    blocked_hosts: list[str] | None = None,
 ) -> dict:
     """Run extraction with checkpoint/resume. ``only_first_parts`` is a
-    test hook simulating a mid-job failure after k partitions."""
+    test hook simulating a mid-job failure after k partitions.
+    ``blocked_hosts`` prunes blocklisted hosts before any parsing
+    (apply_host_blocklist)."""
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     data_path = os.path.join(output_dir, "extracted")
     lineage_path = os.path.join(output_dir, "lineage")
@@ -112,6 +154,8 @@ def run_extract_job(
     else:
         snapshot = _input_snapshot(input_path)
         src = spark.read.parquet(input_path)
+    if blocked_hosts:
+        src = apply_host_blocklist(spark, src, blocked_hosts)
     pages = add_part_id(src, n_partitions)
 
     n_done_before = 0

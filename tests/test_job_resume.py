@@ -91,3 +91,47 @@ def test_relational_mode_job_identical_output(spark, smoke_dir, tmp_path):
     ra = _read_sorted(spark, a_dir)
     rr = _read_sorted(spark, r_dir)
     assert [tuple(x) for x in ra] == [tuple(x) for x in rr]
+
+
+def test_blocklist_prunes_before_parsing(spark, smoke_dir, tmp_path):
+    """--blocklist semantics: blocked hosts never appear in the output,
+    every other url's extraction is byte-identical to the unfiltered
+    run, and the gate is a broadcast anti-join (never a shuffle join,
+    never a Python stage) applied before the Arrow UDF."""
+    from paddleocr_spark.plans.job import apply_host_blocklist, parse_blocklist
+
+    inp = os.path.join(smoke_dir, "pages.parquet")
+    blocked = ["host0.example", "HOST1.example"]  # case-insensitive
+
+    base_dir = str(tmp_path / "base")
+    gated_dir = str(tmp_path / "gated")
+    base = run_extract_job(spark, inp, base_dir, n_partitions=8, salt=2)
+    gated = run_extract_job(
+        spark, inp, gated_dir, n_partitions=8, salt=2, blocked_hosts=blocked
+    )
+    assert gated["rows_out"] < base["rows_out"]
+
+    rows = {r["url"]: r for r in _read_sorted(spark, gated_dir)}
+    hosts = {u.split("/")[2].lower() for u in rows}
+    assert not hosts & {"host0.example", "host1.example"}
+    for r in _read_sorted(spark, base_dir):
+        host = r["url"].split("/")[2].lower()
+        if host not in ("host0.example", "host1.example"):
+            assert rows[r["url"]]["extracted_text"] == r["extracted_text"]
+        else:
+            assert r["url"] not in rows
+
+    pages = spark.read.parquet(inp)
+    plan = (
+        apply_host_blocklist(spark, pages, blocked)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan and "Python" not in plan, plan
+
+    # CLI forms: comma list and file (with comments/blank lines)
+    assert parse_blocklist("a.com, b.com") == ["a.com", "b.com"]
+    blf = tmp_path / "bl.txt"
+    blf.write_text("# comment\na.com\n\nb.com\n")
+    assert parse_blocklist(str(blf)) == ["a.com", "b.com"]
+    assert parse_blocklist(None) == []
