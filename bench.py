@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "quality_linear",
     "block_dedup",
     "seq_packing",
+    "semantic_dedup",
+    "dsir_weights",
 ]
 
 

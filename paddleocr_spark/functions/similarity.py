@@ -442,3 +442,102 @@ def embed_near_dup_pairs(
         .distinct()
     )
     return cand
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    tau: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) as a relational plan: cluster the
+    embedding space into k cells, then inside each cell drop every
+    vector whose cosine to a lower-id cell-mate is >= tau — one
+    representative survives per semantic-duplicate set. Returns
+    (id_col, cluster:int, kept:int) for every input row.
+
+    Seeds are the min-id member of each salted-md5 id bucket —
+    deterministic and engine-portable (no float-unstable Lloyd mean;
+    a production refinement would iterate assignment+mean with this
+    same plan). Assignment is a broadcast cross join against the k
+    seeds + per-row argmax (ties broken by cluster id). The pair scan
+    is confined within clusters — k is the knob that keeps the
+    intra-cluster n²/k² pair volume tractable at corpus scale, which
+    is the entire point of SemDeDup vs a global n² pass. Norms are
+    hoisted per-row ahead of the pair join.
+    """
+    from pyspark.sql import Window
+
+    e = df.select(
+        id_col,
+        vec_col,
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sem:"), F.col(id_col).cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % k
+    )
+    w_seed = Window.partitionBy("__b").orderBy(id_col)
+    seeds = (
+        e.withColumn("__b", bucket)
+        .withColumn("__rn", F.row_number().over(w_seed))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__b").alias("cluster"),
+            F.col(vec_col).alias("__c_emb"),
+            F.col("__nrm").alias("__c_nrm"),
+        )
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        id_col,
+        vec_col,
+        "__nrm",
+        "cluster",
+        F.round(
+            dot(F.col(vec_col), F.col("__c_emb"))
+            / (F.col("__nrm") * F.col("__c_nrm")),
+            6,
+        ).alias("__cs"),
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.col("__cs").desc(), F.col("cluster").asc()
+    )
+    assigned = (
+        scored.withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, "__nrm", "cluster")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .filter(
+            F.round(
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__nrm") * F.col("b.__nrm")),
+                6,
+            )
+            >= tau
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        id_col,
+        F.col("cluster").cast("int").alias("cluster"),
+        F.when(F.col("__dropped").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept"),
+    )

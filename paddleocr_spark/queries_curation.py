@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 import paddleocr_spark.queries as _queries
 from paddleocr_spark.queries import _t
+from paddleocr_spark.functions import similarity
 from paddleocr_spark.functions.textstats import with_shingles
 
 
@@ -703,6 +704,155 @@ from scored
 """
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic deduplication over embeddings
+# ---------------------------------------------------------------------------
+
+K_SEM = 8  # oracle miniature; production sizes K so clusters stay O(thousands)
+TAU_SEM = 0.4  # cosine threshold for "semantic duplicate" within a cluster
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every embedding to its
+    nearest of K deterministic cluster seeds, then inside each cluster
+    drop any vector whose cosine to a lower-id cluster-mate is >= tau,
+    keeping the min-id representative of each semantic-duplicate set.
+    Output: one row per vector, (vec_id, cluster, kept).
+
+    Thin wrapper over `functions.similarity.semantic_dedup` — see its
+    docstring for the scale shape (broadcast seeds, within-cluster
+    pair confinement, hoisted norms) and the deterministic-seeding
+    rationale (min-id per salted-md5 bucket, no float-unstable Lloyd
+    mean, so both engines agree bit-for-bit).
+    """
+    return similarity.semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), k=K_SEM, tau=TAU_SEM
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+with e as (
+  select vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) nrm,
+         ('0x' || substr(md5('sem:' || cast(vec_id as varchar)), 1, 4))::bigint % {K_SEM} b
+  from embeddings
+),
+seeds as (
+  select b "cluster", embedding c_emb, nrm c_nrm
+  from (select *, row_number() over (partition by b order by vec_id) rn from e)
+  where rn = 1
+),
+scored as (
+  select e.vec_id, e.embedding, e.nrm, s."cluster",
+         round({similarity.sql_dot('e.embedding', 's.c_emb')} / (e.nrm * s.c_nrm), 6) cs
+  from e cross join seeds s
+),
+assigned as (
+  select vec_id, embedding, nrm, "cluster" from (
+    select *, row_number() over (partition by vec_id order by cs desc, "cluster" asc) rn
+    from scored)
+  where rn = 1
+),
+dropped as (
+  select distinct b.vec_id from assigned a join assigned b
+    on a."cluster" = b."cluster" and a.vec_id < b.vec_id
+  where round({similarity.sql_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm), 6)
+        >= {TAU_SEM}
+)
+select a.vec_id, cast(a."cluster" as int) "cluster",
+       cast(case when d.vec_id is null then 1 else 0 end as int) kept
+from assigned a left join dropped d using (vec_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR: importance weights from hashed-n-gram target/raw LM ratio
+# ---------------------------------------------------------------------------
+
+N_DSIR_BUCKETS = 256  # hashing-trick feature space (DSIR uses 10k; shape identical)
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023) importance weights: score every raw
+    document by the mean log-ratio of a target-domain hashed-unigram
+    LM to the raw-corpus LM — documents whose token distribution looks
+    like the target set get high weight and win the downstream
+    resample (`stratified_sample` is the resampling half). The
+    deterministic doc_id%97 sample stands in for the target domain,
+    mirroring `decontaminate`'s eval-set convention. Add-1 smoothing
+    on both models keeps every bucket finite.
+
+    Plan: one explode -> md5 hashing-trick bucket (same idiom as
+    `quality_linear`), integer bucket counts per side (map-side
+    partial agg; the bucket tables are at most N_DSIR_BUCKETS rows ->
+    broadcast join-back), totals via 1-row broadcast cross joins, then
+    a per-doc average — no UDFs, no driver actions, and the corpus
+    token stream shuffles exactly once (the per-doc groupBy).
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tb = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("bigint")
+            % N_DSIR_BUCKETS
+        ).alias("b"),
+    )
+    target = tb.filter(F.col("doc_id") % 97 == 0)
+    raw = tb.filter(F.col("doc_id") % 97 != 0)
+    tc = target.groupBy("b").agg(F.count("*").alias("n_t"))
+    rc = raw.groupBy("b").agg(F.count("*").alias("n_r"))
+    tt = target.agg(F.count("*").alias("t_t"))
+    rt = raw.agg(F.count("*").alias("t_r"))
+    return (
+        raw.join(F.broadcast(tc), "b", "left")
+        .join(F.broadcast(rc), "b")
+        .crossJoin(F.broadcast(tt))
+        .crossJoin(F.broadcast(rt))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("n_t"), F.lit(0)) + 1).cast("double")
+                        / (F.col("t_t") + N_DSIR_BUCKETS).cast("double")
+                    )
+                    - F.log(
+                        (F.col("n_r") + 1).cast("double")
+                        / (F.col("t_r") + N_DSIR_BUCKETS).cast("double")
+                    )
+                ),
+                6,
+            ).alias("mean_log_ratio"),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+
+
+SQL_DSIR_WEIGHTS = f"""
+with toks as (
+  select doc_id, unnest(str_split(text, ' ')) term from documents
+),
+tb as (
+  select doc_id, ('0x' || substr(md5(term), 1, 4))::bigint % {N_DSIR_BUCKETS} b
+  from toks
+),
+target as (select * from tb where doc_id % 97 = 0),
+raw as (select * from tb where doc_id % 97 != 0),
+tc as (select b, count(*) n_t from target group by 1),
+rc as (select b, count(*) n_r from raw group by 1),
+tt as (select count(*) t_t from target),
+rt as (select count(*) t_r from raw)
+select doc_id,
+       round(avg(  ln((coalesce(n_t, 0) + 1)::double / (t_t + {N_DSIR_BUCKETS})::double)
+                 - ln((n_r + 1)::double / (t_r + {N_DSIR_BUCKETS})::double)), 6)
+         mean_log_ratio,
+       count(*) n_tokens
+from raw left join tc using (b) join rc using (b), tt, rt
+group by doc_id
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -714,6 +864,8 @@ CURATION_QUERIES = {
     "seq_packing": q_seq_packing,
     "url_filter": q_url_filter,
     "quality_linear": q_quality_linear,
+    "semantic_dedup": q_semantic_dedup,
+    "dsir_weights": q_dsir_weights,
 }
 CURATION_ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
@@ -726,6 +878,8 @@ CURATION_ORACLES = {
     "seq_packing": SQL_SEQ_PACKING,
     "url_filter": SQL_URL_FILTER,
     "quality_linear": SQL_QUALITY_LINEAR,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
 }
 
 _queries.QUERIES.update(CURATION_QUERIES)

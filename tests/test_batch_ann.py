@@ -92,3 +92,31 @@ def test_banded_embed_near_dup_finds_planted_pairs(spark):
         d = sum(x * y for x, y in zip(va, vb))
         c = d / (math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(x * x for x in vb)))
         assert c >= 0.99 - 1e-6, (a, b, c)
+
+
+def test_semantic_dedup_keeps_one_of_planted_pair(spark):
+    """SemDeDup invariants on planted near-identical vectors: an exact
+    near-dup pair lands in the same cluster (cosine ~1 beats every
+    seed-angle difference... by assignment both go wherever their
+    shared direction points), and exactly the lower id survives; every
+    row comes back exactly once with a kept flag."""
+    from paddleocr_spark.functions.similarity import semantic_dedup
+
+    rows, planted = _planted_vectors()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = semantic_dedup(df, k=4, tau=0.95).collect()
+    assert len(out) == len(rows)
+    by_id = {r["vec_id"]: r for r in out}
+    for a, b in planted:
+        # near-identical directions -> same nearest seed
+        assert by_id[a]["cluster"] == by_id[b]["cluster"], (a, b)
+        # lower id is the representative, higher id is pruned
+        assert by_id[a]["kept"] == 1, a
+        assert by_id[b]["kept"] == 0, b
+    # background vectors are random gaussians: at tau=0.95 none should
+    # collide, so drops are exactly the planted halves
+    n_dropped = sum(1 for r in out if r["kept"] == 0)
+    assert n_dropped == len(planted)
