@@ -458,17 +458,21 @@ def semantic_dedup(
     (id_col, cluster:int, kept:int) for every input row.
 
     Seeds are the min-id member of each salted-md5 id bucket —
-    deterministic and engine-portable (no float-unstable Lloyd mean;
-    a production refinement would iterate assignment+mean with this
-    same plan). Assignment is a broadcast cross join against the k
-    seeds + per-row argmax (ties broken by cluster id). The pair scan
-    is confined within clusters — k is the knob that keeps the
-    intra-cluster n²/k² pair volume tractable at corpus scale, which
-    is the entire point of SemDeDup vs a global n² pass. Norms are
-    hoisted per-row ahead of the pair join.
-    """
-    from pyspark.sql import Window
+    deterministic and engine-portable (no float-unstable Lloyd mean; a
+    production refinement would iterate assignment+mean with this same
+    plan). The k seed rows are COLLECTED (an O(k) driver action, the
+    MLlib-style broadcast-centroid pattern) and baked into the plan as
+    literal arrays, so assignment is a pure per-row argmax expression:
+    narrow, zero-shuffle, and cheap for the pair join's self-reference
+    to recompute (the seeds-as-DataFrame formulation re-ran the whole
+    seed window on every branch — 3x the cost). The seed nrm is the
+    engine-computed value, collected, so both engines agree bit-for-bit.
 
+    The pair scan is confined within clusters — k is the knob that
+    keeps the intra-cluster n²/k² pair volume tractable at corpus
+    scale, which is the entire point of SemDeDup vs a global n² pass.
+    Norms are hoisted per-row ahead of the pair join.
+    """
     e = df.select(
         id_col,
         vec_col,
@@ -484,35 +488,41 @@ def semantic_dedup(
         ).cast("bigint")
         % k
     )
-    w_seed = Window.partitionBy("__b").orderBy(id_col)
-    seeds = (
+    seed_ids = (
         e.withColumn("__b", bucket)
-        .withColumn("__rn", F.row_number().over(w_seed))
-        .filter(F.col("__rn") == 1)
-        .select(
-            F.col("__b").alias("cluster"),
-            F.col(vec_col).alias("__c_emb"),
-            F.col("__nrm").alias("__c_nrm"),
+        .groupBy("__b")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    seeds = sorted(
+        e.join(seed_ids.select(id_col, "__b"), id_col).select(
+            "__b", vec_col, "__nrm"
+        ).collect(),
+        key=lambda r: r["__b"],
+    )
+    if not seeds:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, cluster int, kept int"
+        )
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.round(
+                        dot(
+                            F.col(vec_col),
+                            F.array(*[F.lit(float(x)) for x in s[vec_col]]),
+                        )
+                        / (F.col("__nrm") * F.lit(float(s["__nrm"]))),
+                        6,
+                    ).alias("cs"),
+                    F.lit(-int(s["__b"])).alias("nc"),
+                )
+                for s in seeds
+            ]
         )
     )
-    scored = e.crossJoin(F.broadcast(seeds)).select(
-        id_col,
-        vec_col,
-        "__nrm",
-        "cluster",
-        F.round(
-            dot(F.col(vec_col), F.col("__c_emb"))
-            / (F.col("__nrm") * F.col("__c_nrm")),
-            6,
-        ).alias("__cs"),
-    )
-    w_assign = Window.partitionBy(id_col).orderBy(
-        F.col("__cs").desc(), F.col("cluster").asc()
-    )
-    assigned = (
-        scored.withColumn("__rn", F.row_number().over(w_assign))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "__nrm", "cluster")
+    assigned = e.select(
+        id_col, vec_col, "__nrm", (-best["nc"]).cast("bigint").alias("cluster")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
