@@ -131,6 +131,26 @@ def main():
     ))
 
     sections.append((
+        "Semantic dedup (semantic_dedup, SemDeDup)",
+        "The k collected seeds are baked in as literal arrays, so cluster "
+        "assignment is a pure per-row argmax projection — zero shuffles, "
+        "no window, no join until the within-cluster pair scan. The pair "
+        "join exchanges only on the cluster key; norms are hoisted "
+        "per-row so the per-pair work is one dot product. k bounds the "
+        "intra-cluster n²/k² candidate volume at corpus scale.",
+        formatted(Q.QUERIES["semantic_dedup"](spark, SF)),
+    ))
+
+    sections.append((
+        "DSIR importance weights (dsir_weights)",
+        "Both hashed-unigram LM tables are ≤256 rows and broadcast; the "
+        "totals are 1-row broadcast cross joins. The corpus token stream "
+        "shuffles exactly once (the per-doc aggregate, map-side "
+        "combined); the log-ratio arithmetic is whole-stage codegen.",
+        formatted(Q.QUERIES["dsir_weights"](spark, SF)),
+    ))
+
+    sections.append((
         "Training-sequence packing (seq_packing)",
         "Embarrassingly parallel concat-and-chunk: ONE exchange on the "
         "stream key, then pure window cumsum arithmetic — every chunk "

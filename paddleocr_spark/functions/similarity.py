@@ -18,6 +18,8 @@ the DuckDB oracle agrees bitwise (verified before rounding at 6 dp).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -551,3 +553,62 @@ def semantic_dedup(
         .cast("int")
         .alias("kept"),
     )
+
+
+def kmeans_refine(
+    df: DataFrame,
+    seeds: list,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Lloyd refinement of k collected seed centroids: the production
+    upgrade path `semantic_dedup` documents. Each round assigns every
+    vector to its nearest centroid with the same zero-shuffle literal
+    argmax used there (centroids live in the plan, MLlib-style), then
+    recomputes centroids as per-cluster elementwise means. Returns the
+    refined centroids as a list of (cluster_id, [floats]) — feed the
+    ids back into a literal-assignment pass.
+
+    Scale shape per round: one narrow scan + posexplode to
+    (cluster, dim) cells, one partial-aggregated exchange of
+    k·dim·n_partitions rows, one O(k·dim) collect. No iterative
+    lineage growth — each round's input is the original df; only the
+    tiny centroid list crosses rounds. Means are float (centroids are
+    a quality knob, not an oracle surface — the oracle-checked
+    `semantic_dedup` deliberately stops at deterministic seeds).
+    """
+    cents = [(int(c), [float(x) for x in v]) for c, v in seeds]
+    for _ in range(iters):
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.round(
+                            dot(F.col(vec_col), F.array(*[F.lit(x) for x in v]))
+                            / (
+                                F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+                                * F.lit(math.sqrt(sum(x * x for x in v)))
+                            ),
+                            6,
+                        ).alias("cs"),
+                        F.lit(-c).alias("nc"),
+                    )
+                    for c, v in cents
+                ]
+            )
+        )
+        rows = (
+            df.select((-best["nc"]).alias("cluster"), vec_col)
+            .select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .collect()
+        )
+        cents = [
+            (int(r["cluster"]), [float(p["m"]) for p in r["dm"]]) for r in rows
+        ]
+        cents.sort()
+    return cents

@@ -120,3 +120,38 @@ def test_semantic_dedup_keeps_one_of_planted_pair(spark):
     # collide, so drops are exactly the planted halves
     n_dropped = sum(1 for r in out if r["kept"] == 0)
     assert n_dropped == len(planted)
+
+
+def test_kmeans_refine_recovers_planted_clusters(spark):
+    """Lloyd refinement from rough seeds on 3 well-separated gaussian
+    blobs: after a few rounds each refined centroid must sit close to
+    its blob's true mean (closer than the inter-blob distance), and a
+    literal-assignment pass on the refined centroids must put every
+    point with its blob-mates."""
+    import random
+
+    from paddleocr_spark.functions.similarity import kmeans_refine
+
+    rng = random.Random(7)
+    dim = 16
+    means = []
+    rows = []
+    for c in range(3):
+        mu = [0.0] * dim
+        mu[c * 5] = 10.0  # orthogonal, well-separated directions
+        means.append(mu)
+        for i in range(60):
+            rows.append(
+                (c * 1000 + i, [mu[d] + rng.gauss(0, 0.5) for d in range(dim)])
+            )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    # rough seeds: one sample point from each blob, perturbed
+    seeds = [(c, [x + 1.0 for x in rows[c * 60][1]]) for c in range(3)]
+    cents = kmeans_refine(df, seeds, iters=3)
+    assert [c for c, _ in cents] == [0, 1, 2]
+    for c, v in cents:
+        d_true = math.dist(v, means[c])
+        assert d_true < 1.0, (c, d_true)  # blob radius ~0.5, separation ~14
