@@ -21,6 +21,11 @@ def get_spark(
     b = (
         b.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime row-level bloom filters: a selective join side (resume
+        # anti-join vs completed partitions, dedup losers, benchmark
+        # grams) prunes the big side's scan before the shuffle — the
+        # 10^12-row win for every "big table joins filtered table" plan
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch))
