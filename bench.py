@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "seq_packing",
     "semantic_dedup",
     "dsir_weights",
+    "len_percentiles",
+    "source_skew",
 ]
 
 

@@ -853,6 +853,97 @@ group by doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus length distribution: exact per-language percentiles
+# ---------------------------------------------------------------------------
+
+def q_len_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentiles (p25/p50/p75/p95) — the
+    dashboard aggregate that sets every length-gate threshold (C4 drops
+    <3-sentence docs, Gopher gates on 50..100k words; the thresholds
+    come from exactly this distribution, per language).
+
+    This oracle-checked form uses Spark's exact `percentile` (linear
+    interpolation — bit-identical to DuckDB `quantile_cont`). Exact
+    percentile buffers each group's values, so the 100 TB production
+    path is `approx_percentile` (fixed-size QuantileSummaries sketch,
+    map-side mergeable, tunable accuracy) — same plan shape, sketch
+    agg instead of buffering; error bound asserted in
+    tests/test_approx.py::test_approx_percentile_close_to_exact.
+    """
+    d = _t(spark, sf_dir, "documents")
+    p = F.expr("percentile(n_chars, array(0.25, 0.5, 0.75, 0.95))")
+    return (
+        d.groupBy("lang")
+        .agg(p.alias("p"), F.count("*").alias("n_docs"))
+        .select(
+            "lang",
+            F.round(F.col("p")[0], 6).alias("p25"),
+            F.round(F.col("p")[1], 6).alias("p50"),
+            F.round(F.col("p")[2], 6).alias("p75"),
+            F.round(F.col("p")[3], 6).alias("p95"),
+            "n_docs",
+        )
+    )
+
+
+SQL_LEN_PERCENTILES = """
+select lang,
+       round(quantile_cont(n_chars, 0.25), 6) p25,
+       round(quantile_cont(n_chars, 0.50), 6) p50,
+       round(quantile_cont(n_chars, 0.75), 6) p75,
+       round(quantile_cont(n_chars, 0.95), 6) p95,
+       count(*) n_docs
+from documents
+group by lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# Source skew audit: heavy-hitter shares (the salting decision input)
+# ---------------------------------------------------------------------------
+
+def q_source_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter audit: per-source document count, byte estimate,
+    and corpus share. This is the diagnostic that decides the skew
+    treatment in the extraction job — which hosts get salted keys
+    (plans/job.py repartitions on salted url-hash precisely because a
+    handful of hosts dominate a web crawl) and what per-host cap
+    `source_cap` should use.
+
+    Scale shape: one groupBy on source (the same shuffle key the cap
+    query needs), then the corpus total joins back as a broadcast
+    1-row cross join — NOT a whole-table window, which would funnel
+    every aggregated row through a single partition. Output is bounded
+    by distinct sources, so the exact form survives any corpus size.
+    """
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    tot = d.agg(F.count("*").alias("n_total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "sum_chars",
+            F.round(F.col("n_docs") / F.col("n_total"), 6).alias("share"),
+        )
+    )
+
+
+SQL_SOURCE_SKEW = """
+with per as (
+  select source, count(*) n_docs, cast(sum(n_chars) as bigint) sum_chars
+  from documents group by source
+), tot as (select count(*) n_total from documents)
+select source, n_docs, sum_chars,
+       round(n_docs / n_total::double, 6) as share
+from per, tot
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -866,6 +957,8 @@ CURATION_QUERIES = {
     "quality_linear": q_quality_linear,
     "semantic_dedup": q_semantic_dedup,
     "dsir_weights": q_dsir_weights,
+    "len_percentiles": q_len_percentiles,
+    "source_skew": q_source_skew,
 }
 CURATION_ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
@@ -880,6 +973,8 @@ CURATION_ORACLES = {
     "quality_linear": SQL_QUALITY_LINEAR,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "len_percentiles": SQL_LEN_PERCENTILES,
+    "source_skew": SQL_SOURCE_SKEW,
 }
 
 _queries.QUERIES.update(CURATION_QUERIES)
