@@ -159,6 +159,14 @@ def main():
         formatted(Q.QUERIES["seq_packing"](spark, SF)),
     ))
 
+    sections.append((
+        "Source skew audit (source_skew)",
+        "The corpus total joins back as a 1-row BroadcastExchange — no "
+        "whole-table window, so no single-partition funnel; the only "
+        "shuffle is the per-source partial+final aggregate.",
+        formatted(Q.QUERIES["source_skew"](spark, SF)),
+    ))
+
     # bucketed co-located join: write two bucketed tables, show the
     # zero-Exchange joined plan
     from paddleocr_spark.sources.bucketed import cojoin, write_bucketed

@@ -32,6 +32,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.python.worker.reuse", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "8g")
+        # 32 in-process executor threads + localCheckpoint blocks from
+        # the iterative ops need heap headroom, or long sessions decay
+        # into full-GC storms (observed: trivial queries 5-10x slow for
+        # ~1 min late in a 70-query run on an 8g heap)
+        .config("spark.driver.memory", "16g")
+        # ContextCleaner's periodic System.gc() defaults to 30 MINUTES;
+        # checkpoint/shuffle blocks from dropped DataFrames pile up for
+        # that long unless the JVM happens to GC. 60s keeps block
+        # cleanup prompt in long multi-query sessions
+        .config("spark.cleaner.periodicGC.interval", "60s")
     )
     return b.getOrCreate()
