@@ -140,7 +140,18 @@ def main() -> None:
     # up to ~5x under external contention; the min is the engine's
     # actual cost.
     _run(lambda: extract(parted))
-    t = min(_run(lambda: extract(parted)) for _ in range(3))
+    # Adaptive min: external contention episodes on this box last tens of
+    # seconds and can swallow a fixed min-of-3 (observed: 3 consecutive
+    # samples at 1.6-4.3k docs/s bracketed by clean 12-14k windows).
+    # Sample until two samples agree within 15% of the running min (a
+    # stable min = a clean window was hit), cap at 8.
+    samples: list[float] = []
+    while len(samples) < 8:
+        samples.append(_run(lambda: extract(parted)))
+        best = min(samples)
+        if len(samples) >= 3 and sum(1 for s in samples if s <= best * 1.15) >= 2:
+            break
+    t = min(samples)
     timings["extract_pages"] = round(t, 3)
     docs_per_sec = n_docs / t if t > 0 else 0.0
 
