@@ -41,6 +41,20 @@ def main():
         formatted(plan_df),
     ))
 
+    from paddleocr_spark.operators.extract import extract_fused
+
+    fused_df = extract_fused(salted_repartition(add_part_id(pages, 16), 16, 4))
+    sections.append((
+        "Fused extraction (--mode fused job default: salted repartition -> "
+        "one MapInPandas)",
+        "The whole per-page pipeline in ONE Python stage emitting final "
+        "columns — no ArrowEvalPython, no post-UDF HOF projections, the "
+        "Arrow boundary carries extracted text + spans instead of every "
+        "candidate block struct. One Exchange (the explicit salted "
+        "repartition); the operator itself is narrow.",
+        formatted(fused_df),
+    ))
+
     sections.append((
         "Star join (region_revenue)",
         "Three BroadcastHashJoins — the fact table never shuffles before "

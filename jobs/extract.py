@@ -4,7 +4,7 @@ Usage:
     spark-submit --master local[N] --driver-memory 8g \
         --py-files dist/paddleocr_spark.zip \
         jobs/extract.py --input <pages.parquet> --output <dir> \
-        [--mode array|relational] [--partitions 64] [--salt 8] [--resume]
+        [--mode fused|array|relational] [--partitions 64] [--salt 8] [--resume]
 
 (local mode hosts all executor threads in the driver JVM — size
 --driver-memory for the thread count; the 1g spark-submit default can
@@ -28,7 +28,15 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="pages parquet path")
     ap.add_argument("--output", required=True, help="output directory")
-    ap.add_argument("--mode", default="array", choices=["array", "relational"])
+    ap.add_argument(
+        "--mode",
+        default="fused",
+        choices=["fused", "array", "relational"],
+        help="fused: whole pipeline in one Arrow stage (throughput path, "
+        "default); array: stage-1 UDF + native array expressions "
+        "(composable path); relational: explode/window cross-check. "
+        "All three are byte-identical per url.",
+    )
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--resume", action="store_true", help="anti-join completed partitions")

@@ -36,7 +36,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from paddleocr_spark.config import DEFAULT, PipelineConfig
-from paddleocr_spark.operators.extract import extract, extract_relational
+from paddleocr_spark.operators.extract import (
+    extract,
+    extract_fused,
+    extract_relational,
+)
 
 SALT_SEED = 42
 
@@ -178,7 +182,7 @@ def run_extract_job(
 
     pages = salted_repartition(pages, n_partitions, salt)
 
-    fn = extract if mode == "array" else extract_relational
+    fn = {"array": extract, "fused": extract_fused, "relational": extract_relational}[mode]
     ext = fn(pages, cfg)
     # recompute from url post-extract: no extra shuffle, no UDF re-run
     ext = add_part_id(ext, n_partitions)

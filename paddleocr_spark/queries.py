@@ -141,6 +141,22 @@ from documents
 """
 
 
+def q_extract_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused throughput path (one mapInPandas stage emitting final
+    columns, operators/extract.py extract_fused) against the SAME
+    independent SQL oracle as the flagship — the cross-engine proof
+    that the fused and array realizations agree."""
+    from paddleocr_spark.operators.extract import extract_fused
+
+    out = extract_fused(_wrapped_pages(spark, sf_dir))
+    return out.select(
+        "url",
+        "extracted_text",
+        F.col("n_blocks_detected").cast("int").alias("n_blocks_detected"),
+        F.col("n_blocks_kept").cast("int").alias("n_blocks_kept"),
+    )
+
+
 def q_extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-1 detect output, relationally exploded: per-block features +
     score + keep decision (the golden_blocks surface, FIXTURES.md §3)."""
@@ -849,6 +865,7 @@ from documents
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_flagship": q_extract_flagship,
+    "extract_fused": q_extract_fused,
     "extract_blocks": q_extract_blocks,
     "pricing_summary": q_pricing_summary,
     "region_revenue": q_region_revenue,
@@ -879,6 +896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "extract_flagship": SQL_EXTRACT_FLAGSHIP,
+    "extract_fused": SQL_EXTRACT_FLAGSHIP,
     "extract_blocks": SQL_EXTRACT_BLOCKS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "region_revenue": SQL_REGION_REVENUE,

@@ -8,7 +8,11 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from paddleocr_spark.operators.extract import extract, extract_relational
+from paddleocr_spark.operators.extract import (
+    extract,
+    extract_fused,
+    extract_relational,
+)
 
 
 @pytest.fixture(scope="module")
@@ -37,6 +41,21 @@ def test_array_mode_byte_identical(pages, golden):
 
 def test_relational_mode_byte_identical(pages, golden):
     _assert_full_match(extract_relational(pages), golden)
+
+
+def test_fused_mode_byte_identical(pages, golden):
+    _assert_full_match(extract_fused(pages), golden)
+
+
+def test_fused_mode_sorted_batches_identical(pages, golden):
+    """sort_by_len regroups Arrow batches; output must not change."""
+    from dataclasses import replace
+
+    from paddleocr_spark.config import DEFAULT
+
+    _assert_full_match(
+        extract_fused(pages, replace(DEFAULT, sort_by_len=True)), golden
+    )
 
 
 def test_partitioning_invariance(pages, golden):

@@ -93,6 +93,22 @@ def test_relational_mode_job_identical_output(spark, smoke_dir, tmp_path):
     assert [tuple(x) for x in ra] == [tuple(x) for x in rr]
 
 
+def test_fused_mode_job_identical_output(spark, smoke_dir, tmp_path):
+    """--mode fused (the default, single Arrow stage) writes a table
+    identical to the array-mode job at the job surface."""
+    inp = os.path.join(smoke_dir, "pages.parquet")
+    a_dir = str(tmp_path / "array_mode")
+    f_dir = str(tmp_path / "fused_mode")
+
+    a = run_extract_job(spark, inp, a_dir, mode="array", n_partitions=4, salt=2)
+    f = run_extract_job(spark, inp, f_dir, mode="fused", n_partitions=4, salt=2)
+    assert a["rows_out"] == f["rows_out"] > 0
+
+    ra = _read_sorted(spark, a_dir)
+    rf = _read_sorted(spark, f_dir)
+    assert [tuple(x) for x in ra] == [tuple(x) for x in rf]
+
+
 def test_blocklist_prunes_before_parsing(spark, smoke_dir, tmp_path):
     """--blocklist semantics: blocked hosts never appear in the output,
     every other url's extraction is byte-identical to the unfiltered

@@ -33,6 +33,22 @@ def test_extract_single_arrow_udf_no_row_python(spark, smoke_dir):
     assert "BatchEvalPython" not in plan  # no row-wise Python UDFs
 
 
+def test_extract_fused_single_python_stage(spark, smoke_dir):
+    """Fused mode: exactly ONE Python stage (MapInPandas) carrying the
+    whole pipeline, no ArrowEvalPython, no row-wise Python, and no
+    exchange introduced by the operator itself."""
+    import os
+
+    from paddleocr_spark.operators.extract import extract_fused
+
+    pages = spark.read.parquet(os.path.join(smoke_dir, "pages.parquet"))
+    plan = _plan(extract_fused(pages))
+    assert plan.count("MapInPandas") == 1
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # narrow: partitioning comes from input
+
+
 def test_region_revenue_broadcasts_dims(spark):
     plan = _plan(Q.q_region_revenue(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") == 3
