@@ -129,7 +129,7 @@ def run_extract_job(
     spark: SparkSession,
     input_path: str,
     output_dir: str,
-    mode: str = "array",
+    mode: str = "fused",
     n_partitions: int = 32,
     salt: int = 8,
     resume: bool = False,
