@@ -758,7 +758,9 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiplies row counts ~n/16-fold; only the cross dot product is
     # inherently per-pair). sqrt(dot(v,v)) here is bitwise the value the
     # oracle computes inline, so the product a.norm*b.norm matches.
-    e = _t(spark, sf_dir, "embeddings").select(
+    from paddleocr_spark.functions.dedup import _spread
+
+    e = _spread(_t(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id",
         "embedding",
         similarity.lsh_bucket(F.col("embedding")).alias("b"),
