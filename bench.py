@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "dsir_weights",
     "len_percentiles",
     "source_skew",
+    "host_link_graph",
+    "host_pagerank",
 ]
 
 

@@ -216,3 +216,95 @@ def connected_components_two_phase(
             "id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id")
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    exact_fold: bool = True,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Weighted PageRank over a (src, dst, w) edge list — the
+    host-authority signal web-corpus pipelines weight documents by
+    (Common Crawl publishes exactly this as its host-level ranking;
+    the reference has no corpus-graph analog — its transitive merge,
+    tools/infer/utility.py:735-790, is the per-document miniature).
+
+    Fixed ``iters`` rounds of r' = (1-d)/N + d * Σ_in r·w/W(src); the
+    node set is the distinct src ∪ dst. Each round is one shuffle join
+    of the rank frame with the static (src, dst, w, W) edge frame plus
+    one aggregation — the canonical distributed formulation; no driver
+    actions, no collect. N rides a 1-row broadcast cross join.
+
+    ``exact_fold=True`` sums each node's in-contributions as a LEFT
+    FOLD in ascending src order (collect_list → array_sort →
+    aggregate). Floating-point addition is order-sensitive; the fold
+    makes the result a pure function of the edge VALUES, so a DuckDB
+    oracle folding in the same order (list_reduce over list(... order
+    by src)) reproduces the ranks bit-for-bit. In-degree bounds the
+    per-group list (host-graph in-degree, not page in-degree); for
+    corpora where that is unbounded, ``exact_fold=False`` uses a plain
+    shuffled sum (same plan minus the sort, engine-exactness traded
+    for unbounded in-degree).
+
+    Lineage is truncated each round via the same checkpointer the
+    connected-components fixpoint uses (localCheckpoint by default,
+    reliable checkpoint when ``checkpoint_dir`` is set).
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    # static across rounds: per-edge transition weight w/W(src)
+    ew = e.join(outw, "src").select(
+        "src", "dst", (F.col("w") / F.col("wout")).alias("p")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n1 = nodes.agg(F.count("*").cast("double").alias("n"))
+    teleport = F.lit(1.0 - damping) / F.col("n")
+    ranks = nodes.crossJoin(F.broadcast(n1)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    ckpt = _make_checkpointer(edges, checkpoint_dir)
+    for _ in range(iters):
+        contrib = (
+            ranks.select(F.col("node").alias("csrc"), "rank")
+            .join(ew, F.col("csrc") == F.col("src"))
+            .select(
+                F.col("dst").alias("node"),
+                "csrc",
+                (F.col("rank") * F.col("p")).alias("c"),
+            )
+        )
+        if exact_fold:
+            sums = contrib.groupBy("node").agg(
+                F.aggregate(
+                    F.array_sort(F.collect_list(F.struct("csrc", "c"))),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["c"],
+                ).alias("s")
+            )
+        else:
+            sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = ckpt(
+            nodes.join(sums, "node", "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node",
+                (
+                    teleport
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

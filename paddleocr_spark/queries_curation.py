@@ -979,3 +979,172 @@ CURATION_ORACLES = {
 
 _queries.QUERIES.update(CURATION_QUERIES)
 _queries.ORACLES.update(CURATION_ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Host link graph + PageRank (web-graph authority signal)
+# ---------------------------------------------------------------------------
+
+N_HOSTS = 20  # oracle miniature; production = the real host space
+
+
+def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> pages whose HTML bytes EMBED deterministic anchors:
+    every doc links to 2-3 hosts derived from md5(doc_id) (the third
+    only when n_chars % 3 == 0, so out-degree varies). The downstream
+    queries must recover the graph from the url + html bytes alone;
+    the oracle predicts the same edges arithmetically from doc_id —
+    the flagship's independent-derivation pattern."""
+    d = _t(spark, sf_dir, "documents")
+
+    def tgt(j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"lnk{j}:"), F.col("doc_id").cast("string"))),
+                    1,
+                    4,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % N_HOSTS
+        )
+
+    def anchor(t):
+        return F.concat(
+            F.lit('<a href="https://h'),
+            t.cast("string"),
+            F.lit('.example/p">l</a>'),
+        )
+
+    anchors = F.concat(
+        anchor(tgt(0)),
+        anchor(tgt(1)),
+        F.when(F.col("n_chars") % 3 == 0, anchor(tgt(2))).otherwise(F.lit("")),
+    )
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("doc_id") % N_HOSTS).cast("string"),
+        F.lit(".example/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit("</p><nav>"),
+        anchors,
+        F.lit("</nav></body></html>"),
+    )
+    return d.select(url.alias("url"), F.encode(html, "UTF-8").alias("html"))
+
+
+def q_host_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted host->host edge list extracted from page BYTES: src host
+    via `parse_url(url, HOST)` (JVM-side, codegen), out-links via
+    `regexp_extract_all` on the decoded html, explode, count. One
+    shuffle of (src, dst) pairs — html bytes never leave the scan
+    stage. The host graph is the aggregation web pipelines feed into
+    authority ranking (Common Crawl ships exactly this edge list as
+    its host-level webgraph release)."""
+    pages = _linked_pages(spark, sf_dir)
+    links = pages.select(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(
+                F.decode(F.col("html"), "UTF-8"),
+                F.lit(r'href="https://(h[0-9]+\.example)'),
+                F.lit(1),
+            )
+        ).alias("dst_host"),
+    )
+    return links.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links")
+    )
+
+
+def _tgt_sql(j: int) -> str:
+    return (
+        f"'h' || cast(('0x' || substr(md5('lnk{j}:' || cast(doc_id as varchar)), 1, 4))::bigint"
+        f" % {N_HOSTS} as varchar) || '.example'"
+    )
+
+
+SQL_HOST_LINK_GRAPH = f"""
+with l as (
+  select 'h' || cast(doc_id % {N_HOSTS} as varchar) || '.example' src_host,
+         {_tgt_sql(0)} d0,
+         {_tgt_sql(1)} d1,
+         case when n_chars % 3 = 0 then {_tgt_sql(2)} end d2
+  from documents
+), x as (
+  select src_host, unnest([d0, d1, d2]) dst_host from l
+)
+select src_host, dst_host, count(*) n_links
+from x where dst_host is not null
+group by 1, 2
+"""
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (damping 0.85, 5 rounds) over the extracted
+    host graph — the authority weight a curation pipeline joins back
+    onto documents as a quality prior. Iterative join+agg rounds over
+    the static transition frame (functions/graph.pagerank); the
+    exact-fold mode makes every rank a pure function of the edge
+    values, so the unrolled-CTE DuckDB oracle reproduces the doubles
+    bit-for-bit before the final round(6)."""
+    from paddleocr_spark.functions.graph import pagerank
+
+    edges = q_host_link_graph(spark, sf_dir)
+    pr = pagerank(
+        edges,
+        damping=0.85,
+        iters=5,
+        src_col="src_host",
+        dst_col="dst_host",
+        weight_col="n_links",
+    )
+    return pr.select(
+        F.col("node").alias("host"), F.round("rank", 6).alias("rank")
+    )
+
+
+def _sql_host_pagerank(iters: int = 5) -> str:
+    d = repr(0.85)
+    t = repr(1.0 - 0.85)  # the exact double Spark's lit(1.0 - damping) holds
+    ctes = [
+        f"edges as ({SQL_HOST_LINK_GRAPH.strip().rstrip()})",
+        "e0 as (select src_host src, dst_host dst, cast(n_links as double) w from edges)",
+        "outw as (select src, sum(w) wout from e0 group by src)",
+        "ew as (select e0.src, e0.dst, e0.w / outw.wout p from e0 join outw using (src))",
+        "nodes as (select src node from e0 union select dst from e0)",
+        "nn as (select cast(count(*) as double) n from nodes)",
+        "r0 as (select node, 1.0 / nn.n rank from nodes cross join nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"c{i} as (select e.dst node, e.src csrc, r{p}.rank * e.p c"
+            f" from r{p} join ew e on r{p}.node = e.src)"
+        )
+        ctes.append(
+            f"s{i} as (select node, list_reduce(list(c order by csrc), (a,b) -> a + b) s"
+            f" from c{i} group by node)"
+        )
+        ctes.append(
+            f"r{i} as (select n.node, {t} / nn.n + {d} * coalesce(s{i}.s, 0.0) rank"
+            f" from nodes n cross join nn left join s{i} on n.node = s{i}.node)"
+        )
+    return (
+        "with " + ",\n".join(ctes)
+        + f"\nselect node host, round(rank, 6) rank from r{iters}"
+    )
+
+
+SQL_HOST_PAGERANK = _sql_host_pagerank()
+
+_queries.QUERIES["host_link_graph"] = q_host_link_graph
+_queries.ORACLES["host_link_graph"] = SQL_HOST_LINK_GRAPH
+_queries.QUERIES["host_pagerank"] = q_host_pagerank
+_queries.ORACLES["host_pagerank"] = SQL_HOST_PAGERANK

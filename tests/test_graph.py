@@ -124,3 +124,77 @@ def test_cc_reliable_checkpoint_dir(spark, tmp_path):
                 df, checkpoint_dir=ckpt2).collect()}
     assert got2 == got
     assert any(os.scandir(ckpt2))
+
+
+def _py_pagerank(edges, damping=0.85, iters=5):
+    """Pure-Python twin of graph.pagerank's exact-fold semantics:
+    left fold of in-contributions in ascending src order."""
+    from collections import defaultdict
+
+    wout = defaultdict(float)
+    for s, d, w in edges:
+        wout[s] += float(w)
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = float(len(nodes))
+    rank = {h: 1.0 / n for h in nodes}
+    for _ in range(iters):
+        contribs = defaultdict(list)
+        for s, d, w in edges:
+            contribs[d].append((s, rank[s] * (float(w) / wout[s])))
+        nxt = {}
+        for h in nodes:
+            acc = 0.0
+            for _, c in sorted(contribs.get(h, [])):
+                acc += c
+            nxt[h] = (1.0 - damping) / n + damping * acc
+        rank = nxt
+    return rank
+
+
+def test_pagerank_cycle_uniform(spark):
+    """A 3-cycle is rank-symmetric: every node stays at exactly 1/3."""
+    from paddleocr_spark.functions.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)], "src string, dst string, w bigint"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert got == {"a": 1.0 / 3, "b": 1.0 / 3, "c": 1.0 / 3}
+
+
+def test_pagerank_matches_pure_python_fold(spark):
+    """Weighted, dangling-free graph with a sink-heavy shape: the Spark
+    ranks equal the pure-Python ordered-fold twin BIT-FOR-BIT (the
+    engine-exactness property the DuckDB oracle relies on), and sum to
+    ~1 (stochastic-matrix invariant)."""
+    from paddleocr_spark.functions.graph import pagerank
+
+    raw = [
+        ("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+        ("c", "a", 1), ("d", "c", 5), ("d", "a", 1),
+        ("b", "a", 1), ("c", "d", 2),
+    ]
+    edges = spark.createDataFrame(raw, "src string, dst string, w bigint")
+    got = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    want = _py_pagerank(raw)
+    assert got == want  # exact equality, not approx
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # authority ordering: c has the heaviest in-links
+    assert max(got, key=got.get) == "c"
+
+
+def test_pagerank_plain_sum_close(spark):
+    """exact_fold=False (the unbounded-in-degree production mode) agrees
+    with the fold mode to fp tolerance."""
+    from paddleocr_spark.functions.graph import pagerank
+
+    raw = [("a", "b", 1), ("b", "a", 2), ("a", "c", 1), ("c", "b", 4)]
+    edges = spark.createDataFrame(raw, "src string, dst string, w bigint")
+    exact = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    plain = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, exact_fold=False).collect()
+    }
+    assert set(exact) == set(plain)
+    for h in exact:
+        assert abs(exact[h] - plain[h]) < 1e-12
