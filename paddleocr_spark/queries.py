@@ -548,7 +548,11 @@ from documents
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    from paddleocr_spark.functions.dedup import _spread
+
+    # per-row n-gram profile scoring is the cost — decouple it from the
+    # input file layout (no-op at corpus scale)
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     return d.select(
         "doc_id",
         textstats.langid_pred(F.col("text")).alias("pred_lang"),
@@ -675,8 +679,14 @@ SQL_SIMHASH = dedup.sql_simhash16("documents")
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard on consecutive same-source doc pairs (the
     verifier that would run on LSH candidates)."""
+    from paddleocr_spark.functions.dedup import _spread
+
     d = textstats.with_shingles(
-        _t(spark, sf_dir, "documents").select("doc_id", "source", "text"), "text", 3
+        _spread(_t(spark, sf_dir, "documents"), "doc_id").select(
+            "doc_id", "source", "text"
+        ),
+        "text",
+        3,
     ).select("doc_id", "source", F.array_distinct("__sh").alias("sh"))
     w = Window.partitionBy("source").orderBy("doc_id")
     p = d.select(

@@ -342,7 +342,9 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe stream never shuffles on h at all (cost: the shingle
     transform is evaluated once per branch, CPU for shuffle).
     """
-    return dup_ngram_spans_over(_t(spark, sf_dir, "documents"))
+    from paddleocr_spark.functions.dedup import _spread
+
+    return dup_ngram_spans_over(_spread(_t(spark, sf_dir, "documents"), "doc_id"))
 
 
 def dup_ngram_spans_over(docs: DataFrame) -> DataFrame:
@@ -789,7 +791,11 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-doc average — no UDFs, no driver actions, and the corpus
     token stream shuffles exactly once (the per-doc groupBy).
     """
-    d = _t(spark, sf_dir, "documents")
+    from paddleocr_spark.functions.dedup import _spread
+
+    # the explode+hash stream is re-evaluated by four aggregation
+    # branches — spread the scan so none of them runs single-task
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tb = toks.select(
         "doc_id",

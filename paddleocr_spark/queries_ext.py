@@ -1002,9 +1002,12 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-bigrams taken by the single most frequent bigram. Pure
     higher-order functions per row — no shuffle, no UDF; the per-row
     distinct x total bigram count is bounded by document length."""
+    from paddleocr_spark.functions.dedup import _spread
     from paddleocr_spark.functions.textstats import shingle_expr, words
 
-    d = _t(spark, sf_dir, "documents")
+    # spread first: the per-row distinct x total bigram scan is the cost
+    # and must not ride a single-file scan partition (no-op at scale)
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     # bind words/bigrams to columns FIRST: an inline shingle expression
     # referenced inside per-element lambdas is re-evaluated per
     # reference (measured 179s vs ~1s at sf0.1); a bound column is
