@@ -257,42 +257,35 @@ def simhash64_bands(
     aggregation for what is row-local arithmetic (~2× slower measured
     at sf0.1, and a needless exchange at corpus scale).
     """
-    ws = F.filter(
-        F.array_distinct(F.split(F.col(text_col), " ")), lambda w: w != ""
-    )
-    hs = F.transform(
-        ws,
-        lambda w: F.struct(
-            F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("bigint").alias("h1"),
-            F.conv(F.substring(F.md5(w), 17, 15), 16, 10).cast("bigint").alias("h2"),
-        ),
-    )
-
-    def bits(x):
-        return F.array(
-            *[
-                (
-                    F.shiftright(x["h1"] if j < 32 else x["h2"], j % 32)
-                    .bitwiseAND(F.lit(1)).cast("int") * 2 - 1
-                ).cast("bigint")
-                for j in range(SIMHASH64_BITS)
-            ]
+    # The whole signature is ONE F.expr SQL string: the Column-API
+    # formulation of the same tree cost ~9,200 py4j round trips (~2s of
+    # DRIVER time per plan build, measured with cProfile) because every
+    # per-bit operator is a JVM call; the SQL text parses JVM-side in
+    # milliseconds. Execution plan and values are identical.
+    bits_sql = ", ".join(
+        "cast((cast(shiftright(x.{h}, {sh}) & 1 as int) * 2 - 1) as bigint)".format(
+            h="h1" if j < 32 else "h2", sh=j % 32
         )
-
-    s = F.aggregate(
-        hs,
-        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH64_BITS),
-        lambda acc, x: F.zip_with(acc, bits(x), lambda a, b: a + b),
+        for j in range(SIMHASH64_BITS)
     )
-    g = _spread(df, id_col).select(id_col, s.alias("__s"))
+    s_sql = f"""
+        aggregate(
+          transform(
+            filter(array_distinct(split({text_col}, ' ')), w -> w != ''),
+            w -> named_struct(
+              'h1', cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint),
+              'h2', cast(conv(substring(md5(w), 17, 15), 16, 10) as bigint))),
+          array_repeat(cast(0 as bigint), {SIMHASH64_BITS}),
+          (acc, x) -> zip_with(acc, array({bits_sql}), (a, b) -> a + b))
+    """
+    g = _spread(df, id_col).select(id_col, F.expr(s_sql).alias("__s"))
     band_cols = []
     for b in range(SIMHASH64_BANDS):
-        acc = None
-        for r in range(16):
-            j = b * 16 + r
-            bit = F.when(F.col("__s")[j] > 0, F.lit(1 << r)).otherwise(F.lit(0))
-            acc = bit if acc is None else acc + bit
-        band_cols.append(acc.cast("int").alias(f"b{b}"))
+        packed = " + ".join(
+            f"(case when __s[{b * 16 + r}] > 0 then {1 << r} else 0 end)"
+            for r in range(16)
+        )
+        band_cols.append(F.expr(f"cast({packed} as int)").alias(f"b{b}"))
     return g.select(id_col, *band_cols)
 
 

@@ -105,8 +105,12 @@ _NORM_SQL = f"trim(regexp_replace({{c}}, '{WS_CLASS}+', ' ', 'g'))"
 def _wrapped_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> Common-Crawl-shaped pages: the doc text wrapped in a
     minimal page, so the REAL byte-stream pipeline (tokenizer pandas UDF
-    + native stages) runs end-to-end on driver data."""
-    d = _t(spark, sf_dir, "documents")
+    + native stages) runs end-to-end on driver data. Spread so the
+    Arrow UDF stage gets parallel batches regardless of the input file
+    layout (the production job does this with salted_repartition)."""
+    from paddleocr_spark.functions.dedup import _spread
+
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     html = F.concat(
         F.lit("<html><body><p>"), F.col("text"), F.lit("</p></body></html>")
     )
