@@ -227,6 +227,7 @@ def pagerank(
     weight_col: str = "w",
     exact_fold: bool = True,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Weighted PageRank over a (src, dst, w) edge list — the
     host-authority signal web-corpus pipelines weight documents by
@@ -251,9 +252,10 @@ def pagerank(
     shuffled sum (same plan minus the sort, engine-exactness traded
     for unbounded in-degree).
 
-    Lineage is truncated each round via the same checkpointer the
-    connected-components fixpoint uses (localCheckpoint by default,
-    reliable checkpoint when ``checkpoint_dir`` is set).
+    ``checkpoint_every=k`` truncates lineage every k rounds (lazy;
+    localCheckpoint by default, reliable checkpoint when
+    ``checkpoint_dir`` is set) — off by default because a fixed small
+    ``iters`` nests only that many join+agg layers.
     """
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -275,8 +277,24 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n1)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    ckpt = _make_checkpointer(edges, checkpoint_dir)
-    for _ in range(iters):
+    # Checkpointing is OPT-IN here (checkpoint_every=0 by default),
+    # unlike the CC fixpoint whose per-round count() action needs eager
+    # truncation: a fixed handful of rounds nests only that many
+    # join+agg layers, which Catalyst analyzes once at the final
+    # action. Dataset.checkpoint costs ~0.8s of JVM plan work per call
+    # even lazily (measured), so for long runs set checkpoint_every
+    # (lazy; reliable when checkpoint_dir is set — executor loss safe).
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def ckpt(d: DataFrame, i: int) -> DataFrame:
+        if not checkpoint_every or (i + 1) % checkpoint_every:
+            return d
+        if checkpoint_dir is None:
+            return d.localCheckpoint(eager=False)
+        return d.checkpoint(eager=False)
+
+    for _i in range(iters):
         contrib = (
             ranks.select(F.col("node").alias("csrc"), "rank")
             .join(ew, F.col("csrc") == F.col("src"))
@@ -305,6 +323,7 @@ def pagerank(
                     teleport
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
-            )
+            ),
+            _i,
         )
     return ranks

@@ -514,23 +514,26 @@ def semantic_dedup(
         return df.sparkSession.createDataFrame(
             [], f"{id_col} bigint, cluster int, kept int"
         )
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    F.round(
-                        dot(
-                            F.col(vec_col),
-                            F.array(*[F.lit(float(x)) for x in s[vec_col]]),
-                        )
-                        / (F.col("__nrm") * F.lit(float(s["__nrm"]))),
-                        6,
-                    ).alias("cs"),
-                    F.lit(-int(s["__b"])).alias("nc"),
-                )
-                for s in seeds
-            ]
+    # ONE F.expr string for the literal-centroid argmax: the Column-API
+    # build was k x dim F.lit py4j calls (~2s of driver time per plan
+    # build at k=8, dim=64); the SQL text parses JVM-side instantly.
+    # Double literals use repr() (shortest round-trip form), which the
+    # SQL parser reads back to the identical double.
+    def _d(v: float) -> str:
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    def _seed_struct(s) -> str:
+        lits = ", ".join(_d(x) for x in s[vec_col])
+        return (
+            "named_struct('cs', round(aggregate(zip_with("
+            f"{vec_col}, array({lits}), "
+            "(x, y) -> cast(x as double) * cast(y as double)), "
+            "cast(0.0 as double), (acc, v) -> acc + v) "
+            f"/ (__nrm * {_d(s['__nrm'])}), 6), 'nc', {-int(s['__b'])})"
         )
+
+    best = F.expr(
+        "array_max(array(" + ", ".join(_seed_struct(s) for s in seeds) + "))"
     )
     assigned = e.select(
         id_col, vec_col, "__nrm", (-best["nc"]).cast("bigint").alias("cluster")
