@@ -72,10 +72,16 @@ def with_minhash(df: DataFrame, text_col: str = "text", n: int = N_MINHASH) -> D
 
     df = _spread(df)
     df = with_shingles(df, text_col, 3, "__sh")
+    # one F.expr per signature instead of a lambda-HOF Column build:
+    # python-side lambda construction costs ~0.1s of py4j traffic per
+    # signature, which matters at production n (128) — the SQL text is
+    # the same tree, parsed JVM-side
     df = df.select(
         "*",
         *[
-            minhash_from_shingles(F.col("__sh"), i).alias(f"sig{i}")
+            F.expr(
+                f"array_min(transform(__sh, s -> md5(concat('{i}|', s))))"
+            ).alias(f"sig{i}")
             for i in range(n)
         ],
     )
