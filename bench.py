@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "source_skew",
     "host_link_graph",
     "host_pagerank",
+    "doc_authority",
 ]
 
 

@@ -1154,3 +1154,33 @@ _queries.QUERIES["host_link_graph"] = q_host_link_graph
 _queries.ORACLES["host_link_graph"] = SQL_HOST_LINK_GRAPH
 _queries.QUERIES["host_pagerank"] = q_host_pagerank
 _queries.ORACLES["host_pagerank"] = SQL_HOST_PAGERANK
+
+
+def q_doc_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join host authority back onto documents — the quality prior a
+    curation pipeline mixes into sampling weights (CCNet/RefinedWeb
+    weight by source reputation). Plain equi-join on host: the rank
+    side is O(hosts) — big enough at web scale that a broadcast hint
+    would be wrong; AQE picks the strategy from actual sizes."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % N_HOSTS).cast("string"), F.lit(".example")
+        ).alias("host"),
+    )
+    pr = q_host_pagerank(spark, sf_dir)
+    return docs.join(pr, "host").select("doc_id", "host", "rank")
+
+
+SQL_DOC_AUTHORITY = f"""
+select d.doc_id,
+       'h' || cast(d.doc_id % {N_HOSTS} as varchar) || '.example' host,
+       pr.rank
+from documents d
+join ({SQL_HOST_PAGERANK}) pr
+  on 'h' || cast(d.doc_id % {N_HOSTS} as varchar) || '.example' = pr.host
+"""
+
+_queries.QUERIES["doc_authority"] = q_doc_authority
+_queries.ORACLES["doc_authority"] = SQL_DOC_AUTHORITY
