@@ -181,6 +181,28 @@ def main():
         formatted(Q.QUERIES["source_skew"](spark, SF)),
     ))
 
+    sections.append((
+        "Host PageRank round (host_pagerank)",
+        "Each of the 5 rounds is the canonical distributed shape: one "
+        "shuffle join of the rank frame with the static (src, dst, p) "
+        "transition frame, one per-dst aggregate, and the node-count N "
+        "rides a 1-row BroadcastExchange (no driver action). No "
+        "cartesian product, no whole-graph collect; the exact-fold "
+        "collect_list is bounded by host in-degree. (Captured at "
+        "iters=1 — the query's 5 rounds repeat this exact shape.)",
+        formatted(
+            __import__(
+                "paddleocr_spark.functions.graph", fromlist=["pagerank"]
+            ).pagerank(
+                Q.QUERIES["host_link_graph"](spark, SF),
+                iters=1,
+                src_col="src_host",
+                dst_col="dst_host",
+                weight_col="n_links",
+            )
+        ),
+    ))
+
     # bucketed co-located join: write two bucketed tables, show the
     # zero-Exchange joined plan
     from paddleocr_spark.sources.bucketed import cojoin, write_bucketed
