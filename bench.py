@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "host_link_graph",
     "host_pagerank",
     "doc_authority",
+    "anchor_text_terms",
 ]
 
 

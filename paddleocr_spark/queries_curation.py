@@ -1017,11 +1017,17 @@ def _linked_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
             % N_HOSTS
         )
 
+    # anchor text = the doc's first word (so anchor-term aggregation has
+    # real per-doc variety; '' for empty docs)
+    term = F.element_at(F.split(F.col("text"), " "), 1)
+
     def anchor(t):
         return F.concat(
             F.lit('<a href="https://h'),
             t.cast("string"),
-            F.lit('.example/p">l</a>'),
+            F.lit('.example/p">'),
+            term,
+            F.lit("</a>"),
         )
 
     anchors = F.concat(
@@ -1184,3 +1190,59 @@ join ({SQL_HOST_PAGERANK}) pr
 
 _queries.QUERIES["doc_authority"] = q_doc_authority
 _queries.ORACLES["doc_authority"] = SQL_DOC_AUTHORITY
+
+
+def q_anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation: for every host, the top-3 terms other
+    pages use when linking TO it (count desc, term asc tie-break) —
+    the classic off-page relevance signal (search engines index anchor
+    text against the TARGET document). Both captures come out of the
+    html bytes JVM-side (`regexp_extract_all` twice + `arrays_zip`);
+    one (host, term) shuffle, then a bounded per-host window."""
+    pages = _linked_pages(spark, sf_dir)
+    html_s = F.decode(F.col("html"), "UTF-8")
+    pat = r'href="https://(h[0-9]+\.example)/p">([^<]*)</a>'
+    pairs = pages.select(
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(html_s, F.lit(pat), F.lit(1)).alias("h"),
+                F.regexp_extract_all(html_s, F.lit(pat), F.lit(2)).alias("t"),
+            )
+        ).alias("p")
+    ).select(F.col("p.h").alias("dst_host"), F.col("p.t").alias("term"))
+    counts = (
+        pairs.filter(F.col("term") != "")
+        .groupBy("dst_host", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.col("n").desc(), F.col("term").asc()
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("dst_host", "term", "n", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+SQL_ANCHOR_TEXT_TERMS = f"""
+with l as (
+  select list_extract(str_split(text, ' '), 1) term,
+         {_tgt_sql(0)} d0,
+         {_tgt_sql(1)} d1,
+         case when n_chars % 3 = 0 then {_tgt_sql(2)} end d2
+  from documents
+), x as (
+  select unnest([d0, d1, d2]) dst_host, term from l
+), c as (
+  select dst_host, term, count(*) n from x
+  where dst_host is not null and term <> '' group by 1, 2
+)
+select dst_host, term, n, rnk from (
+  select *, cast(row_number() over (partition by dst_host order by n desc, term asc) as int) rnk
+  from c
+) where rnk <= 3
+"""
+
+_queries.QUERIES["anchor_text_terms"] = q_anchor_text_terms
+_queries.ORACLES["anchor_text_terms"] = SQL_ANCHOR_TEXT_TERMS
