@@ -434,3 +434,48 @@ def test_streaming_decontaminate_matches_batch(spark, tmp_path):
         for r in Q.QUERIES["decontaminate"](spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_linkgraph_stream_matches_batch_multibatch(spark, tmp_path):
+    """Incremental host-edge counts: two files drained one per
+    micro-batch equal a batch host_edges over the same rows — including
+    absolute cross-host links and relative links resolved to the page's
+    own host."""
+    import datetime as dt
+
+    from paddleocr_spark.streaming.linkgraph import host_edges, run_linkgraph_stream
+
+    ts = dt.datetime(2024, 1, 1)
+
+    def page(url, body):
+        html = f'<html><body>{body}</body></html>'.encode()
+        return (url, ts, html, "", "en")
+
+    rows1 = [
+        page("https://a.example/p/1",
+             '<a href="https://b.example/x">b</a><a href="/local">l</a>'),
+        page("https://b.example/p/2", '<a href="https://a.example/">a</a>'),
+    ]
+    rows2 = [
+        page("https://a.example/p/3",
+             '<a href="https://b.example/y">b</a><a href="https://b.example/z">b</a>'),
+    ]
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    in_dir = str(tmp_path / "pages_stream")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(in_dir)
+
+    streamed = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in run_linkgraph_stream(
+            spark, in_dir, "lg_parity", max_files_per_trigger=1
+        ).collect()
+    }
+    batch = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in host_edges(spark.read.parquet(in_dir)).collect()
+    }
+    assert streamed == batch
+    assert batch[("a.example", "b.example")] == 3  # 1 + 2 across batches
+    assert batch[("a.example", "a.example")] == 1  # relative link -> own host
+    assert batch[("b.example", "a.example")] == 1
