@@ -600,7 +600,11 @@ from s
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = textstats.with_shingles(_t(spark, sf_dir, "documents"), "text", 4)
+    from paddleocr_spark.functions.dedup import _spread
+
+    d = textstats.with_shingles(
+        _spread(_t(spark, sf_dir, "documents"), "doc_id"), "text", 4
+    )
     return d.select(
         "doc_id", textstats.fingerprint_from_shingles(F.col("__sh")).alias("fingerprint")
     )

@@ -49,7 +49,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (64-bit collisions would need ~2^32 distinct shared grams in one
     document to matter; eval suites are millions of grams total).
     """
-    d = _t(spark, sf_dir, "documents").filter(F.size(F.split("text", " ")) >= 5)
+    from paddleocr_spark.functions.dedup import _spread
+
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id").filter(
+        F.size(F.split("text", " ")) >= 5
+    )
     bench = (
         gram_hashes(d.filter(F.col("doc_id") % 97 == 0)).select("h").distinct()
     )
@@ -109,7 +113,9 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join-back — expressed here as-is because the synthetic vocab
     is small.
     """
-    d = _t(spark, sf_dir, "documents")
+    from paddleocr_spark.functions.dedup import _spread
+
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
     terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
