@@ -960,6 +960,10 @@ def _merge_ext() -> None:
     # stratified mixture); importing it is the merge
     from paddleocr_spark import queries_curation  # noqa: F401
 
+    # self-registering crawl-management set (url canonicalization,
+    # recrawl latest-snapshot, text sanitization)
+    from paddleocr_spark import queries_web  # noqa: F401
+
 
 try:  # noqa: E402
     _merge_ext()

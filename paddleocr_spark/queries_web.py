@@ -1,0 +1,251 @@
+"""Crawl-management queries: the passes that run over the *url/page
+inventory* of a Common-Crawl-style corpus before (or instead of)
+touching page content — URL canonicalization + variant dedup, recrawl
+(latest-snapshot) consolidation, and raw-text byte sanitization.
+
+Same engine-portability contract as `paddleocr_spark.queries`: every
+entry is a (spark_fn, oracle_sql) pair, value-exact across engines.
+The synthetic `documents` table carries no url/timestamp columns, so
+each query derives them as a pure deterministic function of the row —
+identical in both engines — exactly like q_url_filter does
+(queries_curation.py).
+
+Reference analog: none in PaddleOCR (it starts from decoded images,
+tools/infer/predict_system.py main loop); these are the crawl-side
+operators the north-star pipeline needs upstream of extraction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+import paddleocr_spark.queries as _queries
+from paddleocr_spark.queries import _t
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + variant dedup
+# ---------------------------------------------------------------------------
+
+# Messy-URL derivation (pure function of the row, same in both engines):
+# scheme/host casing, an optional explicit :443 port, an optional
+# trailing slash, an optional utm_ tracking param, an optional fragment.
+_MESSY_URL_SQL = (
+    "concat("
+    " case when doc_id % 2 = 0 then 'HTTPS://' else 'https://' end,"
+    " case when doc_id % 2 = 0 then concat(upper(source), '.Example.COM')"
+    "      else concat(source, '.example.com') end,"
+    " case when doc_id % 5 = 0 then ':443' else '' end,"
+    " '/', lang, '/', {word0},"
+    " case when doc_id % 3 = 0 then '/' else '' end,"
+    " case when doc_id % 4 = 0 then concat('?utm_source=feed&id=', cast(doc_id % 7 as string))"
+    "      when doc_id % 4 = 1 then concat('?id=', cast(doc_id % 7 as string))"
+    "      else '' end,"
+    " case when doc_id % 6 = 0 then '#sec' else '' end)"
+)
+
+# The same derivation in DuckDB's dialect (|| concat, str_split).
+_MESSY_URL_DUCK = """
+  (case when doc_id % 2 = 0 then 'HTTPS://' else 'https://' end ||
+   case when doc_id % 2 = 0 then upper(source) || '.Example.COM'
+        else source || '.example.com' end ||
+   case when doc_id % 5 = 0 then ':443' else '' end ||
+   '/' || lang || '/' || list_extract(str_split(text, ' '), 1) ||
+   case when doc_id % 3 = 0 then '/' else '' end ||
+   case when doc_id % 4 = 0 then '?utm_source=feed&id=' || cast(doc_id % 7 as varchar)
+        when doc_id % 4 = 1 then '?id=' || cast(doc_id % 7 as varchar)
+        else '' end ||
+   case when doc_id % 6 = 0 then '#sec' else '' end)
+"""
+
+# Canonicalization, identical semantics in both engines (regexp_extract
+# returns '' on no-match in Spark AND DuckDB):
+#   host: lowercase the authority, drop an explicit port
+#   path: drop trailing slashes ('' -> '/')
+#   query: drop the fragment, strip utm_* params, keep the rest
+_CANON_TMPL = (
+    "concat('https://',"
+    " lower(regexp_extract({u}, '^[A-Za-z]+://([^/:?#]+)', 1)),"
+    " case when regexp_replace(regexp_extract({u}, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1), '/+$', '') = ''"
+    "      then '/'"
+    "      else regexp_replace(regexp_extract({u}, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1), '/+$', '') end,"
+    " case when regexp_replace(regexp_replace(regexp_extract({u}, '[?]([^#]*)', 1), '(^|&)utm_[^&]*', ''), '^&', '') = ''"
+    "      then ''"
+    "      else concat('?', regexp_replace(regexp_replace(regexp_extract({u}, '[?]([^#]*)', 1), '(^|&)utm_[^&]*', ''), '^&', '')) end"
+    ")"
+)
+
+
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + variant rollup (the crawl-frontier dedup
+    every web pipeline runs before fetching or re-extracting): lower
+    the scheme/host, drop explicit default ports, trailing slashes,
+    fragments, and utm_* tracking params; then group the raw variants
+    under their canonical form.
+
+    Scale shape: one projection (whole-stage codegen regex work, no
+    Python) + one groupBy on the canonical url — the same key the
+    pages table is bucketed on, so at corpus scale the aggregation is
+    shuffle-free on a bucketed layout. Counts are map-side partial.
+    """
+    d = _t(spark, sf_dir, "documents")
+    messy = _MESSY_URL_SQL.format(word0="element_at(split(text, ' '), 1)")
+    rows = d.select(
+        F.col("doc_id"),
+        F.expr(messy).alias("raw_url"),
+    ).select(
+        "doc_id", "raw_url",
+        F.expr(_CANON_TMPL.format(u="raw_url")).alias("canonical_url"),
+    )
+    return rows.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("rep_doc_id"),
+        F.count("*").alias("n_docs"),
+        F.countDistinct("raw_url").alias("n_raw_variants"),
+    )
+
+
+SQL_URL_CANONICAL = f"""
+with rows as (
+  select doc_id, {_MESSY_URL_DUCK} raw_url from documents
+), canon as (
+  select doc_id, raw_url,
+         'https://' ||
+         lower(regexp_extract(raw_url, '^[A-Za-z]+://([^/:?#]+)', 1)) ||
+         case when regexp_replace(regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1), '/+$', '') = ''
+              then '/'
+              else regexp_replace(regexp_extract(raw_url, '^[A-Za-z]+://[^/?#]*(/[^?#]*)', 1), '/+$', '') end ||
+         case when regexp_replace(regexp_replace(regexp_extract(raw_url, '[?]([^#]*)', 1), '(^|&)utm_[^&]*', ''), '^&', '') = ''
+              then ''
+              else '?' || regexp_replace(regexp_replace(regexp_extract(raw_url, '[?]([^#]*)', 1), '(^|&)utm_[^&]*', ''), '^&', '') end
+           canonical_url
+  from rows
+)
+select canonical_url, min(doc_id) rep_doc_id, count(*) n_docs,
+       count(distinct raw_url) n_raw_variants
+from canon group by 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Recrawl consolidation: latest snapshot per page
+# ---------------------------------------------------------------------------
+
+def q_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-capture-per-url consolidation (Common Crawl publishes
+    overlapping monthly crawls; training pipelines keep the newest
+    capture of each url). page_key stands in for the url-hash and the
+    monotone doc_id for warc_ts — both derived deterministically so
+    the two engines agree byte-for-byte.
+
+    Scale shape: ONE window over (page_key) — the url-hash — which is
+    exactly the pipeline's repartition key (jobs/extract.py), so on
+    the real pages table this sort-dedup rides the existing partition
+    layout with no extra shuffle; per-url snapshot counts come from
+    the same window, not a second aggregation.
+    """
+    d = _t(spark, sf_dir, "documents")
+    rows = d.select(
+        (F.col("doc_id") % 211).alias("page_key"),
+        "doc_id", "n_chars",
+    )
+    w = Window.partitionBy("page_key").orderBy(F.col("doc_id").desc())
+    wall = Window.partitionBy("page_key")
+    return (
+        rows.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_snapshots", F.count("*").over(wall))
+        .withColumn("chars_all", F.sum("n_chars").over(wall).cast("bigint"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "page_key",
+            F.col("doc_id").alias("latest_doc"),
+            F.col("n_chars").alias("chars_latest"),
+            "n_snapshots",
+            "chars_all",
+        )
+    )
+
+
+SQL_LATEST_SNAPSHOT = """
+select page_key, latest_doc, chars_latest, n_snapshots, chars_all
+from (
+  select doc_id % 211 page_key, doc_id latest_doc, n_chars chars_latest,
+         row_number() over (partition by doc_id % 211 order by doc_id desc) rn,
+         count(*) over (partition by doc_id % 211) n_snapshots,
+         cast(sum(n_chars) over (partition by doc_id % 211) as bigint) chars_all
+  from documents
+) where rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Raw-text sanitization (control bytes, run-on whitespace)
+# ---------------------------------------------------------------------------
+
+def q_sanitize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte sanitization of raw extracted text: strip C0 control
+    characters, collapse multi-space runs, trim — the cleanup pass a
+    web corpus runs on decoder output before tokenization. Corruption
+    is injected deterministically (BEL runs, leading blanks, trailing
+    newlines keyed on doc_id) so both engines see identical dirty
+    input; `clean_ok` asserts the sanitizer restores the original
+    text exactly.
+
+    Scale shape: pure whole-stage-codegen string expressions + one
+    map-side-partial aggregation on `source`; text bytes cross no
+    shuffle (only per-source counters do).
+    """
+    d = _t(spark, sf_dir, "documents")
+    corrupt = (
+        "concat("
+        " case when doc_id % 4 = 0 then '  ' else '' end,"
+        " text,"
+        " case when doc_id % 3 = 0 then repeat(char(7), 1 + cast(doc_id % 2 as int)) else '' end,"
+        " case when doc_id % 5 = 0 then concat(char(10), char(10)) else '' end)"
+    )
+    # NB: the control-char class must NOT go through F.expr — Spark's
+    # SQL string literal parser eats the backslash escapes. Column-API
+    # regexp_replace hands the pattern to the Java regex engine intact.
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("corrupted"), r"[\x00-\x1f]", ""),
+            " {2,}", " ",
+        )
+    )
+    rows = (
+        d.select("doc_id", "source", "text", F.expr(corrupt).alias("corrupted"))
+        .withColumn("clean", clean)
+    )
+    return rows.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("corrupted") - F.length("clean")).cast("bigint").alias("bytes_removed"),
+        F.sum((F.col("clean") == F.col("text")).cast("int")).cast("bigint").alias("n_clean_ok"),
+    )
+
+
+SQL_SANITIZE_TEXT = r"""
+with rows as (
+  select doc_id, source, text,
+         (case when doc_id % 4 = 0 then '  ' else '' end ||
+          text ||
+          case when doc_id % 3 = 0 then repeat(chr(7), cast(1 + doc_id % 2 as int)) else '' end ||
+          case when doc_id % 5 = 0 then chr(10) || chr(10) else '' end) corrupted
+  from documents
+), cleaned as (
+  select *, trim(regexp_replace(regexp_replace(corrupted, '[\x00-\x1f]', '', 'g'),
+                                ' {2,}', ' ', 'g')) clean
+  from rows
+)
+select source, count(*) n_docs,
+       cast(sum(length(corrupted) - length(clean)) as bigint) bytes_removed,
+       cast(sum(case when clean = text then 1 else 0 end) as bigint) n_clean_ok
+from cleaned group by 1
+"""
+
+
+_queries.QUERIES["url_canonical"] = q_url_canonical
+_queries.ORACLES["url_canonical"] = SQL_URL_CANONICAL
+_queries.QUERIES["latest_snapshot"] = q_latest_snapshot
+_queries.ORACLES["latest_snapshot"] = SQL_LATEST_SNAPSHOT
+_queries.QUERIES["sanitize_text"] = q_sanitize_text
+_queries.ORACLES["sanitize_text"] = SQL_SANITIZE_TEXT
