@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "host_pagerank",
     "doc_authority",
     "anchor_text_terms",
+    "url_canonical",
+    "latest_snapshot",
+    "sanitize_text",
 ]
 
 
