@@ -26,7 +26,7 @@ import time
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--input", required=True, help="pages parquet path")
+    ap.add_argument("--input", required=True, help="pages input: parquet path, warehouse dir, or WARC member file/dir (*.warc)")
     ap.add_argument("--output", required=True, help="output directory")
     ap.add_argument(
         "--mode",

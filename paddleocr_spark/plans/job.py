@@ -61,6 +61,14 @@ def _is_warehouse(input_path: str) -> bool:
     return os.path.isdir(os.path.join(input_path, "_snapshots"))
 
 
+def _is_warc(input_path: str) -> bool:
+    if input_path.endswith(".warc"):
+        return True
+    return os.path.isdir(input_path) and any(
+        n.endswith(".warc") for n in os.listdir(input_path)
+    )
+
+
 def _input_snapshot(input_path: str) -> str:
     """Stand-in for the Iceberg snapshot id: content-address the input
     file listing (names + sizes). Warehouse tables
@@ -155,6 +163,13 @@ def run_extract_job(
 
         snapshot = W.current_snapshot_id(input_path)
         src = W.read_table(spark, input_path, snapshot).drop("day", "bucket")
+    elif _is_warc(input_path):
+        # Common-Crawl-shaped ingestion: WARC members via binaryFile
+        # (one task per member), lang sniffed off the html bytes
+        from paddleocr_spark.sources import warc as Warc
+
+        snapshot = _input_snapshot(input_path)
+        src = Warc.with_sniffed_lang(Warc.read_warc(spark, input_path))
     else:
         snapshot = _input_snapshot(input_path)
         src = spark.read.parquet(input_path)

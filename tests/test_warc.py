@@ -1,0 +1,102 @@
+"""WARC source/sink: round-trip byte identity, CDX byte-range fetch,
+truncated-member robustness, and the extraction job running straight
+off WARC members (reference-source analog:
+ppocr/utils/utility.py get_image_file_list — dir-of-files ingestion)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from paddleocr_spark.sources import warc as W
+from paddleocr_spark.sources.pages import ensure_pages
+
+
+@pytest.fixture(scope="module")
+def pages_pq(smoke_dir):
+    return os.path.join(smoke_dir, "pages.parquet")
+
+
+@pytest.fixture(scope="module")
+def warc_dir(spark, pages_pq, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("warc") / "members")
+    pages = spark.read.parquet(pages_pq)
+    manifest = W.write_warc(pages, out, n_files=4)
+    assert len(manifest) == 4
+    assert sum(m["n_records"] for m in manifest) == pages.count()
+    for m in manifest:
+        assert os.path.getsize(m["file"]) == m["n_bytes"]
+    return out
+
+
+def test_roundtrip_byte_identical(spark, pages_pq, warc_dir):
+    orig = spark.read.parquet(pages_pq).select("url", "warc_ts", "html")
+    back = W.read_warc(spark, warc_dir)
+    assert back.count() == orig.count()
+    j = orig.alias("o").join(back.alias("b"), "url")
+    n_bad = j.filter(
+        (F.col("o.html") != F.col("b.html"))
+        | (F.col("o.warc_ts") != F.col("b.warc_ts"))
+    ).count()
+    assert n_bad == 0
+
+
+def test_cdx_byte_range_fetches_one_record(spark, pages_pq, warc_dir):
+    cdx = W.build_cdx(spark, warc_dir)
+    orig = spark.read.parquet(pages_pq)
+    assert cdx.count() == orig.count()
+    # offsets tile each member exactly: sum(length) == file size
+    sizes = {r["file"]: r["sum"] for r in
+             cdx.groupBy("file").agg(F.sum("length").alias("sum")).collect()}
+    for f, total in sizes.items():
+        assert os.path.getsize(f.replace("file:", "")) == total
+    # fetch one record by byte range and re-parse it standalone
+    row = cdx.orderBy("url").limit(1).collect()[0]
+    with open(row["file"].replace("file:", ""), "rb") as fh:
+        fh.seek(row["offset"])
+        blob = fh.read(row["length"])
+    recs = list(W.iter_warc_records(blob))
+    assert len(recs) == 1
+    url, ts, payload, off, ln = recs[0]
+    assert url == row["url"] and off == 0 and ln == row["length"]
+    golden = orig.filter(F.col("url") == url).collect()[0]
+    assert bytes(payload) == bytes(golden["html"])
+
+
+def test_truncated_tail_is_skipped_not_crashed(spark, warc_dir, tmp_path):
+    src = os.path.join(warc_dir, "part-00000.warc")
+    with open(src, "rb") as f:
+        data = f.read()
+    n_full = len(list(W.iter_warc_records(data)))
+    broken_dir = str(tmp_path / "broken")
+    os.makedirs(broken_dir)
+    with open(os.path.join(broken_dir, "part-00000.warc"), "wb") as f:
+        f.write(data[: len(data) - 10])  # kill the last record's tail
+    got = W.read_warc(spark, broken_dir)
+    assert got.count() == n_full - 1
+    # garbage member: zero rows, no crash
+    with open(os.path.join(broken_dir, "junk.warc"), "wb") as f:
+        f.write(b"\x00\xffnot a warc at all")
+    assert W.read_warc(spark, broken_dir).count() == n_full - 1
+
+
+def test_extract_job_from_warc_matches_golden(spark, smoke_dir, warc_dir, tmp_path):
+    import duckdb
+
+    from paddleocr_spark.plans.job import run_extract_job
+
+    out = str(tmp_path / "out")
+    stats = run_extract_job(
+        spark, input_path=warc_dir, output_dir=out,
+        n_partitions=8, salt=2,
+    )
+    golden = os.path.join(smoke_dir, "golden.parquet")
+    n, ok = duckdb.sql(
+        f"""select count(*), sum(cast(o.extracted_text = g.extracted_text as int))
+        from read_parquet('{out}/extracted/*/*.parquet') o
+        join read_parquet('{golden}') g using (url)"""
+    ).fetchall()[0]
+    assert stats["rows_out"] == n
+    assert n == ok  # byte-identical extraction from the WARC path
