@@ -62,10 +62,10 @@ def _is_warehouse(input_path: str) -> bool:
 
 
 def _is_warc(input_path: str) -> bool:
-    if input_path.endswith(".warc"):
+    if input_path.endswith((".warc", ".warc.gz")):
         return True
     return os.path.isdir(input_path) and any(
-        n.endswith(".warc") for n in os.listdir(input_path)
+        n.endswith((".warc", ".warc.gz")) for n in os.listdir(input_path)
     )
 
 

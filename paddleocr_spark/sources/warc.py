@@ -36,7 +36,9 @@ Spark's execution model.
 from __future__ import annotations
 
 import datetime as dt
+import gzip
 import os
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -121,8 +123,40 @@ def iter_warc_records(data: bytes):
         pos = rec_end
 
 
+def iter_warc_gz_records(data: bytes):
+    """Yield (url, warc_ts, payload, offset, length) from a member of
+    per-record gzip streams (the real Common Crawl .warc.gz layout:
+    each record is its own gzip member, so a CDX (offset, length) byte
+    range gunzips standalone). Offsets/lengths are COMPRESSED ranges.
+    A corrupt or truncated tail member is skipped, never a crash."""
+    pos, n = 0, len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            raw = d.decompress(data[pos:])
+            raw += d.flush()
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated tail member
+        comp_len = (n - pos) - len(d.unused_data)
+        recs = list(iter_warc_records(raw))
+        if len(recs) != 1:
+            break
+        url, ts, payload, _, _ = recs[0]
+        yield url, ts, payload, pos, comp_len
+        pos += comp_len
+
+
+def _iter_member(path: str, data: bytes):
+    if path.endswith(".gz"):
+        return iter_warc_gz_records(data)
+    return iter_warc_records(data)
+
+
 def _binary_files(spark: SparkSession, path: str) -> DataFrame:
-    glob = os.path.join(path, "*.warc") if os.path.isdir(path) else path
+    # *.warc* picks up both plain .warc and per-record-gzip .warc.gz
+    glob = os.path.join(path, "*.warc*") if os.path.isdir(path) else path
     return spark.read.format("binaryFile").load(glob)
 
 
@@ -133,7 +167,9 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             for _, row in pdf.iterrows():
                 recs = [
                     (u, ts, payload)
-                    for u, ts, payload, _, _ in iter_warc_records(bytes(row["content"]))
+                    for u, ts, payload, _, _ in _iter_member(
+                        row["path"], bytes(row["content"])
+                    )
                 ]
                 yield pd.DataFrame(recs, columns=["url", "warc_ts", "html"])
 
@@ -152,7 +188,9 @@ def build_cdx(spark: SparkSession, path: str) -> DataFrame:
             for _, row in pdf.iterrows():
                 recs = [
                     (u, ts, row["path"], off, ln)
-                    for u, ts, _, off, ln in iter_warc_records(bytes(row["content"]))
+                    for u, ts, _, off, ln in _iter_member(
+                        row["path"], bytes(row["content"])
+                    )
                 ]
                 yield pd.DataFrame(
                     recs, columns=["url", "warc_ts", "file", "offset", "length"]
@@ -165,9 +203,14 @@ def build_cdx(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_warc(pages: DataFrame, out_dir: str, n_files: int = 8) -> list[dict]:
+def write_warc(
+    pages: DataFrame, out_dir: str, n_files: int = 8, compress: bool = False
+) -> list[dict]:
     """Write (url, warc_ts, html) rows as `n_files` WARC members under
     ``out_dir``; returns the manifest [(file, n_records, n_bytes)].
+    ``compress=True`` writes .warc.gz members where EACH RECORD is its
+    own gzip stream (mtime=0, deterministic) — the Common Crawl layout
+    that makes CDX byte ranges independently gunzippable.
 
     Each member is one url-hash bucket (the pipeline's partition key),
     built and written entirely on the executor that owns the group;
@@ -175,14 +218,20 @@ def write_warc(pages: DataFrame, out_dir: str, n_files: int = 8) -> list[dict]:
     under any input partitioning.
     """
     os.makedirs(out_dir, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
 
     def write_group(key, pdf):
         fid = int(key[0])
-        path = os.path.join(out_dir, f"part-{fid:05d}.warc")
+        path = os.path.join(out_dir, f"part-{fid:05d}{ext}")
         pdf = pdf.sort_values("url")
+        enc = (
+            (lambda b: gzip.compress(b, mtime=0)) if compress else (lambda b: b)
+        )
         blob = b"".join(
-            warc_record_bytes(
-                r.url, r.warc_ts.to_pydatetime(), bytes(r.html)
+            enc(
+                warc_record_bytes(
+                    r.url, r.warc_ts.to_pydatetime(), bytes(r.html)
+                )
             )
             for r in pdf.itertuples()
         )

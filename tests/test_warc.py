@@ -100,3 +100,76 @@ def test_extract_job_from_warc_matches_golden(spark, smoke_dir, warc_dir, tmp_pa
     ).fetchall()[0]
     assert stats["rows_out"] == n
     assert n == ok  # byte-identical extraction from the WARC path
+
+
+@pytest.fixture(scope="module")
+def warc_gz_dir(spark, pages_pq, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("warcgz") / "members")
+    manifest = W.write_warc(
+        spark.read.parquet(pages_pq), out, n_files=4, compress=True
+    )
+    assert all(m["file"].endswith(".warc.gz") for m in manifest)
+    return out
+
+
+def test_gz_roundtrip_byte_identical(spark, pages_pq, warc_gz_dir):
+    orig = spark.read.parquet(pages_pq).select("url", "warc_ts", "html")
+    back = W.read_warc(spark, warc_gz_dir)
+    assert back.count() == orig.count()
+    n_bad = (
+        orig.alias("o").join(back.alias("b"), "url")
+        .filter(
+            (F.col("o.html") != F.col("b.html"))
+            | (F.col("o.warc_ts") != F.col("b.warc_ts"))
+        )
+        .count()
+    )
+    assert n_bad == 0
+
+
+def test_gz_cdx_range_gunzips_standalone(spark, pages_pq, warc_gz_dir):
+    """The point of per-record gzip: a CDX byte range is a complete
+    gzip stream — fetch it, gunzip it, parse one record."""
+    import gzip as _gzip
+
+    cdx = W.build_cdx(spark, warc_gz_dir)
+    orig = spark.read.parquet(pages_pq)
+    assert cdx.count() == orig.count()
+    for row in cdx.orderBy("url").limit(3).collect():
+        with open(row["file"].replace("file:", ""), "rb") as fh:
+            fh.seek(row["offset"])
+            blob = fh.read(row["length"])
+        recs = list(W.iter_warc_records(_gzip.decompress(blob)))
+        assert len(recs) == 1 and recs[0][0] == row["url"]
+        golden = orig.filter(F.col("url") == row["url"]).collect()[0]
+        assert bytes(recs[0][2]) == bytes(golden["html"])
+
+
+def test_gz_truncated_tail_is_skipped(spark, warc_gz_dir, tmp_path):
+    src = os.path.join(warc_gz_dir, "part-00000.warc.gz")
+    with open(src, "rb") as f:
+        data = f.read()
+    n_full = len(list(W.iter_warc_gz_records(data)))
+    broken = str(tmp_path / "broken")
+    os.makedirs(broken)
+    with open(os.path.join(broken, "part-00000.warc.gz"), "wb") as f:
+        f.write(data[: len(data) - 7])
+    assert W.read_warc(spark, broken).count() == n_full - 1
+
+
+def test_extract_job_from_warc_gz_matches_golden(spark, smoke_dir, warc_gz_dir, tmp_path):
+    import duckdb
+
+    from paddleocr_spark.plans.job import run_extract_job
+
+    out = str(tmp_path / "out")
+    stats = run_extract_job(
+        spark, input_path=warc_gz_dir, output_dir=out, n_partitions=8, salt=2
+    )
+    golden = os.path.join(smoke_dir, "golden.parquet")
+    n, ok = duckdb.sql(
+        f"""select count(*), sum(cast(o.extracted_text = g.extracted_text as int))
+        from read_parquet('{out}/extracted/*/*.parquet') o
+        join read_parquet('{golden}') g using (url)"""
+    ).fetchall()[0]
+    assert stats["rows_out"] == n and n == ok
