@@ -160,23 +160,26 @@ def _binary_files(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.format("binaryFile").load(glob)
 
 
+def _parse_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas parser (path, content) -> PAGES_SCHEMA rows; shared
+    by the batch reader and the streaming ingest (streaming/ingest.py)."""
+    for pdf in batches:
+        for _, row in pdf.iterrows():
+            recs = [
+                (u, ts, payload)
+                for u, ts, payload, _, _ in _iter_member(
+                    row["path"], bytes(row["content"])
+                )
+            ]
+            yield pd.DataFrame(recs, columns=["url", "warc_ts", "html"])
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """(url, warc_ts, html) from a .warc file / dir of members."""
-    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for _, row in pdf.iterrows():
-                recs = [
-                    (u, ts, payload)
-                    for u, ts, payload, _, _ in _iter_member(
-                        row["path"], bytes(row["content"])
-                    )
-                ]
-                yield pd.DataFrame(recs, columns=["url", "warc_ts", "html"])
-
     return (
         _binary_files(spark, path)
         .select("path", "content")
-        .mapInPandas(parse, schema=PAGES_SCHEMA)
+        .mapInPandas(_parse_pages, schema=PAGES_SCHEMA)
     )
 
 

@@ -18,6 +18,7 @@ running concurrently never changes the rows an extraction run sees.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from paddleocr_spark.sources import warehouse as W
 from paddleocr_spark.streaming.events import PAGES_SCHEMA, await_drain
@@ -52,6 +53,61 @@ def ingest_pages_stream(
         src.writeStream.foreachBatch(
             lambda df, bid: idempotent_append(df, bid, table_dir)
         )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drain(q, 180)
+
+
+def ingest_warc_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming crawl ingestion straight off WARC members: a landing
+    dir of ``*.warc`` / ``*.warc.gz`` files is watched by the
+    binaryFile stream source (file-level exactly-once tracking — each
+    member enters exactly one micro-batch), records are parsed by the
+    SAME Arrow parser the batch reader uses (sources/warc.py), lang is
+    sniffed off the html bytes, and each micro-batch commits as one
+    warehouse snapshot, idempotent on replay via the batch-id guard.
+
+    This is the real front door of the north-star pipeline: crawlers
+    drop members into the landing dir; this drains them into the
+    bucketed/partitioned pages table; extraction then reads a PINNED
+    snapshot.
+    """
+    from pyspark.sql import types as T
+
+    from paddleocr_spark.sources import warc as Warc
+
+    bin_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    reader = spark.readStream.format("binaryFile").schema(bin_schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.load(f"{input_dir}/*.warc*")
+
+    def commit(batch_df, batch_id: int) -> None:
+        pages = batch_df.select("path", "content").mapInPandas(
+            Warc._parse_pages, schema=Warc.PAGES_SCHEMA
+        )
+        pages = Warc.with_sniffed_lang(pages).withColumn(
+            "text", F.lit(None).cast("string")
+        ).select("url", "warc_ts", "html", "text", "lang")
+        idempotent_append(pages, batch_id, table_dir)
+
+    q = (
+        src.writeStream.foreachBatch(commit)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
