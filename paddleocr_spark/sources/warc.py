@@ -104,7 +104,10 @@ def iter_warc_records(data: bytes):
         headers = {}
         for line in data[pos:hdr_end].decode("utf-8", errors="replace").split("\r\n")[1:]:
             k, _, v = line.partition(":")
-            headers[k.strip().lower()] = v.strip()
+            # strip only SP/HT (the WARC field grammar) — Python's
+            # default strip() also eats Unicode whitespace like U+0085,
+            # which is a legal URI codepoint
+            headers[k.strip(" \t").lower()] = v.strip(" \t")
         try:
             clen = int(headers["content-length"])
         except (KeyError, ValueError):

@@ -217,3 +217,58 @@ def test_filter_ocr_drops_only_above_table(cell_boxes, ocr_boxes):
         assert kept_texts == [t for _, t in expect]
     else:
         assert kept_boxes == ocr_boxes
+
+
+# --- WARC record codec: encode->parse identity on adversarial input ---
+
+_url_st = st.text(
+    alphabet=st.characters(blacklist_characters="\r\n", min_codepoint=33, max_codepoint=0x2FF),
+    min_size=1, max_size=60,
+)
+_payload_st = st.binary(min_size=0, max_size=2000)
+
+
+@given(st.lists(st.tuples(_url_st, _payload_st), min_size=0, max_size=8))
+@settings(max_examples=60, deadline=None)
+def test_warc_member_roundtrip_arbitrary_payloads(records):
+    """Content-Length framing must survive payloads that CONTAIN the
+    record separator (b'\\r\\n\\r\\n'), WARC magic, or header-shaped
+    bytes — the cases a separator-scanning parser gets wrong."""
+    import datetime as dt
+
+    from paddleocr_spark.sources.warc import iter_warc_records, warc_record_bytes
+
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5, 250000, tzinfo=dt.timezone.utc)
+    blob = b"".join(
+        warc_record_bytes(u, ts, p + b"\r\n\r\nWARC/1.0\r\n") for u, p in records
+    )
+    got = list(iter_warc_records(blob))
+    assert len(got) == len(records)
+    for (u, p), (gu, gts, gp, off, ln) in zip(records, got):
+        assert gu == u and gts == ts
+        assert gp == p + b"\r\n\r\nWARC/1.0\r\n"
+    # offsets tile the member exactly
+    assert sum(g[4] for g in got) == len(blob)
+
+
+@given(st.lists(st.tuples(_url_st, _payload_st), min_size=1, max_size=5),
+       st.integers(min_value=1, max_value=12))
+@settings(max_examples=60, deadline=None)
+def test_warc_gz_truncation_never_yields_garbage(records, cut):
+    """Per-record-gzip members: truncating anywhere drops whole tail
+    records, never yields corrupted payloads or raises."""
+    import datetime as dt
+    import gzip
+
+    from paddleocr_spark.sources.warc import iter_warc_gz_records, warc_record_bytes
+
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5, tzinfo=dt.timezone.utc)
+    blob = b"".join(
+        gzip.compress(warc_record_bytes(u, ts, p), mtime=0) for u, p in records
+    )
+    got_full = list(iter_warc_gz_records(blob))
+    assert [g[0] for g in got_full] == [u for u, _ in records]
+    got_cut = list(iter_warc_gz_records(blob[:-cut]))
+    assert len(got_cut) < len(got_full)
+    for (gu, _, gp, _, _), (u, p) in zip(got_cut, records):
+        assert gu == u and gp == p
