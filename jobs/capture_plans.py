@@ -226,6 +226,21 @@ def main():
         spark.sql("drop table if exists plans_a_b")
         spark.sql("drop table if exists plans_b_b")
 
+    import tempfile
+
+    from paddleocr_spark.sources import warc as Warc
+
+    with tempfile.TemporaryDirectory() as wdir:
+        Warc.write_warc(pages.limit(50), wdir, n_files=2, compress=True)
+        sections.append((
+            "WARC-member ingestion (binaryFile -> Arrow parse -> lang sniff)",
+            "One BatchScan over binaryFile (one task per member — WARC is "
+            "file-granular like the real crawl), ONE MapInPandas parse, lang "
+            "sniff as a native projection above it. No shuffle until the "
+            "pipeline's own salted repartition.",
+            formatted(Warc.with_sniffed_lang(Warc.read_warc(spark, wdir))),
+        ))
+
     out = ["# PLANS — captured physical plans (regenerate: `python jobs/capture_plans.py`)\n"]
     for title, note, plan in sections:
         plan = re.sub(r"file:[^\s,\]]*", "file:<elided>", plan)
