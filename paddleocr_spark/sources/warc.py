@@ -258,6 +258,45 @@ def write_warc(
     return [r.asDict() for r in manifest]
 
 
+def fetch_records(spark: SparkSession, cdx: DataFrame, urls) -> DataFrame:
+    """Selective record fetch via the CDX index: read ONLY the byte
+    ranges of the target urls instead of rescanning whole members —
+    the cheap path for re-extracting a url subset (a fixed bug, a
+    recrawl diff, an eval set) out of a 100 TB crawl.
+
+    Plan shape: equi-join CDX↔targets on url (target sets are tiny
+    next to the index — AQE broadcasts them), repartition by member
+    file so each file opens once per task, then one mapInPandas doing
+    seek+read per range (on an object store these become ranged GETs;
+    per-record-gzip members make each range standalone-gunzippable,
+    which is exactly why Common Crawl writes them that way).
+    """
+    if isinstance(urls, (list, tuple)):
+        urls_df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    else:
+        urls_df = urls.select("url")
+    hits = cdx.join(urls_df, "url").select("url", "file", "offset", "length")
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, grp in pdf.groupby("file"):
+                local = path.replace("file:", "")
+                recs = []
+                with open(local, "rb") as fh:
+                    for r in grp.sort_values("offset").itertuples():
+                        fh.seek(r.offset)
+                        blob = fh.read(r.length)
+                        if local.endswith(".gz"):
+                            blob = gzip.decompress(blob)
+                        parsed = list(iter_warc_records(blob))
+                        if len(parsed) == 1:
+                            u, ts, payload, _, _ = parsed[0]
+                            recs.append((u, ts, payload))
+                yield pd.DataFrame(recs, columns=["url", "warc_ts", "html"])
+
+    return hits.repartition("file").mapInPandas(fetch, schema=PAGES_SCHEMA)
+
+
 def with_sniffed_lang(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Derive `lang` from the document's own `<html lang=..>` attribute
     (WARC carries no language column — real pipelines sniff it). Pure

@@ -220,3 +220,27 @@ def test_streaming_warc_ingest_exactly_once(spark, pages_pq, tmp_path):
     ingest_warc_stream(spark, land, tbl, ckpt, max_files_per_trigger=1)
     assert WH.read_table(spark, tbl).count() == first.count() + n_late
     assert len(WH.snapshots(tbl)) == snaps1 + 1
+
+
+@pytest.mark.parametrize("which", ["plain", "gz"])
+def test_fetch_records_by_cdx_range(spark, pages_pq, warc_dir, warc_gz_dir, which):
+    """Selective by-range fetch: only the target urls' ranges are read,
+    payload bytes identical to the source table — for both plain and
+    per-record-gzip members."""
+    d = warc_dir if which == "plain" else warc_gz_dir
+    cdx = W.build_cdx(spark, d)
+    orig = spark.read.parquet(pages_pq)
+    targets = [r["url"] for r in orig.orderBy("url").limit(17).collect()]
+    got = W.fetch_records(spark, cdx, targets)
+    assert got.count() == 17
+    j = got.alias("g").join(orig.alias("o"), "url")
+    assert j.count() == 17
+    assert j.filter(
+        (F.col("g.html") != F.col("o.html"))
+        | (F.col("g.warc_ts") != F.col("o.warc_ts"))
+    ).count() == 0
+    # a DataFrame target set works too, and misses simply don't match
+    tdf = spark.createDataFrame(
+        [(targets[0],), ("https://nowhere.example/none",)], ["url"]
+    )
+    assert W.fetch_records(spark, cdx, tdf).count() == 1
