@@ -20,6 +20,17 @@ opaque listing hash:
   ``PartitionFilters`` in the scan node and files outside the predicate
   are skipped at plan time (asserted in tests/test_warehouse.py).
 
+- **row-level deletes** (Iceberg v2 equality-delete files): a takedown
+  (DMCA/GDPR url removal) writes a small parquet of deleted urls as a
+  *delete file* and commits a DELETE snapshot — no data file of a
+  100 TB table is rewritten. Reads merge-on-read: data anti-joined
+  against the applicable delete files. Sequence numbers give Iceberg's
+  exact applicability rule — an equality delete applies only to data
+  files committed *before* it, so a url re-ingested after its takedown
+  survives. ``compact()`` materializes deletes (rewritten files carry
+  no delete baggage); ``expire_snapshots`` garbage-collects delete
+  files no retained snapshot references.
+
 Deliberately out of scope (what a real Iceberg deployment adds):
 atomic metadata-pointer CAS for concurrent writers, manifest-level
 column stats for file skipping within a partition, and schema
@@ -32,6 +43,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -57,6 +69,23 @@ def _data_dir(table_dir: str) -> str:
 
 def _snap_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "_snapshots")
+
+
+def _delete_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "deletes")
+
+
+def _load_manifest(table_dir: str, sid: str) -> dict:
+    path = os.path.join(_snap_dir(table_dir), f"{sid}.json")
+    if not os.path.exists(path):
+        raise ValueError(f"unknown snapshot {sid!r} in {table_dir}")
+    with open(path) as fh:
+        m = json.load(fh)
+    # manifests written before row-level-delete support lack these keys
+    m.setdefault("seq", 0)
+    m.setdefault("file_seq", {f: 0 for f in m["files"]})
+    m.setdefault("delete_files", [])
+    return m
 
 
 def _list_data_files(table_dir: str) -> list[str]:
@@ -111,11 +140,14 @@ def append(
     # the parent no longer references are still on disk awaiting
     # expiry — listing them would double-count their rows)
     if parent is not None:
-        with open(os.path.join(_snap_dir(table_dir), f"{parent}.json")) as fh:
-            live = json.load(fh)["files"]
+        pm = _load_manifest(table_dir, parent)
+        live, file_seq = pm["files"], dict(pm["file_seq"])
+        delete_files, seq = pm["delete_files"], pm["seq"] + 1
     else:
-        live = []
+        live, file_seq, delete_files, seq = [], {}, [], 1
     files = sorted(set(live) | set(added))
+    for f in added:
+        file_seq[f] = seq
     h = hashlib.md5()
     h.update((parent or "").encode())
     for f in added:
@@ -125,9 +157,12 @@ def append(
     entry = dict(
         snapshot_id=snap_id,
         parent=parent,
+        seq=seq,
         n_files=len(files),
         added=added,
         files=files,
+        file_seq=file_seq,
+        delete_files=delete_files,
         batch_id=batch_id,
         committed_ms=int(time.time() * 1000),
     )
@@ -138,23 +173,111 @@ def append(
     return snap_id
 
 
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    urls,
+    url_col: str = "url",
+) -> str:
+    """Row-level takedown (Iceberg v2 *equality delete* analog): commit
+    a DELETE snapshot that removes every row whose ``url_col`` appears
+    in ``urls`` (a list of strings or a single-column DataFrame) —
+    WITHOUT rewriting any data file. The deleted keys are written as a
+    small parquet *delete file*; readers merge-on-read (anti-join).
+
+    Sequence semantics match Iceberg: the delete applies only to data
+    files committed before it (``file_seq < delete seq``), so a url
+    re-ingested by a later append is NOT retro-deleted. At 100 TB this
+    is the only viable takedown mechanism — a takedown list is O(KB),
+    rewriting the table is O(corpus).
+    """
+    parent = current_snapshot_id(table_dir)
+    if parent is None:
+        raise ValueError(f"no snapshots committed in {table_dir}")
+    pm = _load_manifest(table_dir, parent)
+    seq = pm["seq"] + 1
+    if isinstance(urls, DataFrame):
+        del_df = urls.select(F.col(urls.columns[0]).alias(url_col)).distinct()
+    else:
+        del_df = spark.createDataFrame(
+            [(u,) for u in sorted(set(urls))], f"{url_col} string"
+        )
+    h = hashlib.md5()
+    h.update(parent.encode())
+    h.update(b"delete")
+    snap_id = h.hexdigest()[:16]
+    rel = os.path.join(snap_id, "equality-deletes.parquet")
+    # a takedown list is small by nature: one file, written atomically
+    del_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(_delete_dir(table_dir), rel)
+    )
+    entry = dict(
+        snapshot_id=snap_id,
+        parent=parent,
+        seq=seq,
+        operation="delete",
+        n_files=len(pm["files"]),
+        added=[],
+        files=pm["files"],
+        file_seq=pm["file_seq"],
+        delete_files=pm["delete_files"] + [dict(path=rel, seq=seq, key=url_col)],
+        committed_ms=int(time.time() * 1000),
+    )
+    with open(os.path.join(_snap_dir(table_dir), f"{snap_id}.json"), "w") as fh:
+        json.dump(entry, fh)
+    with open(os.path.join(_snap_dir(table_dir), "log.jsonl"), "a") as fh:
+        fh.write(json.dumps({k: entry[k] for k in ("snapshot_id", "parent", "n_files", "committed_ms")} | {"operation": "delete"}) + "\n")
+    return snap_id
+
+
 def read_table(
     spark: SparkSession, table_dir: str, snapshot_id: str | None = None
 ) -> DataFrame:
     """Snapshot-pinned scan: exactly the pinned manifest's files, with
     day/bucket recovered as partition columns (basePath) so predicates
-    on them prune at plan time."""
+    on them prune at plan time. If the snapshot carries equality-delete
+    files, the scan is merge-on-read: data files are grouped by which
+    suffix of the (seq-ordered) delete set applies to them — at most
+    ``n_delete_commits + 1`` groups, each anti-joined once against its
+    applicable deletes. The delete side is a takedown list (tiny), so
+    AQE picks a broadcast anti-join; no hint is forced."""
     sid = snapshot_id or current_snapshot_id(table_dir)
     if sid is None:
         raise ValueError(f"no snapshots committed in {table_dir}")
-    manifest = os.path.join(_snap_dir(table_dir), f"{sid}.json")
-    if not os.path.exists(manifest):
-        raise ValueError(f"unknown snapshot {sid!r} in {table_dir}")
-    with open(manifest) as fh:
-        files = json.load(fh)["files"]
+    m = _load_manifest(table_dir, sid)
+    files, file_seq = m["files"], m["file_seq"]
     data = _data_dir(table_dir)
-    paths = [os.path.join(data, f) for f in files]
-    return spark.read.option("basePath", data).parquet(*paths)
+
+    def _scan(fs: list[str]) -> DataFrame:
+        return spark.read.option("basePath", data).parquet(
+            *[os.path.join(data, f) for f in fs]
+        )
+
+    deletes = sorted(m["delete_files"], key=lambda d: d["seq"])
+    if not deletes:
+        return _scan(files)
+    ddir = _delete_dir(table_dir)
+    # group data files by the first delete (in seq order) that applies
+    # to them; deletes form suffixes, so group i gets deletes[i:]
+    bounds = [d["seq"] for d in deletes]
+    groups: dict[int, list[str]] = {}
+    for f in files:
+        s = file_seq.get(f, 0)
+        i = 0
+        while i < len(bounds) and bounds[i] <= s:
+            i += 1
+        groups.setdefault(i, []).append(f)
+    out = None
+    for i, fs in sorted(groups.items()):
+        part = _scan(fs)
+        if i < len(deletes):
+            key = deletes[i].get("key", "url")
+            keys = spark.read.parquet(
+                *[os.path.join(ddir, d["path"]) for d in deletes[i:]]
+            ).select(key).distinct()
+            part = part.join(keys, on=key, how="left_anti")
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def compact(
@@ -174,7 +297,7 @@ def compact(
     the classic small-files failure mode at scale: scan planning cost
     grows with file count and each file under-fills its read task.
     """
-    cur = read_table(spark, table_dir)
+    cur = read_table(spark, table_dir)  # merge-on-read: deletes applied
     before = set(_list_data_files(table_dir))
     (
         cur.repartition(target_partitions_per_day_bucket, "day", "bucket")
@@ -185,6 +308,7 @@ def compact(
     after = _list_data_files(table_dir)
     added = sorted(set(after) - before)
     parent = current_snapshot_id(table_dir)
+    seq = _load_manifest(table_dir, parent)["seq"] + 1 if parent else 1
     h = hashlib.md5()
     h.update((parent or "").encode())
     h.update(b"compact")
@@ -194,10 +318,13 @@ def compact(
     entry = dict(
         snapshot_id=snap_id,
         parent=parent,
+        seq=seq,
         operation="replace",
         n_files=len(added),
         added=added,
         files=added,  # the compacted snapshot reads ONLY the new files
+        file_seq={f: seq for f in added},
+        delete_files=[],  # materialized by the rewrite: no delete baggage
         committed_ms=int(time.time() * 1000),
     )
     with open(os.path.join(_snap_dir(table_dir), f"{snap_id}.json"), "w") as fh:
@@ -228,13 +355,12 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     kept, expired = snaps[-keep_last:], snaps[:-keep_last]
     sdir, data = _snap_dir(table_dir), _data_dir(table_dir)
 
-    def _manifest_files(sid: str) -> set[str]:
-        with open(os.path.join(sdir, f"{sid}.json")) as fh:
-            return set(json.load(fh)["files"])
-
     live: set[str] = set()
+    live_del: set[str] = set()
     for s in kept:
-        live |= _manifest_files(s["snapshot_id"])
+        m = _load_manifest(table_dir, s["snapshot_id"])
+        live |= set(m["files"])
+        live_del |= {d["path"] for d in m["delete_files"]}
     dead = [f for f in _list_data_files(table_dir) if f not in live]
     for f in dead:
         os.remove(os.path.join(data, f))
@@ -242,6 +368,14 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     for dirpath, _dirs, _files in os.walk(data, topdown=False):
         if dirpath != data and not os.listdir(dirpath):
             os.rmdir(dirpath)
+    # GC delete files (whole per-snapshot dirs) no kept snapshot references
+    ddir = _delete_dir(table_dir)
+    if os.path.isdir(ddir):
+        live_del_dirs = {p.split(os.sep, 1)[0] for p in live_del}
+        for d in os.listdir(ddir):
+            if d not in live_del_dirs:
+                shutil.rmtree(os.path.join(ddir, d))
+                dead.append(os.path.join("deletes", d))
     for s in expired:
         p = os.path.join(sdir, f"{s['snapshot_id']}.json")
         if os.path.exists(p):

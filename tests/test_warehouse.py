@@ -181,3 +181,106 @@ def test_expire_snapshots_gc(spark, smoke_dir, tmp_path):
     # appends keep working after expiry
     W.append(pages.limit(10).withColumn("url", F.concat("url", F.lit("?e"))), tbl)
     assert W.read_table(spark, tbl).count() == rows + 10
+
+
+# ---------------------------------------------------------------------------
+# Row-level deletes (Iceberg v2 equality-delete analog): takedown a url
+# set without rewriting data files; merge-on-read; sequence semantics.
+# ---------------------------------------------------------------------------
+
+
+def test_delete_where_merge_on_read_and_time_travel(spark, smoke_dir, tmp_path):
+    tbl = str(tmp_path / "del_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    s1 = W.append(pages.limit(100), tbl)
+    victims = [r["url"] for r in W.read_table(spark, tbl).select("url").limit(5).collect()]
+    files_before = set(W._list_data_files(tbl))
+
+    s2 = W.delete_where(spark, tbl, victims)
+    # no data file was rewritten — the takedown is metadata + a tiny delete file
+    assert set(W._list_data_files(tbl)) == files_before
+
+    cur = W.read_table(spark, tbl)
+    assert cur.count() == 95
+    assert cur.filter(F.col("url").isin(victims)).count() == 0
+    # time travel to the pre-delete snapshot still sees the victims
+    assert W.read_table(spark, tbl, s1).count() == 100
+    assert s2 == W.current_snapshot_id(tbl)
+
+
+def test_delete_sequence_semantics_reingest_survives(spark, smoke_dir, tmp_path):
+    """Iceberg equality-delete applicability: the delete applies only to
+    data files with a LOWER sequence number. A url re-ingested after its
+    takedown is a new row and must survive the old delete."""
+    tbl = str(tmp_path / "seq_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    W.append(pages.limit(50), tbl)
+    victim = W.read_table(spark, tbl).select("url").first()["url"]
+    W.delete_where(spark, tbl, [victim])
+    assert W.read_table(spark, tbl).filter(F.col("url") == victim).count() == 0
+
+    # re-ingest the same url (fresh crawl of a page after the takedown
+    # was resolved): the old delete must not apply to the new file
+    W.append(pages.filter(F.col("url") == victim), tbl)
+    assert W.read_table(spark, tbl).filter(F.col("url") == victim).count() == 1
+    # and a SECOND takedown removes it again (both deletes stack)
+    W.delete_where(spark, tbl, [victim])
+    assert W.read_table(spark, tbl).filter(F.col("url") == victim).count() == 0
+
+
+def test_compact_materializes_deletes(spark, smoke_dir, tmp_path):
+    tbl = str(tmp_path / "mat_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    W.append(pages.limit(60), tbl)
+    victims = [r["url"] for r in W.read_table(spark, tbl).select("url").limit(4).collect()]
+    W.delete_where(spark, tbl, victims)
+    before = W.read_table(spark, tbl)
+    n_before = before.count()
+
+    cid = W.compact(spark, tbl)
+    m = W._load_manifest(tbl, cid)
+    assert m["delete_files"] == []  # deletes baked into the rewrite
+    after = W.read_table(spark, tbl)
+    assert after.count() == n_before == 56
+    assert after.filter(F.col("url").isin(victims)).count() == 0
+    # post-compact plan carries no anti-join (pure scan again)
+    plan = after._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan
+
+
+def test_expire_snapshots_gc_delete_files(spark, smoke_dir, tmp_path):
+    import os as _os
+
+    tbl = str(tmp_path / "gc_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    W.append(pages.limit(30), tbl)
+    victim = W.read_table(spark, tbl).select("url").first()["url"]
+    W.delete_where(spark, tbl, [victim])
+    W.compact(spark, tbl)  # current snapshot no longer needs the delete file
+    assert _os.listdir(W._delete_dir(tbl))  # still on disk for time travel
+
+    W.expire_snapshots(tbl, keep_last=1)
+    # the delete file is referenced by no retained snapshot -> GC'd
+    assert not _os.path.isdir(W._delete_dir(tbl)) or not _os.listdir(W._delete_dir(tbl))
+    assert W.read_table(spark, tbl).count() == 29
+
+
+def test_delete_where_accepts_dataframe_and_extract_job_skips_deleted(
+    spark, smoke_dir, tmp_path
+):
+    """End-to-end: the extraction job reads through read_table, so a
+    takedown committed before the run is invisible to it."""
+    from paddleocr_spark.plans.job import run_extract_job
+
+    tbl = str(tmp_path / "e2e_tbl")
+    out = str(tmp_path / "e2e_out")
+    pages = _load_pages(spark, smoke_dir)
+    W.append(pages.limit(40), tbl)
+    victims_df = W.read_table(spark, tbl).select("url").limit(3)
+    victims = [r["url"] for r in victims_df.collect()]
+    W.delete_where(spark, tbl, victims_df)
+
+    run_extract_job(spark, tbl, out, n_partitions=4, salt=2)
+    got = spark.read.parquet(os.path.join(out, "extracted"))
+    assert got.count() == 37
+    assert got.filter(F.col("url").isin(victims)).count() == 0
