@@ -1153,3 +1153,61 @@ QUERIES_EXT["embed_near_dup_banded"] = q_embed_near_dup_banded
 ORACLES_EXT["embed_near_dup_banded"] = SQL_EMBED_NEAR_DUP_BANDED
 _queries.QUERIES["embed_near_dup_banded"] = q_embed_near_dup_banded
 _queries.ORACLES["embed_near_dup_banded"] = SQL_EMBED_NEAR_DUP_BANDED
+
+
+# ---------------------------------------------------------------------------
+# Native session_window (the built-in session operator, batch mode) —
+# upgrades streaming/sessions.py's operator from test-only to
+# oracle-checked. Spark session semantics: a session's window is
+# [first, last + gap); an event exactly `gap` after the previous one
+# starts a NEW session (diff >= gap), unlike the lag formulation in
+# q_events_sessionize which uses strict >.
+# ---------------------------------------------------------------------------
+
+
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions via F.session_window (30-min inactivity gap):
+    n_sessions, n_events and the busiest session's event count. The
+    same aggregate runs under readStream with a watermark
+    (streaming/sessions.py:session_window_stream)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("tss")
+    )
+    sess = ev.groupBy(
+        "user_id", F.session_window("tss", "30 minutes")
+    ).agg(F.count("*").alias("c"))
+    return sess.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum("c").cast("bigint").alias("n_events"),
+        F.max("c").cast("bigint").alias("max_session_events"),
+    )
+
+
+SQL_EVENTS_SESSION_WINDOW = """
+with e as (
+  select user_id, epoch_us(ts) us from events
+), s as (
+  select user_id, us,
+         case when lag(us) over w is null
+                or us - lag(us) over w >= 1800000000
+              then 1 else 0 end new_s
+  from e window w as (partition by user_id order by us)
+), g as (
+  select user_id,
+         sum(new_s) over (partition by user_id order by us
+                          rows between unbounded preceding and current row) sid
+  from s
+), per as (
+  select user_id, sid, count(*) c from g group by 1, 2
+)
+select user_id,
+       cast(count(*) as bigint) n_sessions,
+       cast(sum(c) as bigint) n_events,
+       cast(max(c) as bigint) max_session_events
+from per group by user_id
+"""
+
+QUERIES_EXT["events_session_window"] = q_events_session_window
+ORACLES_EXT["events_session_window"] = SQL_EVENTS_SESSION_WINDOW
+_queries.QUERIES["events_session_window"] = q_events_session_window
+_queries.ORACLES["events_session_window"] = SQL_EVENTS_SESSION_WINDOW

@@ -230,6 +230,31 @@ def delete_where(
     return snap_id
 
 
+def upsert(
+    df: DataFrame,
+    table_dir: str,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    n_buckets: int = N_BUCKETS,
+) -> str:
+    """Iceberg ``MERGE INTO`` analog for recrawls: replace-by-key.
+    Rows of ``df`` whose ``url_col`` already exists in the table shadow
+    the old version (an equality delete covers the prior files); new
+    urls are plain inserts. Two commits — a DELETE then an APPEND —
+    the id of the append (the new current snapshot) is returned.
+
+    Cost is O(new batch), never O(table): the delete file is just the
+    incoming batch's key set, and no existing data file is rewritten —
+    the only way a daily recrawl increment can be merged into a 100 TB
+    corpus. Old snapshots still read the pre-merge state (time travel
+    across the merge boundary works).
+    """
+    spark = df.sparkSession
+    if current_snapshot_id(table_dir) is not None:
+        delete_where(spark, table_dir, df.select(url_col), url_col=url_col)
+    return append(df, table_dir, url_col=url_col, ts_col=ts_col, n_buckets=n_buckets)
+
+
 def read_table(
     spark: SparkSession, table_dir: str, snapshot_id: str | None = None
 ) -> DataFrame:

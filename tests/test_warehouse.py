@@ -284,3 +284,39 @@ def test_delete_where_accepts_dataframe_and_extract_job_skips_deleted(
     got = spark.read.parquet(os.path.join(out, "extracted"))
     assert got.count() == 37
     assert got.filter(F.col("url").isin(victims)).count() == 0
+
+
+def test_upsert_replaces_by_key_and_inserts_new(spark, smoke_dir, tmp_path):
+    """MERGE INTO analog: a recrawl batch shadows existing urls and
+    inserts new ones; no data file of the base table is rewritten."""
+    tbl = str(tmp_path / "ups_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    base = pages.limit(50)
+    s1 = W.append(base, tbl)
+    files_before = set(W._list_data_files(tbl))
+
+    some = [r["url"] for r in base.select("url").limit(3).collect()]
+    recrawl = (
+        pages.filter(F.col("url").isin(some))
+        .withColumn("lang", F.lit("xx"))  # the updated field
+        .unionByName(
+            pages.limit(60).subtract(base).limit(4)  # 4 brand-new urls
+        )
+    )
+    W.upsert(recrawl, tbl)
+
+    cur = W.read_table(spark, tbl)
+    assert cur.count() == 54  # 50 - 3 shadowed + 3 new versions + 4 inserts
+    assert cur.select("url").distinct().count() == 54  # exactly one version per url
+    assert cur.filter(F.col("url").isin(some)).filter(F.col("lang") == "xx").count() == 3
+    # base data files untouched; time travel reads the pre-merge state
+    assert files_before <= set(W._list_data_files(tbl))
+    assert W.read_table(spark, tbl, s1).count() == 50
+    assert W.read_table(spark, tbl, s1).filter(F.col("lang") == "xx").count() == 0
+
+
+def test_upsert_on_empty_table_is_plain_insert(spark, smoke_dir, tmp_path):
+    tbl = str(tmp_path / "ups_empty")
+    pages = _load_pages(spark, smoke_dir).limit(10)
+    W.upsert(pages, tbl)
+    assert W.read_table(spark, tbl).count() == 10
