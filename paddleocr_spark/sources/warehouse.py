@@ -31,9 +31,19 @@ opaque listing hash:
   no delete baggage); ``expire_snapshots`` garbage-collects delete
   files no retained snapshot references.
 
+- **manifest column stats + file skipping**: every commit harvests
+  per-file min/max for ``STATS_COLS`` from the parquet footers (pyarrow
+  metadata read — no Spark job, no data scan) into the manifest;
+  ``read_table(..., prune_stats=(col, lo, hi))`` drops files whose
+  range cannot overlap the predicate *at plan time on the driver*, the
+  manifest-stats skipping Iceberg does inside a partition. Stats are
+  only selective when files are clustered on the column, so
+  ``compact(sort_within_partitions=[col])`` offers Iceberg's
+  sort-order rewrite: after it, a point predicate on the column reads
+  a strict subset of files (asserted in tests).
+
 Deliberately out of scope (what a real Iceberg deployment adds):
-atomic metadata-pointer CAS for concurrent writers, manifest-level
-column stats for file skipping within a partition, and schema
+atomic metadata-pointer CAS for concurrent writers and schema
 evolution. Single-writer append-only is the contract here, which is
 exactly how the extraction job uses its tables.
 """
@@ -50,6 +60,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 N_BUCKETS = 16
+
+# columns whose per-file min/max are recorded in every manifest (the
+# Iceberg manifest-stats analog). Footer-derived: adding a column here
+# costs a metadata read per new file, never a data scan.
+STATS_COLS = ("lang", "warc_ts")
+
+
+def _file_stats(data_dir: str, relpaths: list[str], cols=STATS_COLS) -> dict:
+    """Per-file min/max for ``cols``, read from parquet footers
+    (row-group statistics; O(files) metadata reads, zero data IO).
+    Values are stored JSON-safe via ``str()`` — ISO timestamps and
+    plain strings both compare correctly lexicographically."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in relpaths:
+        md = pq.ParquetFile(os.path.join(data_dir, rel)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, list] = {}
+        for col in cols:
+            ci = names.get(col)
+            if ci is None:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(ci).statistics
+                if s is None or not s.has_min_max:
+                    lo = hi = None
+                    break
+                lo = s.min if lo is None else min(lo, s.min)
+                hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                stats[col] = [str(lo), str(hi)]
+        if stats:
+            out[rel] = stats
+    return out
 
 
 def bucket_col(url_col: str = "url", n_buckets: int = N_BUCKETS):
@@ -81,10 +127,11 @@ def _load_manifest(table_dir: str, sid: str) -> dict:
         raise ValueError(f"unknown snapshot {sid!r} in {table_dir}")
     with open(path) as fh:
         m = json.load(fh)
-    # manifests written before row-level-delete support lack these keys
+    # manifests written before row-level-delete/stats support lack these
     m.setdefault("seq", 0)
     m.setdefault("file_seq", {f: 0 for f in m["files"]})
     m.setdefault("delete_files", [])
+    m.setdefault("file_stats", {})
     return m
 
 
@@ -143,11 +190,13 @@ def append(
         pm = _load_manifest(table_dir, parent)
         live, file_seq = pm["files"], dict(pm["file_seq"])
         delete_files, seq = pm["delete_files"], pm["seq"] + 1
+        file_stats = dict(pm["file_stats"])
     else:
-        live, file_seq, delete_files, seq = [], {}, [], 1
+        live, file_seq, delete_files, seq, file_stats = [], {}, [], 1, {}
     files = sorted(set(live) | set(added))
     for f in added:
         file_seq[f] = seq
+    file_stats.update(_file_stats(_data_dir(table_dir), added))
     h = hashlib.md5()
     h.update((parent or "").encode())
     for f in added:
@@ -162,6 +211,7 @@ def append(
         added=added,
         files=files,
         file_seq=file_seq,
+        file_stats=file_stats,
         delete_files=delete_files,
         batch_id=batch_id,
         committed_ms=int(time.time() * 1000),
@@ -220,6 +270,7 @@ def delete_where(
         added=[],
         files=pm["files"],
         file_seq=pm["file_seq"],
+        file_stats=pm["file_stats"],
         delete_files=pm["delete_files"] + [dict(path=rel, seq=seq, key=url_col)],
         committed_ms=int(time.time() * 1000),
     )
@@ -256,7 +307,10 @@ def upsert(
 
 
 def read_table(
-    spark: SparkSession, table_dir: str, snapshot_id: str | None = None
+    spark: SparkSession,
+    table_dir: str,
+    snapshot_id: str | None = None,
+    prune_stats: tuple | None = None,
 ) -> DataFrame:
     """Snapshot-pinned scan: exactly the pinned manifest's files, with
     day/bucket recovered as partition columns (basePath) so predicates
@@ -265,13 +319,36 @@ def read_table(
     suffix of the (seq-ordered) delete set applies to them — at most
     ``n_delete_commits + 1`` groups, each anti-joined once against its
     applicable deletes. The delete side is a takedown list (tiny), so
-    AQE picks a broadcast anti-join; no hint is forced."""
+    AQE picks a broadcast anti-join; no hint is forced.
+
+    ``prune_stats=(col, lo, hi)`` is the manifest-stats file skip: data
+    files whose recorded [min, max] for ``col`` cannot intersect
+    [lo, hi] are dropped from the file list ON THE DRIVER, before any
+    Spark planning, and the equivalent row filter is applied on top
+    (files without stats are always kept — skipping is an optimization,
+    never a correctness decision). Selective only when files are
+    clustered on ``col`` — see ``compact(sort_within_partitions=...)``."""
     sid = snapshot_id or current_snapshot_id(table_dir)
     if sid is None:
         raise ValueError(f"no snapshots committed in {table_dir}")
     m = _load_manifest(table_dir, sid)
     files, file_seq = m["files"], m["file_seq"]
     data = _data_dir(table_dir)
+    row_filter = None
+    if prune_stats is not None:
+        col, lo, hi = prune_stats
+        slo, shi = str(lo), str(hi)
+        stats = m["file_stats"]
+
+        def _keep(f: str) -> bool:
+            rng = stats.get(f, {}).get(col)
+            return rng is None or (rng[0] <= shi and rng[1] >= slo)
+
+        files = [f for f in files if _keep(f)]
+        row_filter = F.col(col).between(lo, hi)
+        if not files:
+            # every file skipped: an empty frame with the table schema
+            return _scan_schema_only(spark, data, m["files"], row_filter)
 
     def _scan(fs: list[str]) -> DataFrame:
         return spark.read.option("basePath", data).parquet(
@@ -280,7 +357,8 @@ def read_table(
 
     deletes = sorted(m["delete_files"], key=lambda d: d["seq"])
     if not deletes:
-        return _scan(files)
+        scan = _scan(files)
+        return scan.filter(row_filter) if row_filter is not None else scan
     ddir = _delete_dir(table_dir)
     # group data files by the first delete (in seq order) that applies
     # to them; deletes form suffixes, so group i gets deletes[i:]
@@ -302,13 +380,23 @@ def read_table(
             ).select(key).distinct()
             part = part.join(keys, on=key, how="left_anti")
         out = part if out is None else out.unionByName(part)
-    return out
+    return out.filter(row_filter) if row_filter is not None else out
+
+
+def _scan_schema_only(spark, data, all_files, row_filter):
+    """All files skipped by stats: a schema-correct empty frame (one
+    footer read, plan-time false predicate, no data IO)."""
+    df = spark.read.option("basePath", data).parquet(
+        os.path.join(data, all_files[0])
+    )
+    return df.filter(F.lit(False))
 
 
 def compact(
     spark: SparkSession,
     table_dir: str,
     target_partitions_per_day_bucket: int = 1,
+    sort_within_partitions: list[str] | None = None,
 ) -> str:
     """Small-file compaction (Iceberg ``rewrite_data_files`` analog):
     rewrite the CURRENT snapshot's rows into at most
@@ -324,9 +412,23 @@ def compact(
     """
     cur = read_table(spark, table_dir)  # merge-on-read: deletes applied
     before = set(_list_data_files(table_dir))
+    if sort_within_partitions:
+        # Iceberg sort-order rewrite: RANGE-partition on (day, bucket,
+        # sort cols) so each (day, bucket) dir gets several files, each
+        # covering a narrow sort-col range — that's what makes the
+        # manifest min/max stats selective. target_partitions_per_day_
+        # bucket stays the per-dir file budget.
+        n_dirs = max(1, cur.select("day", "bucket").distinct().count())
+        n_out = n_dirs * max(1, target_partitions_per_day_bucket)
+        rewrite = cur.repartitionByRange(
+            n_out, "day", "bucket", *sort_within_partitions
+        ).sortWithinPartitions("day", "bucket", *sort_within_partitions)
+    else:
+        rewrite = cur.repartition(
+            target_partitions_per_day_bucket, "day", "bucket"
+        )
     (
-        cur.repartition(target_partitions_per_day_bucket, "day", "bucket")
-        .write.mode("append")
+        rewrite.write.mode("append")
         .partitionBy("day", "bucket")
         .parquet(_data_dir(table_dir))
     )
@@ -349,6 +451,7 @@ def compact(
         added=added,
         files=added,  # the compacted snapshot reads ONLY the new files
         file_seq={f: seq for f in added},
+        file_stats=_file_stats(_data_dir(table_dir), added),
         delete_files=[],  # materialized by the rewrite: no delete baggage
         committed_ms=int(time.time() * 1000),
     )

@@ -320,3 +320,84 @@ def test_upsert_on_empty_table_is_plain_insert(spark, smoke_dir, tmp_path):
     pages = _load_pages(spark, smoke_dir).limit(10)
     W.upsert(pages, tbl)
     assert W.read_table(spark, tbl).count() == 10
+
+
+# ---------------------------------------------------------------------------
+# Manifest column stats + file skipping (Iceberg manifest-stats analog)
+# and the sort-order compaction that makes them selective.
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_records_footer_stats(spark, smoke_dir, tmp_path):
+    tbl = str(tmp_path / "st_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    sid = W.append(pages.limit(80), tbl)
+    m = W._load_manifest(tbl, sid)
+    assert m["file_stats"]  # every data file got a stats row
+    assert set(m["file_stats"]) <= set(m["files"])
+    some = next(iter(m["file_stats"].values()))
+    lo, hi = some["lang"]
+    assert lo <= hi and lo in ("ar", "en", "zh")
+
+
+def test_sorted_compact_makes_stats_selective(spark, smoke_dir, tmp_path):
+    """After a sort-order rewrite on lang, a lang point predicate must
+    read a strict subset of files — and return exactly the same rows as
+    the unpruned filter."""
+    tbl = str(tmp_path / "sort_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    W.append(pages, tbl)
+
+    cid = W.compact(spark, tbl, target_partitions_per_day_bucket=3,
+                    sort_within_partitions=["lang"])
+    m = W._load_manifest(tbl, cid)
+    full = W.read_table(spark, tbl)
+    expect = full.filter(F.col("lang") == "ar").count()
+    assert expect > 0
+
+    pruned = W.read_table(spark, tbl, prune_stats=("lang", "ar", "ar"))
+    assert pruned.count() == expect
+    # the skip happened at the manifest level: fewer files in the scan
+    assert 0 < len(set(pruned.inputFiles())) < len(m["files"])
+
+
+def test_prune_stats_is_correct_on_unsorted_files(spark, smoke_dir, tmp_path):
+    """Without clustering, file ranges are wide — pruning may skip
+    nothing, but it must NEVER change the result."""
+    tbl = str(tmp_path / "uns_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    W.append(pages.limit(120), tbl)
+    expect = (
+        W.read_table(spark, tbl).filter(F.col("lang") == "zh").count()
+    )
+    got = W.read_table(spark, tbl, prune_stats=("lang", "zh", "zh")).count()
+    assert got == expect > 0
+
+
+def test_prune_stats_all_files_skipped_empty_schema_preserved(
+    spark, smoke_dir, tmp_path
+):
+    tbl = str(tmp_path / "none_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    W.append(pages.limit(30), tbl)
+    W.compact(spark, tbl, sort_within_partitions=["lang"])
+    out = W.read_table(spark, tbl, prune_stats=("lang", "zz", "zzz"))
+    assert out.count() == 0
+    assert set(out.columns) == set(W.read_table(spark, tbl).columns)
+
+
+def test_prune_stats_composes_with_deletes(spark, smoke_dir, tmp_path):
+    """File skipping and merge-on-read deletes in the same scan."""
+    tbl = str(tmp_path / "sd_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    W.append(pages, tbl)
+    W.compact(spark, tbl, target_partitions_per_day_bucket=3,
+              sort_within_partitions=["lang"])
+    ar = W.read_table(spark, tbl).filter(F.col("lang") == "ar")
+    victims = [r["url"] for r in ar.select("url").limit(5).collect()]
+    n_ar = ar.count()
+    W.delete_where(spark, tbl, victims)
+
+    pruned = W.read_table(spark, tbl, prune_stats=("lang", "ar", "ar"))
+    assert pruned.count() == n_ar - 5
+    assert pruned.filter(F.col("url").isin(victims)).count() == 0
