@@ -287,6 +287,7 @@ def upsert(
     url_col: str = "url",
     ts_col: str = "warc_ts",
     n_buckets: int = N_BUCKETS,
+    batch_id: int | None = None,
 ) -> str:
     """Iceberg ``MERGE INTO`` analog for recrawls: replace-by-key.
     Rows of ``df`` whose ``url_col`` already exists in the table shadow
@@ -303,7 +304,10 @@ def upsert(
     spark = df.sparkSession
     if current_snapshot_id(table_dir) is not None:
         delete_where(spark, table_dir, df.select(url_col), url_col=url_col)
-    return append(df, table_dir, url_col=url_col, ts_col=ts_col, n_buckets=n_buckets)
+    return append(
+        df, table_dir, url_col=url_col, ts_col=ts_col,
+        n_buckets=n_buckets, batch_id=batch_id,
+    )
 
 
 def read_table(

@@ -150,3 +150,45 @@ def extract_pages_stream_warehouse(
         .start()
     )
     await_drain(q, 180)
+
+
+def ingest_recrawl_stream(
+    spark: SparkSession,
+    input_dir: str,
+    table_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Recrawl ingestion: each micro-batch UPSERTS (replace-by-key)
+    instead of appending, so a url recrawled today shadows yesterday's
+    version — the table converges to one live version per url while
+    old snapshots keep the full history (time travel across recrawls).
+
+    Exactly-once via the same batch-id guard as the append ingests; the
+    id rides the upsert's APPEND commit, which is the one the guard
+    checks. A crash between the upsert's delete commit and its append
+    commit replays the delete on restart — a duplicate equality-delete
+    entry over the same keys and files, semantically a no-op.
+
+    Within one micro-batch only the newest capture of each url is kept
+    (deterministic max-warc_ts pick), because an upsert batch must
+    carry at most one version per key.
+    """
+    from paddleocr_spark.sources.readers import latest_crawl
+
+    def commit(batch_df, batch_id: int) -> None:
+        if batch_id in committed_batch_ids(table_dir):
+            return
+        W.upsert(latest_crawl(batch_df), table_dir, batch_id=batch_id)
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    q = (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drain(q, 180)

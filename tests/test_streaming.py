@@ -479,3 +479,60 @@ def test_linkgraph_stream_matches_batch_multibatch(spark, tmp_path):
     assert batch[("a.example", "b.example")] == 3  # 1 + 2 across batches
     assert batch[("a.example", "a.example")] == 1  # relative link -> own host
     assert batch[("b.example", "a.example")] == 1
+
+
+def test_recrawl_stream_upserts_exactly_once(spark, smoke_dir, tmp_path):
+    """Recrawl ingestion: micro-batches replace-by-key. Two landing
+    files processed as separate micro-batches (maxFilesPerTrigger=1):
+    a base crawl, then a recrawl of a url subset with changed content.
+    The table converges to ONE live version per url (recrawled urls
+    show the new content), restarts commit nothing, and time travel
+    still reads the pre-recrawl state."""
+    from paddleocr_spark.sources import warehouse as W
+    from paddleocr_spark.streaming.ingest import ingest_recrawl_stream
+
+    src = tmp_path / "rc_in"
+    tbl = str(tmp_path / "rc_tbl")
+    ckpt = str(tmp_path / "rc_ck")
+    os.makedirs(src)
+
+    def land(df, name: str) -> None:
+        # the file stream source lists only top-level files in src, so
+        # stage each crawl as a single parquet FILE, not a directory
+        stage = tmp_path / f"stage_{name}"
+        df.coalesce(1).write.parquet(str(stage))
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        shutil.copy(stage / part, src / name)
+
+    pages = spark.read.parquet(os.path.join(smoke_dir, "pages.parquet"))
+    base = pages.limit(40).cache()
+    land(base, "crawl0.parquet")
+
+    some = [r["url"] for r in base.select("url").limit(6).collect()]
+    recrawl = (
+        base.filter(F.col("url").isin(some))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("interval 1 day"))
+        .withColumn("lang", F.lit("xx"))
+    )
+    land(recrawl, "crawl1.parquet")
+
+    ingest_recrawl_stream(spark, str(src), tbl, ckpt, max_files_per_trigger=1)
+
+    cur = W.read_table(spark, tbl)
+    assert cur.count() == 40
+    assert cur.select("url").distinct().count() == 40
+    assert cur.filter(F.col("lang") == "xx").count() == 6
+    snaps = W.snapshots(tbl)
+    first_append = snaps[0]["snapshot_id"]
+
+    # restart with no new input: nothing recommitted
+    n_snaps = len(snaps)
+    ingest_recrawl_stream(spark, str(src), tbl, ckpt, max_files_per_trigger=1)
+    assert len(W.snapshots(tbl)) == n_snaps
+    assert W.read_table(spark, tbl).count() == 40
+
+    # time travel to the first crawl's snapshot: pre-recrawl state
+    old = W.read_table(spark, tbl, first_append)
+    assert old.count() == 40
+    assert old.filter(F.col("lang") == "xx").count() == 0
+    base.unpersist()
