@@ -44,6 +44,11 @@ def main(argv=None) -> int:
                     help="host blocklist: a file of hosts (one per line) or a "
                          "comma-separated list; matching pages are pruned "
                          "before any parsing")
+    ap.add_argument("--since-snapshot", default=None,
+                    help="delta run (warehouse inputs only): extract only "
+                         "pages appended after this snapshot and still live "
+                         "— a recrawl costs the crawl, not the table. Use a "
+                         "fresh output dir per delta window.")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -61,6 +66,7 @@ def main(argv=None) -> int:
         salt=args.salt,
         resume=args.resume,
         blocked_hosts=parse_blocklist(args.blocklist),
+        since_snapshot=args.since_snapshot,
     )
     wall = time.time() - t0
     out = dict(stats)

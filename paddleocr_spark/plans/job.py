@@ -144,11 +144,21 @@ def run_extract_job(
     cfg: PipelineConfig = DEFAULT,
     only_first_parts: int | None = None,
     blocked_hosts: list[str] | None = None,
+    since_snapshot: str | None = None,
 ) -> dict:
     """Run extraction with checkpoint/resume. ``only_first_parts`` is a
     test hook simulating a mid-job failure after k partitions.
     ``blocked_hosts`` prunes blocklisted hosts before any parsing
-    (apply_host_blocklist)."""
+    (apply_host_blocklist).
+
+    ``since_snapshot`` (warehouse inputs only) switches to a DELTA run:
+    only pages appended after that snapshot and still live are read
+    (warehouse.read_incremental), so a daily recrawl extracts the day's
+    crawl, not the whole table. Point a delta run at its own output dir
+    — partitions are overwritten whole, so mixing a delta into a full
+    run's output would drop that run's co-partitioned rows."""
+    if since_snapshot is not None and not _is_warehouse(input_path):
+        raise ValueError("--since-snapshot requires a warehouse table input")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     data_path = os.path.join(output_dir, "extracted")
     lineage_path = os.path.join(output_dir, "lineage")
@@ -162,7 +172,14 @@ def run_extract_job(
         from paddleocr_spark.sources import warehouse as W
 
         snapshot = W.current_snapshot_id(input_path)
-        src = W.read_table(spark, input_path, snapshot).drop("day", "bucket")
+        if since_snapshot is not None:
+            # delta run: lineage pins the WINDOW (from..to), because
+            # re-running it must reproduce the same row set
+            src = W.read_incremental(spark, input_path, since_snapshot, snapshot)
+            snapshot = f"{since_snapshot}..{snapshot}"
+        else:
+            src = W.read_table(spark, input_path, snapshot)
+        src = src.drop("day", "bucket")
     elif _is_warc(input_path):
         # Common-Crawl-shaped ingestion: WARC members via binaryFile
         # (one task per member), lang sniffed off the html bytes

@@ -401,3 +401,123 @@ def test_prune_stats_composes_with_deletes(spark, smoke_dir, tmp_path):
     pruned = W.read_table(spark, tbl, prune_stats=("lang", "ar", "ar"))
     assert pruned.count() == n_ar - 5
     assert pruned.filter(F.col("url").isin(victims)).count() == 0
+
+
+def test_read_incremental_returns_only_window_appends(spark, smoke_dir, tmp_path):
+    """Incremental scan: rows appended after `from` and live at `to` —
+    nothing from the base snapshot, deletes inside the window applied,
+    and a bounded `to` hides later appends."""
+    tbl = str(tmp_path / "inc_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    base = pages.limit(20).cache()
+    s1 = W.append(base, tbl)
+
+    base_urls = {r["url"] for r in base.select("url").collect()}
+    rest = pages.filter(~F.col("url").isin(list(base_urls))).cache()
+    b2 = rest.limit(8).cache()
+    s2 = W.append(b2, tbl)
+    b2_urls = [r["url"] for r in b2.select("url").collect()]
+    b3 = rest.filter(~F.col("url").isin(b2_urls)).limit(5)
+    # delete one base url and one window url before the third append
+    W.delete_where(spark, tbl, [sorted(base_urls)[0], b2_urls[0]])
+    W.append(b3, tbl)
+
+    delta = W.read_incremental(spark, tbl, s1)
+    got = {r["url"] for r in delta.select("url").collect()}
+    assert len(got) == 8 - 1 + 5
+    assert got.isdisjoint(base_urls)
+    assert b2_urls[0] not in got  # taken down inside the window
+
+    # bounded `to`: only the first window append, delete not yet committed
+    mid = W.read_incremental(spark, tbl, s1, s2)
+    assert {r["url"] for r in mid.select("url").collect()} == set(b2_urls)
+
+    # from == to: schema-correct empty delta
+    empty = W.read_incremental(spark, tbl, W.current_snapshot_id(tbl),
+                               W.current_snapshot_id(tbl))
+    assert empty.count() == 0
+    assert set(empty.columns) == set(W.read_table(spark, tbl).columns)
+    base.unpersist(); rest.unpersist(); b2.unpersist()
+
+
+def test_read_incremental_skips_compaction_rewrites(spark, smoke_dir, tmp_path):
+    """A replace (compaction) commit inside the window moves rows into
+    new files; the incremental consumer must NOT see them again."""
+    tbl = str(tmp_path / "incc_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    base = pages.limit(25).cache()
+    s1 = W.append(base, tbl)
+    base_urls = {r["url"] for r in base.select("url").collect()}
+    new = pages.filter(~F.col("url").isin(list(base_urls))).limit(6)
+    W.append(new, tbl)
+    W.compact(spark, tbl, target_partitions_per_day_bucket=1)
+
+    delta = W.read_incremental(spark, tbl, s1)
+    got = {r["url"] for r in delta.select("url").collect()}
+    assert got == {r["url"] for r in new.select("url").collect()}
+    assert got.isdisjoint(base_urls)
+    base.unpersist()
+
+
+def test_read_incremental_rejects_non_ancestor(spark, smoke_dir, tmp_path):
+    import pytest
+
+    tbl = str(tmp_path / "inca_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    W.append(pages.limit(10), tbl)
+    with pytest.raises(ValueError, match="not an ancestor"):
+        W.read_incremental(spark, tbl, "deadbeefdeadbeef")
+
+
+def test_extract_job_delta_mode_processes_only_window(spark, smoke_dir, tmp_path):
+    """--since-snapshot: after a base extract, an appended recrawl is
+    extracted as a delta — only the new pages are read and written, the
+    lineage pins the from..to window, and the delta's extracted text is
+    byte-identical to the golden fixtures for those urls."""
+    from paddleocr_spark.plans.job import run_extract_job
+
+    tbl = str(tmp_path / "dlt_wh")
+    pages = _load_pages(spark, smoke_dir)
+    base = pages.limit(60).cache()
+    s1 = W.append(base, tbl)
+    run_extract_job(spark, tbl, str(tmp_path / "out_full"), n_partitions=8, salt=2)
+
+    base_urls = [r["url"] for r in base.select("url").collect()]
+    new = pages.filter(~F.col("url").isin(base_urls)).limit(20).cache()
+    s2 = W.append(new, tbl)
+
+    out_delta = str(tmp_path / "out_delta")
+    stats = run_extract_job(
+        spark, tbl, out_delta, n_partitions=8, salt=2, since_snapshot=s1
+    )
+    assert stats["rows_out"] == 20
+    assert stats["input_snapshot"] == f"{s1}..{s2}"
+
+    got = spark.read.parquet(os.path.join(out_delta, "extracted"))
+    new_urls = {r["url"] for r in new.select("url").collect()}
+    assert {r["url"] for r in got.select("url").collect()} == new_urls
+
+    golden = spark.read.parquet(os.path.join(smoke_dir, "golden.parquet"))
+    joined = got.select("url", "extracted_text").join(
+        golden.select("url", F.col("extracted_text").alias("g")), "url"
+    )
+    assert joined.count() == 20
+    assert joined.filter(F.col("extracted_text") != F.col("g")).count() == 0
+
+    lin = spark.read.parquet(os.path.join(out_delta, "lineage"))
+    assert {r["input_snapshot"] for r in lin.collect()} == {f"{s1}..{s2}"}
+    base.unpersist(); new.unpersist()
+
+
+def test_extract_job_delta_requires_warehouse(spark, smoke_dir, tmp_path):
+    import pytest
+
+    from paddleocr_spark.plans.job import run_extract_job
+
+    with pytest.raises(ValueError, match="warehouse"):
+        run_extract_job(
+            spark,
+            os.path.join(smoke_dir, "pages.parquet"),
+            str(tmp_path / "o"),
+            since_snapshot="abc",
+        )
