@@ -493,6 +493,67 @@ def read_incremental(
     return _scan_merge_on_read(spark, table_dir, sorted(files), file_seq, delete_files)
 
 
+def read_changes(
+    spark: SparkSession,
+    table_dir: str,
+    from_snapshot: str,
+    to_snapshot: str | None = None,
+    n_buckets: int = N_BUCKETS,
+) -> DataFrame:
+    """Changelog (CDC) scan between two snapshots: every row the window
+    INSERTED (live at ``to``) plus every row it DELETED, tagged with a
+    ``_change_type`` column ('insert' | 'delete'). This is what a
+    downstream consumer needs to maintain a derived store — a search
+    index or a dedup signature table retracts taken-down documents and
+    adds the recrawl's, instead of rebuilding from a full scan.
+
+    Inserts are ``read_incremental`` (window-added files, merge-on-read).
+    Deleted ROWS need the pre-delete data: the window's delete keys are
+    looked up in the ``from`` snapshot — but only in the bucket
+    partitions those keys hash to, pushed as a plan-time partition
+    filter, so a K-url takedown reads K/N_BUCKETS of the table's
+    buckets, not the table. A key deleted in the window that was never
+    live at ``from`` (inserted and deleted inside the window) does not
+    produce a delete row — consumers never saw it."""
+    window = snapshots_between(table_dir, from_snapshot, to_snapshot)
+    ins = read_incremental(
+        spark, table_dir, from_snapshot, to_snapshot
+    ).withColumn("_change_type", F.lit("insert"))
+
+    from_m = _load_manifest(table_dir, from_snapshot)
+    from_seq = from_m["seq"]
+    ddir = _delete_dir(table_dir)
+    # only deletes COMMITTED in the window retract rows a `from` reader
+    # could have seen; the from-manifest's own deletes already hid theirs
+    paths, keys = [], set()
+    for m in window:
+        for d in m.get("delete_files", []):
+            if d["seq"] > from_seq and d["path"] not in paths:
+                paths.append(d["path"])
+                keys.add(d.get("key", "url"))
+    if not paths:
+        return ins
+    if keys != {"url"}:
+        raise ValueError(f"read_changes supports url-keyed deletes, got {keys}")
+    del_keys = [
+        r["url"]
+        for r in spark.read.parquet(*[os.path.join(ddir, p) for p in paths])
+        .select("url").distinct().collect()
+    ]
+    base = read_table(spark, table_dir, from_snapshot)
+    buckets = {
+        r["b"]
+        for r in spark.createDataFrame([(u,) for u in del_keys], "url string")
+        .select(bucket_col("url", n_buckets).alias("b")).collect()
+    }
+    dels = (
+        base.filter(F.col("bucket").isin(sorted(buckets)))
+        .filter(F.col("url").isin(del_keys))
+        .withColumn("_change_type", F.lit("delete"))
+    )
+    return ins.unionByName(dels)
+
+
 def compact(
     spark: SparkSession,
     table_dir: str,

@@ -521,3 +521,65 @@ def test_extract_job_delta_requires_warehouse(spark, smoke_dir, tmp_path):
             str(tmp_path / "o"),
             since_snapshot="abc",
         )
+
+
+def test_read_changes_emits_inserts_and_deletes(spark, smoke_dir, tmp_path):
+    """CDC scan: window appends arrive as _change_type='insert', window
+    takedowns as 'delete' rows carrying the pre-delete data; an upsert
+    shows up as delete(old)+insert(new); a row inserted AND deleted
+    inside the window produces nothing (consumers never saw it); and
+    the delete-row lookup prunes to the victims' bucket partitions."""
+    tbl = str(tmp_path / "cdc_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    base = pages.limit(30).cache()
+    s1 = W.append(base, tbl)
+    base_urls = sorted(r["url"] for r in base.select("url").collect())
+
+    rest = pages.filter(~F.col("url").isin(base_urls)).cache()
+    new = rest.limit(6).cache()
+    W.append(new, tbl)
+    ephemeral = [r["url"] for r in new.select("url").limit(1).collect()]
+    victim = base_urls[0]
+    W.delete_where(spark, tbl, [victim] + ephemeral)
+    # upsert one base url: CDC must show delete(old) + insert(new)
+    up = (
+        base.filter(F.col("url") == base_urls[1])
+        .withColumn("lang", F.lit("xx"))
+    )
+    W.upsert(up, tbl)
+
+    ch = W.read_changes(spark, tbl, s1).cache()
+    ins = {r["url"] for r in ch.filter(F.col("_change_type") == "insert").select("url").collect()}
+    dels = {r["url"] for r in ch.filter(F.col("_change_type") == "delete").select("url").collect()}
+
+    new_urls = {r["url"] for r in new.select("url").collect()}
+    assert ins == (new_urls - set(ephemeral)) | {base_urls[1]}
+    assert dels == {victim, base_urls[1]}
+    assert ephemeral[0] not in dels  # never visible at `from`
+    # delete rows carry the PRE-delete data (lang from base, not 'xx')
+    old_lang = {r["lang"] for r in ch.filter(
+        (F.col("_change_type") == "delete") & (F.col("url") == base_urls[1])
+    ).collect()}
+    assert old_lang != {"xx"}
+    new_lang = {r["lang"] for r in ch.filter(
+        (F.col("_change_type") == "insert") & (F.col("url") == base_urls[1])
+    ).collect()}
+    assert new_lang == {"xx"}
+    # the delete-row lookup is bucket-pruned at plan time, not a table scan
+    plan = W.read_changes(spark, tbl, s1)._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters")
+    assert any("bucket" in s[:200] and "IN" in s[:200] for s in seg[1:]), plan[:2000]
+    ch.unpersist(); base.unpersist(); rest.unpersist(); new.unpersist()
+
+
+def test_read_changes_no_deletes_is_pure_insert_stream(spark, smoke_dir, tmp_path):
+    tbl = str(tmp_path / "cdc2_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    base = pages.limit(10).cache()
+    s1 = W.append(base, tbl)
+    base_urls = [r["url"] for r in base.select("url").collect()]
+    W.append(pages.filter(~F.col("url").isin(base_urls)).limit(4), tbl)
+    ch = W.read_changes(spark, tbl, s1)
+    assert ch.filter(F.col("_change_type") != "insert").count() == 0
+    assert ch.count() == 4
+    base.unpersist()
