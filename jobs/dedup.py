@@ -176,6 +176,15 @@ def main(argv=None) -> int:
              "(admit only new docs that duplicate neither the corpus nor an "
              "admitted newcomer); writes survivors to <out>/corpus",
     )
+    ap.add_argument(
+        "--store", default=None,
+        help="materialized signature store dir (STEADY-STATE incremental "
+             "dedup): corpus side is the store's (hash, band) rows — corpus "
+             "bodies are never re-read, the batch side is broadcast. First "
+             "run seeds the store from the input; later runs admit "
+             "non-duplicates, append their signatures, and write survivors "
+             "to <out>/corpus",
+    )
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -185,6 +194,35 @@ def main(argv=None) -> int:
 
     docs = spark.read.parquet(args.input)
     n_input = docs.count()
+
+    if args.store:
+        from paddleocr_spark.functions import dedup_store as S
+
+        if not S.store_exists(args.store):
+            # day 0: full self-dedup, then seed the store
+            _, _, corpus = build_dedup(
+                spark, docs, args.algorithm, checkpoint_dir=args.checkpoint_dir
+            )
+            corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
+            corpus = spark.read.parquet(f"{args.output}/corpus")
+            n_out = S.append_to_store(corpus, args.store)
+            mode = "store-seed"
+        else:
+            survivors = S.incremental_dedup_against_store(
+                spark, args.store, docs, checkpoint_dir=args.checkpoint_dir
+            )
+            survivors.write.mode("overwrite").parquet(f"{args.output}/corpus")
+            admitted = spark.read.parquet(f"{args.output}/corpus")
+            n_out = S.append_to_store(admitted, args.store)
+            mode = "store-incremental"
+        print(json.dumps({
+            "mode": mode,
+            "n_input": n_input,
+            "n_admitted": n_out,
+            "wall_sec": round(time.time() - t0, 3),
+        }))
+        spark.stop()
+        return 0
 
     if args.base:
         base = spark.read.parquet(args.base)
