@@ -241,6 +241,51 @@ def main():
             formatted(Warc.with_sniffed_lang(Warc.read_warc(spark, wdir))),
         ))
 
+    # incremental snapshot read: the delta scan touches only the
+    # window's appended files
+    from paddleocr_spark.sources import warehouse as W
+
+    with tempfile.TemporaryDirectory() as tdir:
+        tbl = os.path.join(tdir, "tbl")
+        base = pages.limit(200)
+        s1 = W.append(base, tbl)
+        burls = [r["url"] for r in base.select("url").collect()]
+        W.append(pages.filter(~F.col("url").isin(burls)).limit(40), tbl)
+        inc = W.read_incremental(spark, tbl, s1)
+        n_files_delta = inc._jdf.queryExecution().executedPlan().toString().count(".parquet")
+        sections.append((
+            "Incremental snapshot read (read_incremental / extract --since-snapshot)",
+            "The delta scan's file list is exactly the window's appended "
+            "files (driver-side manifest diff — no Spark job to plan it); "
+            "the base snapshot's files never appear. IO is proportional to "
+            "what changed: a recrawl day costs the crawl, not the 100 TB "
+            "table. Deletes committed in the window would add the same "
+            "grouped anti-join as the snapshot scan (merge-on-read).",
+            formatted(inc),
+        ))
+
+    # signature-store probe: the corpus store streams, the batch broadcasts
+    from paddleocr_spark.functions import dedup_store as DS
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select("doc_id", "text")
+    with tempfile.TemporaryDirectory() as sdir:
+        store = os.path.join(sdir, "store")
+        DS.append_to_store(docs.filter(F.col("doc_id") % 2 == 0), store)
+        out_df = DS.incremental_dedup_against_store(
+            spark, store, docs.filter(F.col("doc_id") % 2 == 1)
+        )
+        sections.append((
+            "Steady-state dedup against the signature store (jobs/dedup.py --store)",
+            "The corpus side is the store's (hash, band) rows — two "
+            "column-pruned streaming scans (exact probe + band probe), both "
+            "probed by BROADCAST batch-derived frames (every "
+            "BroadcastExchange below builds from the batch, never the "
+            "store; asserted in test_dedup_store). Corpus document bodies "
+            "are structurally unreadable here: the store has no text "
+            "column. Per-day cost is O(batch + collisions).",
+            formatted(out_df),
+        ))
+
     out = ["# PLANS — captured physical plans (regenerate: `python jobs/capture_plans.py`)\n"]
     for title, note, plan in sections:
         plan = re.sub(r"file:[^\s,\]]*", "file:<elided>", plan)
