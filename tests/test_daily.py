@@ -1,0 +1,97 @@
+"""Daily crawl operations (jobs/daily.py): two days through the full
+loop — ingest (recrawl upsert) -> CDC-synced extraction -> signature-
+store admission — with every store consistent and per-day work bounded
+by the day's delta."""
+
+import os
+import shutil
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "jobs"))
+
+from paddleocr_spark.sources import warehouse as W  # noqa: E402
+
+
+def _land(df, src_dir, name, tmp_path):
+    stage = tmp_path / f"stage_{name}"
+    df.coalesce(1).write.parquet(str(stage))
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    shutil.copy(stage / part, os.path.join(src_dir, name))
+
+
+def test_two_daily_runs(spark, smoke_dir, tmp_path):
+    from daily import run_daily
+
+    landing = str(tmp_path / "landing")
+    pages_tbl = str(tmp_path / "pages_tbl")
+    ext_tbl = str(tmp_path / "ext_tbl")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+
+    pages = spark.read.parquet(os.path.join(smoke_dir, "pages.parquet"))
+    day1 = pages.limit(60).cache()
+    _land(day1, landing, "crawl_day1.parquet", tmp_path)
+
+    s1 = run_daily(spark, landing, pages_tbl, ext_tbl, store, out, ckpt)
+    assert s1["extracted"]["inserted"] == 60
+    n_day1_nonempty = (
+        W.read_table(spark, ext_tbl)
+        .filter(F.length("extracted_text") > 0).count()
+    )
+    assert 0 < s1["admitted"] <= n_day1_nonempty  # in-batch dupes rejected
+
+    # rerun with no new landing files: every stage is a no-op
+    s1b = run_daily(spark, landing, pages_tbl, ext_tbl, store, out, ckpt)
+    assert s1b["admitted"] == 0
+    assert s1b["pages_snapshot"] == s1["pages_snapshot"]
+
+    # day 2: 15 new pages + 5 recrawls of day-1 urls (changed content);
+    # one new page duplicates a day-1 page's TEXT under a different url
+    day1_urls = sorted(r["url"] for r in day1.select("url").collect())
+    fresh = pages.filter(~F.col("url").isin(day1_urls)).limit(15).cache()
+    dup_html = day1.filter(F.col("url") == day1_urls[0]).select("html").collect()[0]["html"]
+    dup_page = (
+        fresh.limit(1)
+        .withColumn("url", F.lit("https://mirror.example/copy"))
+        .withColumn("html", F.lit(dup_html))
+    )
+    recrawl = (
+        day1.filter(F.col("url").isin(day1_urls[:5]))
+        .withColumn("warc_ts", F.col("warc_ts") + F.expr("interval 1 day"))
+        .withColumn("html", F.to_binary(F.lit(
+            "<html><body><p>fresh recrawl content long enough to keep as a "
+            "block of text here.</p></body></html>"), F.lit("utf-8")))
+    )
+    day2 = fresh.unionByName(recrawl).unionByName(dup_page)
+    _land(day2, landing, "crawl_day2.parquet", tmp_path)
+
+    s2 = run_daily(spark, landing, pages_tbl, ext_tbl, store, out, ckpt)
+    # sync extracted exactly the day-2 window: 15 fresh + 5 recrawls + 1 dup
+    assert s2["extracted"]["inserted"] == 21
+
+    # the pages table holds ONE live version per url
+    live = W.read_table(spark, pages_tbl)
+    assert live.count() == live.select("url").distinct().count() == 76
+
+    # extracted table matches a from-scratch extraction of the live pages
+    from paddleocr_spark.operators.extract import extract_fused
+    want = {
+        (r["url"], r["extracted_text"])
+        for r in extract_fused(live).select("url", "extracted_text").collect()
+    }
+    got = {
+        (r["url"], r["extracted_text"])
+        for r in W.read_table(spark, ext_tbl).select("url", "extracted_text").collect()
+    }
+    assert got == want
+
+    # the mirror copy was rejected by the store (same text, new url);
+    # admitted outputs exist on disk for both days
+    adm2 = spark.read.parquet(s2["admitted_path"])
+    assert adm2.filter(F.col("url") == "https://mirror.example/copy").count() == 0
+    assert s2["admitted"] < s2["extracted"]["inserted"]
+    day1.unpersist(); fresh.unpersist()
