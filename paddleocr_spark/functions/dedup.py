@@ -38,14 +38,73 @@ def content_hash(text: Column) -> Column:
     return F.md5(text)
 
 
+def _conf_bytes(conf, key: str, default: int) -> int:
+    v = conf.get(key, None)
+    if v is None:
+        return default
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    mult = 1
+    for suf, m in (("k", 1024), ("m", 1024**2), ("g", 1024**3)):
+        if s.endswith(suf):
+            s, mult = s[:-1], m
+            break
+    try:
+        return int(float(s)) * mult
+    except ValueError:
+        return default
+
+
+def _estimated_scan_partitions(df: DataFrame) -> int | None:
+    """Driver-side estimate of the file scan's partition count, from
+    ``inputFiles()`` (a metadata call — no job, no RDD conversion) plus
+    Spark's own FilePartition split arithmetic (maxPartitionBytes /
+    openCostInBytes / bytesPerCore). None when the plan has no file
+    leaves we can stat (a derived frame — already shuffled upstream)."""
+    import math
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    sizes = []
+    for f in files:
+        p = urlparse(f).path if "://" in f or f.startswith("file:") else f
+        try:
+            sizes.append(os.path.getsize(p))
+        except OSError:
+            return None  # non-local fs: can't stat cheaply, don't guess
+    conf = df.sparkSession.conf
+    max_pb = _conf_bytes(conf, "spark.sql.files.maxPartitionBytes", 128 * 1024**2)
+    open_cost = _conf_bytes(conf, "spark.sql.files.openCostInBytes", 4 * 1024**2)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    total = sum(sizes) + open_cost * len(sizes)
+    bytes_per_core = total / max(1, par)
+    max_split = min(max_pb, max(open_cost, bytes_per_core))
+    return max(1, int(math.ceil(total / max_split)))
+
+
 def _spread(df: DataFrame, *cols: str) -> DataFrame:
     """Guard against a narrow scan serializing a heavy explode stage:
-    when the input has fewer partitions than cores (the small-file /
-    local-bench case), repartition on the id so the per-word work
+    when the input scan has fewer partitions than cores (the small-file
+    / local-bench case), repartition on the id so the per-word work
     parallelizes. At corpus scale the scan already has >= cores
-    partitions and this is a no-op — no extra shuffle."""
+    partitions and this is a no-op — no extra shuffle.
+
+    The width probe is driver-side plan arithmetic (inputFiles + the
+    FilePartition split formula), NOT ``df.rdd.getNumPartitions()`` —
+    the RDD conversion forced a full analysis/translation of the plan
+    on every call, pure plan-build cost on the hot query path. Derived
+    frames (no file leaves) are left alone: anything past a shuffle
+    already has spark.sql.shuffle.partitions >= cores."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    est = _estimated_scan_partitions(df)
+    if est is not None and est < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism, *cols)
     return df
 
