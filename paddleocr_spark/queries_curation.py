@@ -342,18 +342,25 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Skew caveat for the window form: a boilerplate gram occurring
     billions of times lands in one window partition. When the corpus
-    has such heads, switch to the groupBy(h)+broadcast-join variant —
-    map-side partial agg collapses hot keys before the exchange and
-    the thresholded frequent set (the Zipf head) broadcasts, so the
-    probe stream never shuffles on h at all (cost: the shingle
-    transform is evaluated once per branch, CPU for shuffle).
+    has such heads, run with ``frequent_grams_via="broadcast"`` — the
+    groupBy(h) partial agg collapses hot keys map-side before the
+    exchange and the thresholded frequent set (the Zipf head, bounded
+    by the number of DISTINCT frequent grams, not their occurrence
+    count) broadcasts, so the probe stream never shuffles on h at all
+    (cost: the shingle transform is evaluated once per branch, CPU for
+    shuffle). Both modes are value-identical (tests/test_curation.py)
+    and the broadcast plan is asserted window-free over h.
     """
     from paddleocr_spark.functions.dedup import _spread
 
     return dup_ngram_spans_over(_spread(_t(spark, sf_dir, "documents"), "doc_id"))
 
 
-def dup_ngram_spans_over(docs: DataFrame) -> DataFrame:
+def dup_ngram_spans_over(
+    docs: DataFrame, frequent_grams_via: str = "window"
+) -> DataFrame:
+    if frequent_grams_via not in ("window", "broadcast"):
+        raise ValueError(f"frequent_grams_via: {frequent_grams_via!r}")
     d = docs.filter(F.size(F.split("text", " ")) >= 5)
     g = with_shingles(d.select("doc_id", "text"), "text", 5, "__g")
     grams = g.select(
@@ -361,12 +368,28 @@ def dup_ngram_spans_over(docs: DataFrame) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.posexplode(F.transform("__g", lambda s: F.xxhash64(s))).alias("pos", "h"),
     )
-    cnt = F.count("*").over(Window.partitionBy("h"))
-    hits = (
-        grams.withColumn("cnt", cnt)
-        .filter(F.col("cnt") >= 3)
-        .select("doc_id", "n_tokens", "pos")
-    )
+    if frequent_grams_via == "window":
+        # one shuffle of the full gram stream; hot grams serialize
+        cnt = F.count("*").over(Window.partitionBy("h"))
+        hits = (
+            grams.withColumn("cnt", cnt)
+            .filter(F.col("cnt") >= 3)
+            .select("doc_id", "n_tokens", "pos")
+        )
+    else:
+        # Zipf-head-safe: partial-aggregated count per gram hash (a
+        # billion-occurrence gram reduces map-side to one row per
+        # partition), threshold, broadcast the frequent SET — the probe
+        # stream joins map-side and never exchanges on h
+        freq = (
+            grams.groupBy("h")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= 3)
+            .select("h")
+        )
+        hits = grams.join(F.broadcast(freq), "h").select(
+            "doc_id", "n_tokens", "pos"
+        )
     prev_end = F.max(F.col("pos") + 5).over(
         Window.partitionBy("doc_id")
         .orderBy("pos")

@@ -171,6 +171,27 @@ def test_dup_ngram_spans_merges_overlapping_intervals(spark):
     assert {(r["n_tokens"], r["dup_tokens"]) for r in out} == {(10, 7)}
 
 
+def test_dup_ngram_spans_broadcast_mode_matches_window_mode(spark):
+    """The Zipf-head-safe broadcast variant is value-identical to the
+    window-count form on the real table, and its plan has NO window
+    over the gram hash (the skew-killer) — the frequent set arrives
+    via a broadcast join instead."""
+    from paddleocr_spark.queries_curation import dup_ngram_spans_over
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = dup_ngram_spans_over(docs, frequent_grams_via="window")
+    b = dup_ngram_spans_over(docs, frequent_grams_via="broadcast")
+    assert w.exceptAll(b).count() == 0 and b.exceptAll(w).count() == 0
+    plan = _plan(b)
+    assert "BroadcastHashJoin" in plan, plan
+    # the only Window left is the per-doc interval merge (partition by
+    # doc_id); no window partitions on the gram hash h
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^,]+),", plan):
+        assert "doc_id" in m.group(1), plan
+
+
 def test_block_dedup_keeps_each_block_exactly_once(spark):
     """Corpus-wide, sum(n_kept) equals the number of DISTINCT blocks;
     a doc that is a copy of an earlier one keeps zero blocks."""
