@@ -67,11 +67,66 @@ N_BUCKETS = 16
 STATS_COLS = ("lang", "warc_ts")
 
 
+def _canon_stat(v):
+    """Canonical JSON-safe encoding for a footer min/max value, one
+    encoding per column TYPE so stored stats and query bounds always
+    compare in the same domain: timestamps/dates -> epoch micros (int,
+    UTC), numerics -> as-is, strings/bytes -> str. ``str()``-encoding
+    everything (the old scheme) made timestamp skipping depend on the
+    caller's string format — 'YYYY-MM-DDTHH:MM:SS' vs the stored
+    'YYYY-MM-DD HH:MM:SS+00:00' mis-compared lexicographically and
+    silently skipped live files."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, datetime.date):
+        dt = datetime.datetime(
+            v.year, v.month, v.day, tzinfo=datetime.timezone.utc
+        )
+        return int(dt.timestamp() * 1_000_000)
+    if isinstance(v, bool) or isinstance(v, (int, float)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    return str(v)
+
+
+def _canon_bound(b, stored_sample):
+    """Bring a query bound into the stored stat's comparison domain.
+    Returns None when it can't (then the file is KEPT — skipping is an
+    optimization, never a correctness decision)."""
+    import datetime
+
+    if isinstance(stored_sample, (int, float)) and not isinstance(
+        stored_sample, bool
+    ):
+        if isinstance(b, str):
+            try:
+                dt = datetime.datetime.fromisoformat(b.replace("T", " "))
+            except ValueError:
+                return None
+            return _canon_stat(dt)
+        if isinstance(b, (datetime.datetime, datetime.date)):
+            return _canon_stat(b)
+        if isinstance(b, (int, float)) and not isinstance(b, bool):
+            return b
+        return None
+    if isinstance(stored_sample, str):
+        return b if isinstance(b, str) else None
+    return None
+
+
 def _file_stats(data_dir: str, relpaths: list[str], cols=STATS_COLS) -> dict:
     """Per-file min/max for ``cols``, read from parquet footers
     (row-group statistics; O(files) metadata reads, zero data IO).
-    Values are stored JSON-safe via ``str()`` — ISO timestamps and
-    plain strings both compare correctly lexicographically."""
+    Values are stored via ``_canon_stat`` — one canonical encoding per
+    column type, so query bounds compare in the same domain."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict] = {}
@@ -91,8 +146,9 @@ def _file_stats(data_dir: str, relpaths: list[str], cols=STATS_COLS) -> dict:
                     break
                 lo = s.min if lo is None else min(lo, s.min)
                 hi = s.max if hi is None else max(hi, s.max)
-            if lo is not None:
-                stats[col] = [str(lo), str(hi)]
+            clo, chi = _canon_stat(lo), _canon_stat(hi)
+            if lo is not None and clo is not None and chi is not None:
+                stats[col] = [clo, chi]
         if stats:
             out[rel] = stats
     return out
@@ -159,6 +215,49 @@ def current_snapshot_id(table_dir: str) -> str | None:
     return snaps[-1]["snapshot_id"] if snaps else None
 
 
+def _write_data(
+    df: DataFrame,
+    table_dir: str,
+    url_col: str,
+    ts_col: str,
+    n_buckets: int,
+) -> list[str]:
+    """Write ``df`` under the (day, bucket) layout WITHOUT committing;
+    returns the relpaths of the files written. Until a manifest names
+    them they are invisible to every reader (a crash here leaves
+    orphans that ``expire_snapshots`` garbage-collects — the table
+    state is unchanged).
+
+    Timestamps are written as int64 TIMESTAMP_MICROS — the encoding
+    the Iceberg spec mandates — NOT Spark's legacy INT96 default:
+    INT96 columns carry no parquet min/max statistics, which would
+    silently disable manifest-stats file skipping on ``warc_ts``."""
+    df.sparkSession.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    before = set(_list_data_files(table_dir)) if os.path.exists(_data_dir(table_dir)) else set()
+    (
+        df.withColumn("day", day_col(ts_col))
+        .withColumn("bucket", bucket_col(url_col, n_buckets))
+        .write.mode("append")
+        .partitionBy("day", "bucket")
+        .parquet(_data_dir(table_dir))
+    )
+    after = _list_data_files(table_dir)
+    return sorted(set(after) - before)
+
+
+def _commit(table_dir: str, entry: dict, log_extra: tuple = ()) -> None:
+    """Write the manifest and advance the log — the single metadata
+    operation that makes a snapshot visible."""
+    os.makedirs(_snap_dir(table_dir), exist_ok=True)
+    with open(os.path.join(_snap_dir(table_dir), f"{entry['snapshot_id']}.json"), "w") as fh:
+        json.dump(entry, fh)
+    keys = ("snapshot_id", "parent", "n_files", "committed_ms") + log_extra
+    with open(os.path.join(_snap_dir(table_dir), "log.jsonl"), "a") as fh:
+        fh.write(json.dumps({k: entry[k] for k in keys if k in entry}) + "\n")
+
+
 def append(
     df: DataFrame,
     table_dir: str,
@@ -171,16 +270,7 @@ def append(
     a new snapshot; returns its id. The snapshot id content-addresses
     (parent id + files added), so identical re-ingests are detectable
     and lineage rows referencing it pin the exact input state."""
-    before = set(_list_data_files(table_dir)) if os.path.exists(_data_dir(table_dir)) else set()
-    (
-        df.withColumn("day", day_col(ts_col))
-        .withColumn("bucket", bucket_col(url_col, n_buckets))
-        .write.mode("append")
-        .partitionBy("day", "bucket")
-        .parquet(_data_dir(table_dir))
-    )
-    after = _list_data_files(table_dir)
-    added = sorted(set(after) - before)
+    added = _write_data(df, table_dir, url_col, ts_col, n_buckets)
     parent = current_snapshot_id(table_dir)
     # the new snapshot = parent's live file set + the files just added
     # (NOT the raw disk listing: after a replace/compact commit, files
@@ -202,7 +292,6 @@ def append(
     for f in added:
         h.update(f.encode())
     snap_id = h.hexdigest()[:16]
-    os.makedirs(_snap_dir(table_dir), exist_ok=True)
     entry = dict(
         snapshot_id=snap_id,
         parent=parent,
@@ -216,10 +305,7 @@ def append(
         batch_id=batch_id,
         committed_ms=int(time.time() * 1000),
     )
-    with open(os.path.join(_snap_dir(table_dir), f"{snap_id}.json"), "w") as fh:
-        json.dump(entry, fh)
-    with open(os.path.join(_snap_dir(table_dir), "log.jsonl"), "a") as fh:
-        fh.write(json.dumps({k: entry[k] for k in ("snapshot_id", "parent", "n_files", "batch_id", "committed_ms")}) + "\n")
+    _commit(table_dir, entry, log_extra=("batch_id",))
     return snap_id
 
 
@@ -274,10 +360,7 @@ def delete_where(
         delete_files=pm["delete_files"] + [dict(path=rel, seq=seq, key=url_col)],
         committed_ms=int(time.time() * 1000),
     )
-    with open(os.path.join(_snap_dir(table_dir), f"{snap_id}.json"), "w") as fh:
-        json.dump(entry, fh)
-    with open(os.path.join(_snap_dir(table_dir), "log.jsonl"), "a") as fh:
-        fh.write(json.dumps({k: entry[k] for k in ("snapshot_id", "parent", "n_files", "committed_ms")} | {"operation": "delete"}) + "\n")
+    _commit(table_dir, entry, log_extra=("operation",))
     return snap_id
 
 
@@ -292,8 +375,17 @@ def upsert(
     """Iceberg ``MERGE INTO`` analog for recrawls: replace-by-key.
     Rows of ``df`` whose ``url_col`` already exists in the table shadow
     the old version (an equality delete covers the prior files); new
-    urls are plain inserts. Two commits — a DELETE then an APPEND —
-    the id of the append (the new current snapshot) is returned.
+    urls are plain inserts.
+
+    ATOMIC like the real MERGE INTO: the new data files and the
+    equality-delete file are written first (invisible — no manifest
+    names them), then ONE snapshot commits both. There is no
+    intermediate state where the recrawled urls read as deleted; a
+    crash before the commit leaves the table at the parent snapshot
+    (the orphaned files are GC'd by ``expire_snapshots``). Both the
+    delete entry and the new files carry the same sequence number, so
+    the delete applies to every PRIOR file (file_seq < seq) and never
+    to the batch it rode in with.
 
     Cost is O(new batch), never O(table): the delete file is just the
     incoming batch's key set, and no existing data file is rewritten —
@@ -301,13 +393,49 @@ def upsert(
     corpus. Old snapshots still read the pre-merge state (time travel
     across the merge boundary works).
     """
-    spark = df.sparkSession
-    if current_snapshot_id(table_dir) is not None:
-        delete_where(spark, table_dir, df.select(url_col), url_col=url_col)
-    return append(
-        df, table_dir, url_col=url_col, ts_col=ts_col,
-        n_buckets=n_buckets, batch_id=batch_id,
+    parent = current_snapshot_id(table_dir)
+    if parent is None:
+        return append(
+            df, table_dir, url_col=url_col, ts_col=ts_col,
+            n_buckets=n_buckets, batch_id=batch_id,
+        )
+    added = _write_data(df, table_dir, url_col, ts_col, n_buckets)
+    pm = _load_manifest(table_dir, parent)
+    seq = pm["seq"] + 1
+    h = hashlib.md5()
+    h.update(parent.encode())
+    h.update(b"merge")
+    for f in added:
+        h.update(f.encode())
+    snap_id = h.hexdigest()[:16]
+    rel = os.path.join(snap_id, "equality-deletes.parquet")
+    (
+        df.select(F.col(url_col).alias(url_col)).distinct()
+        .coalesce(1).write.mode("overwrite")
+        .parquet(os.path.join(_delete_dir(table_dir), rel))
     )
+    files = sorted(set(pm["files"]) | set(added))
+    file_seq = dict(pm["file_seq"])
+    for f in added:
+        file_seq[f] = seq
+    file_stats = dict(pm["file_stats"])
+    file_stats.update(_file_stats(_data_dir(table_dir), added))
+    entry = dict(
+        snapshot_id=snap_id,
+        parent=parent,
+        seq=seq,
+        operation="merge",
+        n_files=len(files),
+        added=added,
+        files=files,
+        file_seq=file_seq,
+        file_stats=file_stats,
+        delete_files=pm["delete_files"] + [dict(path=rel, seq=seq, key=url_col)],
+        batch_id=batch_id,
+        committed_ms=int(time.time() * 1000),
+    )
+    _commit(table_dir, entry, log_extra=("operation", "batch_id"))
+    return snap_id
 
 
 def read_table(
@@ -341,12 +469,20 @@ def read_table(
     row_filter = None
     if prune_stats is not None:
         col, lo, hi = prune_stats
-        slo, shi = str(lo), str(hi)
         stats = m["file_stats"]
 
         def _keep(f: str) -> bool:
             rng = stats.get(f, {}).get(col)
-            return rng is None or (rng[0] <= shi and rng[1] >= slo)
+            if rng is None:
+                return True
+            # compare in the stored stat's domain (epoch micros for
+            # timestamps, raw for numerics/strings); an uncomparable
+            # bound keeps the file — the typed row filter below is the
+            # correctness layer, skipping is only an optimization
+            clo, chi = _canon_bound(lo, rng[0]), _canon_bound(hi, rng[1])
+            if clo is None or chi is None:
+                return True
+            return rng[0] <= chi and rng[1] >= clo
 
         files = [f for f in files if _keep(f)]
         row_filter = F.col(col).between(lo, hi)
@@ -391,11 +527,19 @@ def _scan_merge_on_read(
     for i, fs in sorted(groups.items()):
         part = _scan(fs)
         if i < len(deletes):
-            key = deletes[i].get("key", "url")
-            keys = spark.read.parquet(
-                *[os.path.join(ddir, d["path"]) for d in deletes[i:]]
-            ).select(key).distinct()
-            part = part.join(keys, on=key, how="left_anti")
+            # the applicable deletes may be keyed on different columns
+            # (a url takedown and, say, a content-hash purge): group by
+            # key column and anti-join once per key — applying one
+            # key's files under another key's column would anti-join on
+            # the wrong values
+            by_key: dict[str, list[str]] = {}
+            for d in deletes[i:]:
+                by_key.setdefault(d.get("key", "url"), []).append(d["path"])
+            for key, paths in sorted(by_key.items()):
+                keys = spark.read.parquet(
+                    *[os.path.join(ddir, p) for p in paths]
+                ).select(key).distinct()
+                part = part.join(keys, on=key, how="left_anti")
         out = part if out is None else out.unionByName(part)
     return out.filter(row_filter) if row_filter is not None else out
 
@@ -509,11 +653,15 @@ def read_changes(
 
     Inserts are ``read_incremental`` (window-added files, merge-on-read).
     Deleted ROWS need the pre-delete data: the window's delete keys are
-    looked up in the ``from`` snapshot — but only in the bucket
-    partitions those keys hash to, pushed as a plan-time partition
-    filter, so a K-url takedown reads K/N_BUCKETS of the table's
-    buckets, not the table. A key deleted in the window that was never
-    live at ``from`` (inserted and deleted inside the window) does not
+    SEMI-JOINED against the ``from`` snapshot — the keys stay a
+    DataFrame end to end (a bulk delete of millions of urls never
+    touches driver memory; AQE broadcasts the key side when it is
+    takedown-sized and falls back to a shuffle join when it is not).
+    The only thing collected is the keys' DISTINCT BUCKET set — bounded
+    by n_buckets, never by key count — pushed as a plan-time partition
+    filter so a K-url takedown reads only the buckets the victims hash
+    to, not the table. A key deleted in the window that was never live
+    at ``from`` (inserted and deleted inside the window) does not
     produce a delete row — consumers never saw it."""
     window = snapshots_between(table_dir, from_snapshot, to_snapshot)
     ins = read_incremental(
@@ -535,20 +683,20 @@ def read_changes(
         return ins
     if keys != {"url"}:
         raise ValueError(f"read_changes supports url-keyed deletes, got {keys}")
-    del_keys = [
-        r["url"]
-        for r in spark.read.parquet(*[os.path.join(ddir, p) for p in paths])
-        .select("url").distinct().collect()
-    ]
-    base = read_table(spark, table_dir, from_snapshot)
-    buckets = {
+    del_keys = (
+        spark.read.parquet(*[os.path.join(ddir, p) for p in paths])
+        .select("url").distinct()
+    )
+    # O(n_buckets) driver rows, regardless of how many keys were deleted
+    buckets = sorted(
         r["b"]
-        for r in spark.createDataFrame([(u,) for u in del_keys], "url string")
-        .select(bucket_col("url", n_buckets).alias("b")).collect()
-    }
+        for r in del_keys.select(bucket_col("url", n_buckets).alias("b"))
+        .distinct().collect()
+    )
+    base = read_table(spark, table_dir, from_snapshot)
     dels = (
-        base.filter(F.col("bucket").isin(sorted(buckets)))
-        .filter(F.col("url").isin(del_keys))
+        base.filter(F.col("bucket").isin(buckets))
+        .join(del_keys, on="url", how="left_semi")
         .withColumn("_change_type", F.lit("delete"))
     )
     return ins.unionByName(dels)
@@ -572,6 +720,9 @@ def compact(
     the classic small-files failure mode at scale: scan planning cost
     grows with file count and each file under-fills its read task.
     """
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )  # int64 micros: keeps footer stats alive (see _write_data)
     cur = read_table(spark, table_dir)  # merge-on-read: deletes applied
     before = set(_list_data_files(table_dir))
     if sort_within_partitions:

@@ -165,10 +165,9 @@ def ingest_recrawl_stream(
     old snapshots keep the full history (time travel across recrawls).
 
     Exactly-once via the same batch-id guard as the append ingests; the
-    id rides the upsert's APPEND commit, which is the one the guard
-    checks. A crash between the upsert's delete commit and its append
-    commit replays the delete on restart — a duplicate equality-delete
-    entry over the same keys and files, semantically a no-op.
+    id rides the upsert's single MERGE commit (delete + append in one
+    snapshot, so there is no partial state to crash into — a restart
+    either replays the whole batch or skips it).
 
     Within one micro-batch only the newest capture of each url is kept
     (deterministic max-warc_ts pick), because an upsert batch must

@@ -583,3 +583,101 @@ def test_read_changes_no_deletes_is_pure_insert_stream(spark, smoke_dir, tmp_pat
     assert ch.filter(F.col("_change_type") != "insert").count() == 0
     assert ch.count() == 4
     base.unpersist()
+
+
+def test_upsert_commits_one_atomic_snapshot(spark, smoke_dir, tmp_path):
+    """MERGE is ONE commit: no intermediate snapshot where the
+    recrawled urls read as deleted-but-not-reinserted. Time travel to
+    the parent sees the pre-merge rows."""
+    tbl = str(tmp_path / "atomic_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    base = pages.limit(20).cache()
+    s1 = W.append(base, tbl)
+    victim = base.select("url").limit(1).collect()[0]["url"]
+
+    up = base.filter(F.col("url") == victim).withColumn("lang", F.lit("xx"))
+    s2 = W.upsert(up, tbl)
+
+    snaps = W.snapshots(tbl)
+    assert [s["snapshot_id"] for s in snaps] == [s1, s2]  # exactly +1
+    cur = W.read_table(spark, tbl)
+    assert cur.count() == 20  # replaced, not dropped
+    assert {r["lang"] for r in cur.filter(F.col("url") == victim).collect()} == {"xx"}
+    old = W.read_table(spark, tbl, s1)
+    assert {r["lang"] for r in old.filter(F.col("url") == victim).collect()} != {"xx"}
+    base.unpersist()
+
+
+def test_read_changes_bulk_delete_keys_stay_distributed(spark, smoke_dir, tmp_path):
+    """A bulk delete (every url of the table) must not bake key
+    literals into the CDC plan: the delete keys are a semi-joined
+    DataFrame, and the only collected set is the bucket list (bounded
+    by N_BUCKETS)."""
+    tbl = str(tmp_path / "bulk_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    s1 = W.append(pages, tbl)
+    all_urls = pages.select("url")
+    W.delete_where(spark, tbl, all_urls)
+
+    ch = W.read_changes(spark, tbl, s1)
+    plan = ch._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:2000]
+    # no url literal appears in the plan text (an IN-list of keys would
+    # print them verbatim)
+    sample = pages.select("url").limit(3).collect()
+    for r in sample:
+        assert r["url"] not in plan
+    n = pages.count()
+    assert ch.filter(F.col("_change_type") == "delete").count() == n
+
+
+def test_prune_stats_warc_ts_iso_bounds(spark, smoke_dir, tmp_path):
+    """Timestamp file-skipping with ISO-'T' string bounds: stats are
+    stored as epoch micros and the bounds are parsed into the same
+    domain, so a format mismatch can no longer silently skip live
+    files. The pruned read equals the typed between() filter and reads
+    strictly fewer files after a warc_ts sort-order rewrite."""
+    tbl = str(tmp_path / "ts_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    W.append(pages, tbl)
+    cid = W.compact(spark, tbl, target_partitions_per_day_bucket=3,
+                    sort_within_partitions=["warc_ts"])
+    m = W._load_manifest(tbl, cid)
+    lo, hi = "2024-01-01T00:01:00", "2024-01-01T00:02:00"
+    expect = (
+        W.read_table(spark, tbl)
+        .filter(F.col("warc_ts").between(lo, hi))
+        .count()
+    )
+    assert expect > 0
+    pruned = W.read_table(spark, tbl, prune_stats=("warc_ts", lo, hi))
+    assert pruned.count() == expect
+    assert 0 < len(set(pruned.inputFiles())) < len(m["files"])
+    # stats are canonical (epoch micros), not str(datetime)
+    some = next(s for s in m["file_stats"].values() if "warc_ts" in s)
+    assert isinstance(some["warc_ts"][0], int)
+
+
+def test_merge_on_read_mixed_delete_keys(spark, smoke_dir, tmp_path):
+    """Delete files keyed on DIFFERENT columns in one table: each is
+    anti-joined on its own key column (a url takedown + a lang purge),
+    never applied under the wrong key."""
+    tbl = str(tmp_path / "mixed_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    W.append(pages.limit(60), tbl)
+    full = W.read_table(spark, tbl).cache()
+    n = full.count()
+    victims = [r["url"] for r in full.select("url").limit(3).collect()]
+    n_ar = full.filter(F.col("lang") == "ar").count()
+    n_victims_not_ar = full.filter(
+        F.col("url").isin(victims) & (F.col("lang") != "ar")
+    ).count()
+    assert n_ar > 0
+    W.delete_where(spark, tbl, victims)                      # keyed on url
+    W.delete_where(spark, tbl, ["ar"], url_col="lang")       # keyed on lang
+
+    cur = W.read_table(spark, tbl)
+    assert cur.count() == n - n_ar - n_victims_not_ar
+    assert cur.filter(F.col("lang") == "ar").count() == 0
+    assert cur.filter(F.col("url").isin(victims)).count() == 0
+    full.unpersist()
