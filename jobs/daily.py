@@ -19,6 +19,17 @@ table scale. Takedown note: signatures of removed documents stay in
 the store by design — a future re-submission of taken-down content is
 still rejected, which is the conservative behavior a takedown wants.
 
+Crash recovery: every stage is rerun-safe. Ingest replays via the
+streaming checkpoint + batch-id guard; sync replays via its log; and
+admission is driven by an ADMISSION MARKER (<store>/_admission.json:
+the extracted-table snapshot admitted through, plus the in-flight
+window while one is open). A rerun admits whatever window is synced
+but not yet admitted — even one left behind by a crash on a previous
+day — instead of keying off "did THIS run's sync insert anything".
+The recovery window between writing the admitted output and the final
+marker re-appends the same signature rows; duplicates in the store
+are semantically harmless (every probe is a set operation).
+
 Usage:
     spark-submit --py-files dist/paddleocr_spark.zip jobs/daily.py \
         --landing <dir> --pages <tbl> --extracted <tbl> \
@@ -36,6 +47,23 @@ import time
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
+
+
+def _admission_state(store_dir: str) -> dict:
+    p = os.path.join(store_dir, "_admission.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return {"admitted_through": None, "pending": None}
+
+
+def _write_admission_state(store_dir: str, state: dict) -> None:
+    os.makedirs(store_dir, exist_ok=True)
+    p = os.path.join(store_dir, "_admission.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(state, fh)
+    os.replace(tmp, p)
 
 
 def run_daily(
@@ -64,48 +92,77 @@ def run_daily(
     )
     stats["pages_snapshot"] = W.current_snapshot_id(pages_dir)
 
-    # 2) sync the extracted table over the pages CDC window; remember
-    #    the derived table's snapshot BEFORE, so the day's new docs can
-    #    be read back as ITS change window (no re-extraction, no rescan)
-    ext_before = (
+    # 2) sync the extracted table over the pages CDC window
+    sync = sync_extracted(spark, pages_dir, extracted_dir, mode=mode)
+    stats["extracted"] = {k: sync[k] for k in ("inserted", "deleted") if k in sync}
+
+    # 3) admit against the signature store. The admission window is
+    #    marker -> current extracted snapshot, NOT "what this run's
+    #    sync inserted": a rerun after a crash between sync and
+    #    admission (sync replays as a no-op, inserted == 0) still sees
+    #    the synced-but-unadmitted window and admits it.
+    target = (
         W.current_snapshot_id(extracted_dir)
         if os.path.isdir(os.path.join(extracted_dir, "_snapshots"))
         else None
     )
-    sync = sync_extracted(spark, pages_dir, extracted_dir, mode=mode)
-    stats["extracted"] = {k: sync[k] for k in ("inserted", "deleted") if k in sync}
-    if not sync["synced"] or sync["inserted"] == 0:
+    state = _admission_state(store_dir)
+    if target is None or state["admitted_through"] == target:
         stats["admitted"] = 0
         return stats
 
-    if ext_before is None:
-        day_docs = W.read_table(spark, extracted_dir)
+    pending = state.get("pending")
+    if (
+        pending
+        and pending.get("window") == target
+        and os.path.isdir(pending["out_path"])
+    ):
+        # crash between the admitted-output write and the final marker:
+        # the admitted set is already on disk and its signatures may
+        # already be in the store — recomputing admission would reject
+        # the batch against its own signatures. Finish the half-done
+        # window instead: re-append (duplicate signature rows are
+        # harmless — every store probe is a set operation) and seal.
+        out_path = pending["out_path"]
+        admitted = spark.read.parquet(out_path)
     else:
-        day_docs = W.read_changes(spark, extracted_dir, ext_before).filter(
-            F.col("_change_type") == "insert"
-        )
-    day_docs = day_docs.select(
-        F.xxhash64("url").alias("doc_id"),
-        F.col("url"),
-        F.col("extracted_text").alias("text"),
-    ).filter(F.length("text") > 0)
+        if state["admitted_through"] is None:
+            day_docs = W.read_table(spark, extracted_dir)
+        else:
+            day_docs = W.read_changes(
+                spark, extracted_dir, state["admitted_through"]
+            ).filter(F.col("_change_type") == "insert")
+        day_docs = day_docs.select(
+            F.xxhash64("url").alias("doc_id"),
+            F.col("url"),
+            F.col("extracted_text").alias("text"),
+        ).filter(F.length("text") > 0)
 
-    # 3) admit against the signature store
-    if not S.store_exists(store_dir):
-        # day 0: self-dedup via the in-batch path of the store probe is
-        # not defined without a store — seed with an empty store dir by
-        # admitting the batch through the same code path after writing
-        # a zero-row store (keeps one code path, same semantics)
-        empty = day_docs.filter(F.lit(False))
-        S.append_to_store(empty, store_dir)
-    admitted = S.incremental_dedup_against_store(spark, store_dir, day_docs)
-    out_path = os.path.join(
-        output_dir, "admitted", f"snap_{stats['pages_snapshot']}"
-    )
-    admitted.write.mode("overwrite").parquet(out_path)
-    admitted = spark.read.parquet(out_path)
+        if not S.store_exists(store_dir):
+            # day 0: self-dedup via the in-batch path of the store
+            # probe is not defined without a store — seed with a
+            # zero-row store so one code path covers every day
+            empty = day_docs.filter(F.lit(False))
+            S.append_to_store(empty, store_dir)
+        admitted = S.incremental_dedup_against_store(spark, store_dir, day_docs)
+        out_path = os.path.join(output_dir, "admitted", f"snap_{target}")
+        admitted.write.mode("overwrite").parquet(out_path)
+        admitted = spark.read.parquet(out_path)
+        # open the window AFTER the output exists: a crash before this
+        # marker recomputes from an unchanged store (deterministic,
+        # same result); a crash after it takes the recovery branch
+        _write_admission_state(
+            store_dir,
+            {
+                "admitted_through": state["admitted_through"],
+                "pending": {"window": target, "out_path": out_path},
+            },
+        )
     stats["admitted"] = S.append_to_store(admitted, store_dir)
     stats["admitted_path"] = out_path
+    _write_admission_state(
+        store_dir, {"admitted_through": target, "pending": None}
+    )
     return stats
 
 

@@ -95,3 +95,85 @@ def test_two_daily_runs(spark, smoke_dir, tmp_path):
     assert adm2.filter(F.col("url") == "https://mirror.example/copy").count() == 0
     assert s2["admitted"] < s2["extracted"]["inserted"]
     day1.unpersist(); fresh.unpersist()
+
+
+def test_daily_admission_crash_recovery(spark, smoke_dir, tmp_path, monkeypatch):
+    """The stage-3 crash windows ADVICE flagged: (a) a run dies after
+    sync commits but before admission starts — the rerun's sync is a
+    no-op (inserted == 0) yet the day's docs must still be admitted;
+    (b) a run dies after the signature append but before the marker —
+    the rerun must finish the window without rejecting the batch
+    against its own signatures. Neither may drop a document."""
+    import pytest
+
+    from daily import run_daily, _admission_state
+    import paddleocr_spark.functions.dedup_store as S
+
+    landing = str(tmp_path / "landing")
+    pages_tbl = str(tmp_path / "pages_tbl")
+    ext_tbl = str(tmp_path / "ext_tbl")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    args = (spark, landing, pages_tbl, ext_tbl, store, out, ckpt)
+
+    pages = spark.read.parquet(os.path.join(smoke_dir, "pages.parquet"))
+    day1 = pages.limit(40).cache()
+    _land(day1, landing, "crawl_day1.parquet", tmp_path)
+    s1 = run_daily(*args)
+    assert s1["admitted"] > 0
+    day1_urls = sorted(r["url"] for r in day1.select("url").collect())
+
+    # --- (a) crash AFTER sync, BEFORE any admission work ---
+    day2 = pages.filter(~F.col("url").isin(day1_urls)).limit(10).cache()
+    _land(day2, landing, "crawl_day2.parquet", tmp_path)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected crash before admission")
+
+    monkeypatch.setattr(S, "incremental_dedup_against_store", boom)
+    with pytest.raises(RuntimeError):
+        run_daily(*args)
+    monkeypatch.undo()
+
+    s2 = run_daily(*args)  # sync replays as a no-op...
+    assert s2["extracted"].get("inserted", 0) == 0
+    assert s2["admitted"] > 0  # ...but the synced window is admitted
+    adm2_urls = {
+        r["url"] for r in spark.read.parquet(s2["admitted_path"]).collect()
+    }
+    day2_urls = {r["url"] for r in day2.select("url").collect()}
+    assert adm2_urls <= day2_urls and adm2_urls
+
+    # --- (b) crash AFTER the signature append, BEFORE the marker ---
+    day3 = pages.filter(
+        ~F.col("url").isin(day1_urls) & ~F.col("url").isin(sorted(day2_urls))
+    ).limit(8).cache()
+    _land(day3, landing, "crawl_day3.parquet", tmp_path)
+
+    real_append = S.append_to_store
+
+    def append_then_crash(docs, store_dir, **kw):
+        real_append(docs, store_dir, **kw)
+        raise RuntimeError("injected crash after append")
+
+    monkeypatch.setattr(S, "append_to_store", append_then_crash)
+    with pytest.raises(RuntimeError):
+        run_daily(*args)
+    monkeypatch.undo()
+    assert _admission_state(store)["pending"] is not None  # window open
+
+    s3 = run_daily(*args)
+    assert s3["admitted"] > 0  # finished, not rejected-as-own-dup
+    adm3_urls = {
+        r["url"] for r in spark.read.parquet(s3["admitted_path"]).collect()
+    }
+    assert adm3_urls <= {r["url"] for r in day3.select("url").collect()}
+    assert adm3_urls
+    assert _admission_state(store)["pending"] is None
+
+    # steady state: a further run is a full no-op
+    s4 = run_daily(*args)
+    assert s4["admitted"] == 0
+    day1.unpersist(); day2.unpersist(); day3.unpersist()
