@@ -446,6 +446,36 @@ def embed_near_dup_pairs(
     return cand
 
 
+def _centroid_argmax(cents: list, vec_col: str) -> Column:
+    """Nearest-centroid assignment as ONE F.expr string: the Column-API
+    build was k x dim F.lit py4j calls (~2s of driver time per plan
+    build at k=8, dim=64, and quadratically worse at scaled k); the SQL
+    text parses JVM-side instantly. Double literals use repr()
+    (shortest round-trip form), which the SQL parser reads back to the
+    identical double. ``cents`` is [(cluster_id, vector, norm)]; the
+    input frame must carry a per-row ``__nrm`` column. Returns the
+    argmax struct — ``-best['nc']`` is the assigned cluster id."""
+
+    def _d(v: float) -> str:
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    def _struct(cid: int, vec, nrm: float) -> str:
+        lits = ", ".join(_d(x) for x in vec)
+        return (
+            "named_struct('cs', round(aggregate(zip_with("
+            f"{vec_col}, array({lits}), "
+            "(x, y) -> cast(x as double) * cast(y as double)), "
+            "cast(0.0 as double), (acc, v) -> acc + v) "
+            f"/ (__nrm * {_d(nrm)}), 6), 'nc', {-int(cid)})"
+        )
+
+    return F.expr(
+        "array_max(array("
+        + ", ".join(_struct(c, v, n) for c, v, n in cents)
+        + "))"
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     k: int = 8,
@@ -514,26 +544,9 @@ def semantic_dedup(
         return df.sparkSession.createDataFrame(
             [], f"{id_col} bigint, cluster int, kept int"
         )
-    # ONE F.expr string for the literal-centroid argmax: the Column-API
-    # build was k x dim F.lit py4j calls (~2s of driver time per plan
-    # build at k=8, dim=64); the SQL text parses JVM-side instantly.
-    # Double literals use repr() (shortest round-trip form), which the
-    # SQL parser reads back to the identical double.
-    def _d(v: float) -> str:
-        return f"CAST('{float(v)!r}' AS DOUBLE)"
-
-    def _seed_struct(s) -> str:
-        lits = ", ".join(_d(x) for x in s[vec_col])
-        return (
-            "named_struct('cs', round(aggregate(zip_with("
-            f"{vec_col}, array({lits}), "
-            "(x, y) -> cast(x as double) * cast(y as double)), "
-            "cast(0.0 as double), (acc, v) -> acc + v) "
-            f"/ (__nrm * {_d(s['__nrm'])}), 6), 'nc', {-int(s['__b'])})"
-        )
-
-    best = F.expr(
-        "array_max(array(" + ", ".join(_seed_struct(s) for s in seeds) + "))"
+    best = _centroid_argmax(
+        [(int(s["__b"]), list(s[vec_col]), float(s["__nrm"])) for s in seeds],
+        vec_col,
     )
     assigned = e.select(
         id_col, vec_col, "__nrm", (-best["nc"]).cast("bigint").alias("cluster")
@@ -624,3 +637,164 @@ def kmeans_refine(
         ]
         cents.sort()
     return cents
+
+
+def _with_band_buckets(
+    frame: DataFrame, vec_col: str, n_planes: int, n_tables: int
+) -> DataFrame:
+    """Append (__t, __b): one output row per (input row, hash table),
+    carrying that table's random-hyperplane sign bucket. All
+    n_planes*n_tables plane dots evaluate in ONE array expression per
+    row (same trick as embed_near_dup_pairs)."""
+    nb = n_planes * n_tables
+    all_dots = F.transform(
+        F.sequence(F.lit(0), F.lit(nb - 1)),
+        lambda g: F.aggregate(
+            F.transform(
+                F.col(vec_col),
+                lambda x, i: x.cast("double")
+                * (((i + 1) * (g + 3)) % 7 - 3).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    powers = F.array(*[F.lit(1 << j) for j in range(n_planes)])
+
+    def bucket_t(t: int) -> Column:
+        signs = F.zip_with(
+            F.slice(F.col("__dots"), t * n_planes + 1, n_planes),
+            powers,
+            lambda d, p: F.when(d > 0, p).otherwise(F.lit(0)),
+        )
+        return F.aggregate(signs, F.lit(0), lambda acc, x: acc + x).cast("int")
+
+    cols = frame.columns
+    return frame.withColumn("__dots", all_dots).select(
+        *cols,
+        F.posexplode(F.array(*[bucket_t(t) for t in range(n_tables)])).alias(
+            "__t", "__b"
+        ),
+    )
+
+
+def semantic_dedup_scaled(
+    df: DataFrame,
+    target_cluster_size: int = 4096,
+    k: int | None = None,
+    tau: float = 0.4,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 2,
+    return_candidates: bool = False,
+) -> DataFrame:
+    """SemDeDup at corpus scale — the production parameterization of
+    `semantic_dedup`, which that function's docstring promises: k is
+    PICKED FROM CORPUS SIZE (k = ceil(n / target_cluster_size), so the
+    expected cluster population stays constant as the corpus grows
+    instead of the n²/k pair volume exploding), seeds are Lloyd-refined
+    (`kmeans_refine`) before assignment, and the within-cluster pair
+    scan is BOUNDED by composing the banded-LSH candidate generation
+    inside clusters: pairs must collide in (cluster, table, bucket), so
+    per-cluster candidate volume is ~(n/k)²·L/2^b instead of (n/k)².
+
+    Same output shape as `semantic_dedup`: (id_col, cluster, kept).
+    The trade is the standard one — banding makes the within-cluster
+    scan approximate (recall per the S-curve in embed_near_dup_pairs)
+    where the oracle miniature is exact; at 100 TB the exact scan is
+    not runnable, which is why SemDeDup deployments band or top-k the
+    intra-cluster comparison. ``return_candidates=True`` returns every
+    bucket-colliding pair (id_a, id_b, cluster, cos_sim) BEFORE the tau
+    filter — the work the verify stage actually performs — for
+    auditing the per-cluster candidate bound (tested on 10k rows).
+
+    Driver actions: one count(), one O(k) seed collect, refine_iters
+    O(k·dim) collects. No document/vector data ever reaches the driver.
+    """
+    import math as _math
+
+    e = df.select(
+        id_col,
+        vec_col,
+        F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
+    )
+    if k is None:
+        n = df.count()
+        k = max(2, -(-n // target_cluster_size))
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("sem:"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % k
+    )
+    seed_ids = (
+        e.withColumn("__b", bucket).groupBy("__b").agg(F.min(id_col).alias(id_col))
+    )
+    seeds = sorted(
+        (
+            (int(r["__b"]), [float(x) for x in r[vec_col]])
+            for r in e.join(seed_ids.select(id_col, "__b"), id_col)
+            .select("__b", vec_col)
+            .collect()
+        ),
+    )
+    if not seeds:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, cluster int, kept int"
+        )
+    cents = (
+        kmeans_refine(df, seeds, iters=refine_iters, id_col=id_col, vec_col=vec_col)
+        if refine_iters > 0
+        else seeds
+    )
+    cents3 = [
+        (c, v, _math.sqrt(sum(float(x) * float(x) for x in v))) for c, v in cents
+    ]
+    best = _centroid_argmax(cents3, vec_col)
+    assigned = e.select(
+        id_col, vec_col, "__nrm", (-best["nc"]).cast("bigint").alias("cluster")
+    )
+    sigs = _with_band_buckets(assigned, vec_col, n_planes, n_tables)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.__b") == F.col("b.__b"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.cluster").alias("cluster"),
+            F.round(
+                dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+                / (F.col("a.__nrm") * F.col("b.__nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    if return_candidates:
+        return cand
+    dropped = (
+        cand.filter(F.col("cos_sim") >= tau)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    return assigned.join(dropped, id_col, "left").select(
+        id_col,
+        F.col("cluster").cast("int").alias("cluster"),
+        F.when(F.col("__dropped").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("kept"),
+    )

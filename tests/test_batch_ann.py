@@ -155,3 +155,69 @@ def test_kmeans_refine_recovers_planted_clusters(spark):
     for c, v in cents:
         d_true = math.dist(v, means[c])
         assert d_true < 1.0, (c, d_true)  # blob radius ~0.5, separation ~14
+
+
+def _synthetic_vectors(spark, n=10_000, dim=64, n_dups=100):
+    """Deterministic 10k-vector frame: ids >= n-n_dups duplicate the
+    vector of id-(n-n_dups) (planted exact dups); everything else is a
+    unique arithmetic pattern."""
+    base = n - n_dups
+    src = F.when(F.col("id") >= base, F.col("id") - base).otherwise(F.col("id"))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: (
+            F.pmod(F.xxhash64(src, i), F.lit(101)).cast("double") - 50.0
+        )
+        / 25.0,
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.cast("array<float>").alias("embedding")
+    )
+
+
+def test_semantic_dedup_scaled_bounds_candidates_at_k64(spark):
+    """The production parameterization: k picked from corpus size
+    (10k / 160 -> k >= 64), Lloyd-refined centroids, and the
+    within-cluster pair scan bounded by banded LSH — per-cluster
+    verified-candidate volume must stay far under the full
+    (cluster_size choose 2) scan SemDeDup naively implies, and the
+    planted duplicates must still be caught and dropped."""
+    from paddleocr_spark.functions.similarity import semantic_dedup_scaled
+
+    df = _synthetic_vectors(spark).cache()
+    cand = semantic_dedup_scaled(
+        df,
+        target_cluster_size=156,  # 10k/156 -> k = 65
+        tau=0.95,
+        refine_iters=1,
+        return_candidates=True,
+    ).cache()
+    sizes = (
+        semantic_dedup_scaled(df, target_cluster_size=156, tau=0.95, refine_iters=1)
+        .groupBy("cluster")
+        .count()
+        .collect()
+    )
+    per_cluster = {
+        r["cluster"]: r["n"]
+        for r in cand.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    for r in sizes:
+        m = r["count"]
+        full_scan = m * (m - 1) / 2
+        got = per_cluster.get(r["cluster"], 0)
+        # the bound: L/2^b = 2/256 of the full pair volume, x8 slack for
+        # non-uniform sign buckets on structured vectors
+        assert got <= max(120, full_scan * (2 / 256) * 8), (r["cluster"], m, got)
+
+    out = semantic_dedup_scaled(
+        df, target_cluster_size=156, tau=0.95, refine_iters=1
+    )
+    kept = {r["vec_id"]: r["kept"] for r in out.collect()}
+    assert len(kept) == 10_000
+    # every planted duplicate (the higher id of each identical pair)
+    # was caught by the banded within-cluster scan: identical vectors
+    # share every bucket of every table, so recall on exact dups is 1
+    assert all(kept[9_900 + i] == 0 for i in range(100))
+    assert all(kept[i] == 1 for i in range(100))
+    cand.unpersist(); df.unpersist()
