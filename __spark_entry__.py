@@ -28,11 +28,94 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["extract_flagship"](spark, "/root/testdata/sf0.001")
 
 
+# ---------------------------------------------------------------------------
+# Driver-window rotation. The driver's CORRECTNESS check covers the
+# FIRST 50 queries() entries per round; rounds 1-2 checked the same 50,
+# leaving 30 registry entries with local-parity evidence only. Round 3
+# front-loads exactly those 30 (dataset_split first: it FAILED round 1
+# and has never had a green driver row since) plus the queries new this
+# round, then fills the window with re-confirmations (the extraction
+# family — bench-watch items — and one representative per dedup/
+# similarity family). ROUND 4: rotate the remaining 31 previously-green
+# entries (region_revenue, topk_per_group, rollup_status,
+# customers_no_orders, multi_supplier_parts, event_type_reach,
+# events_hourly, token_stats, quality_score, langid, fingerprint,
+# simhash, events_asof_purchase, dup_clusters, containment_suppress,
+# shipping_priority, promo_share, top_terms, user_setops,
+# events_moving_sum, median_acctbal, cls_argmax_embed,
+# doc_len_histogram, sim_ann_ivf, lang_dict_lookup, json_props,
+# event_pivot, value_band_join, purchasers_semi, cube_status,
+# redact_text) back to the front.
+# ---------------------------------------------------------------------------
+_WINDOW_PRIORITY = [
+    # -- the 30 entries with no driver row yet (r2 VERDICT item 1) --
+    "dataset_split",        # r1 FAIL; fixed in r2, driver-confirm now
+    "orders_monthly_delta",  # r2 bench-regression watch item
+    "sim_batch_topk",
+    "warp_spans",
+    "softmax_decode",
+    "repetition_stats",
+    "event_reach_approx",   # rows-only by design (HLL sketch)
+    "embed_near_dup_banded",
+    "events_session_window",
+    "decontaminate",
+    "tfidf_top_terms",
+    "source_cap",
+    "stratified_sample",
+    "unigram_logprob",
+    "dup_ngram_spans",
+    "block_dedup",
+    "seq_packing",
+    "url_filter",
+    "quality_linear",
+    "semantic_dedup",
+    "dsir_weights",
+    "len_percentiles",
+    "source_skew",
+    "host_link_graph",
+    "host_pagerank",
+    "doc_authority",
+    "anchor_text_terms",
+    "url_canonical",
+    "latest_snapshot",
+    "sanitize_text",
+    # -- new in round 3 --
+    "kie_links",
+    # -- re-confirmations (19 slots): extraction family incl. the
+    #    flagship bench-watch, plus one per operator family --
+    "extract_flagship",
+    "extract_fused",
+    "extract_blocks",
+    "pricing_summary",
+    "top_customers",
+    "events_sessionize",
+    "events_run_collapse",
+    "dedup_exact",
+    "minhash_sigs",
+    "lsh_pairs",
+    "simhash64",
+    "simhash_near_dup",
+    "dup_clusters_twophase",
+    "ngram_jaccard",
+    "sim_topk",
+    "sim_ann_lsh",
+    "embed_near_dup",
+    "multimodal_meta",
+    "rec_metric",
+]
+
+
+def _rotated(d: dict) -> dict:
+    out = {k: d[k] for k in _WINDOW_PRIORITY if k in d}
+    out.update({k: v for k, v in d.items() if k not in out})
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    return _rotated(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query."""
-    return dict(ORACLES)
+    return _rotated(ORACLES)

@@ -1211,3 +1211,88 @@ QUERIES_EXT["events_session_window"] = q_events_session_window
 ORACLES_EXT["events_session_window"] = SQL_EVENTS_SESSION_WINDOW
 _queries.QUERIES["events_session_window"] = q_events_session_window
 _queries.ORACLES["events_session_window"] = SQL_EVENTS_SESSION_WINDOW
+
+
+# ---------------------------------------------------------------------------
+# KIE key-value linking (SER + RE analog)
+# ---------------------------------------------------------------------------
+
+def q_kie_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KIE linking (SerRePredictor analog — ppstructure/kie/
+    predict_kie_token_ser_re.py:40-84, relation decode vqa_token_re_
+    layoutlm_postprocess.py:37-76): SER labels each block key/value,
+    RE links every value to the nearest PRECEDING key in reading
+    order. This runs the engine's real window operator
+    (operators/kie_stage.link_key_values_df — `last(key_id,
+    ignorenulls)` over an unbounded-preceding frame: one shuffle on
+    the doc key, zero joins) over blocks derived from the documents
+    table (20-token chunks in reading order; the SER stage is a
+    deterministic content classifier — md5-head — since the synthetic
+    corpus has no headings, exactly as the quality/langid queries
+    stand in their model scores).
+
+    Scale shape: the whole query is explode + window + filter — no
+    joins, whole-stage codegen outside the window, one exchange on
+    url. At 10^12 docs the window partition is one document's blocks
+    (bounded), never a corpus-wide key."""
+    from paddleocr_spark.operators.kie_stage import link_key_values_df
+
+    d = _t(spark, sf_dir, "documents")
+    blocks = (
+        d.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.split("text", " ").alias("__w"),
+        )
+        .select(
+            "url",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(__w) / 20.0) as int) - 1),"
+                    " i -> array_join(slice(__w, i * 20 + 1, 20), ' '))"
+                )
+            ).alias("block_id", "btext"),
+        )
+        .select(
+            "url",
+            "block_id",
+            F.when(F.substring(F.md5("btext"), 1, 1) < "4", F.lit("h2"))
+            .otherwise(F.lit("p"))
+            .alias("tag"),
+            F.col("btext").alias("text"),
+        )
+    )
+    out = link_key_values_df(blocks)
+    return out.select(
+        "url",
+        F.col("value_block_id").cast("int").alias("value_block_id"),
+        F.col("key_block_id").cast("int").alias("key_block_id"),
+    )
+
+
+SQL_KIE_LINKS = """
+with tok as (select doc_id, str_split(text, ' ') w from documents),
+blocks as (
+  select doc_id, i idx, array_to_string(w[i*20+1 : i*20+20], ' ') b
+  from tok, unnest(range(cast(ceil(len(w) / 20.0) as bigint))) t(i)
+),
+lab as (
+  select cast(doc_id as varchar) url, cast(idx as int) block_id, b,
+         (substr(md5(b), 1, 1) < '4'
+          or (b like '%:' and length(b) <= 60)) is_key
+  from blocks
+),
+linked as (
+  select url, block_id, b, is_key,
+         last_value(case when is_key then block_id end ignore nulls) over (
+           partition by url order by block_id
+           rows between unbounded preceding and current row) key_block_id
+  from lab
+)
+select url, block_id value_block_id, cast(key_block_id as int) key_block_id
+from linked where not is_key and b <> ''
+"""
+
+QUERIES_EXT["kie_links"] = q_kie_links
+ORACLES_EXT["kie_links"] = SQL_KIE_LINKS
+_queries.QUERIES["kie_links"] = q_kie_links
+_queries.ORACLES["kie_links"] = SQL_KIE_LINKS
