@@ -81,8 +81,11 @@ _WINDOW_PRIORITY = [
     "sanitize_text",
     # -- new in round 3 --
     "kie_links",
+    "dup_ngram_spans_bcast",  # skew-safe mode, same oracle as window mode
     # -- re-confirmations (19 slots): extraction family incl. the
-    #    flagship bench-watch, plus one per operator family --
+    #    flagship bench-watch, plus one per operator family
+    #    (rec_metric yielded its slot to dup_ngram_spans_bcast: green
+    #    in r1 AND r2, and covered by metric unit tests) --
     "extract_flagship",
     "extract_fused",
     "extract_blocks",
@@ -101,7 +104,6 @@ _WINDOW_PRIORITY = [
     "sim_ann_lsh",
     "embed_near_dup",
     "multimodal_meta",
-    "rec_metric",
 ]
 
 

@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "url_canonical",
     "latest_snapshot",
     "sanitize_text",
+    "events_session_window",
+    "kie_links",
+    "dup_ngram_spans_bcast",
 ]
 
 
@@ -177,10 +180,15 @@ def main() -> None:
 
     # best-of-2 per query: the min is the steady-state number (one-off
     # GC pauses / page-cache misses on a shared box otherwise dominate
-    # sub-second queries).
+    # sub-second queries). The cold (first) run is recorded alongside
+    # so round-over-round comparisons can separate real regressions
+    # from one-off measurement noise (the r2->r1 "regressions" on
+    # extract_flagship / orders_monthly_delta were cold-run noise).
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t1 = _run(lambda: QUERIES[name](spark, sf_dir))
         t2 = _run(lambda: QUERIES[name](spark, sf_dir))
+        cold[name] = round(t1, 3)
         best = min(t1, t2)
         # a >5s best-of-2 here is usually an external-contention episode
         # on this shared box (BASELINE.md "Measured scaling" documents
@@ -199,6 +207,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": cold,
                 "sf": sf,
                 "n_docs": n_docs,
                 "docs_per_sec": round(docs_per_sec, 1),

@@ -286,6 +286,52 @@ def main():
             formatted(out_df),
         ))
 
+    # CDC read with a bulk delete: keys stay a semi-joined DataFrame
+    with tempfile.TemporaryDirectory() as tdir:
+        tbl = os.path.join(tdir, "cdc_tbl")
+        s1 = W.append(pages.limit(150), tbl)
+        W.delete_where(spark, tbl, pages.limit(150).select("url"))
+        sections.append((
+            "Changelog read after a bulk delete (read_changes)",
+            "The delete-row lookup: bucket partition filter (an IN over at "
+            "most N_BUCKETS collected bucket ids) prunes the base scan at "
+            "plan time, then a LeftSemi join against the delete-file "
+            "DataFrame. NO url literal appears in the plan — a "
+            "domain-level purge of millions of keys shuffles like any "
+            "join instead of materializing on the driver.",
+            formatted(W.read_changes(spark, tbl, s1)),
+        ))
+
+    # dup_ngram_spans skew-safe mode: frequent set broadcast, no window on h
+    from paddleocr_spark.queries_curation import dup_ngram_spans_over
+
+    sections.append((
+        "Repeated n-gram spans, Zipf-head-safe mode (dup_ngram_spans_bcast)",
+        "frequent_grams_via='broadcast': the gram-frequency gate is a "
+        "partial-aggregated groupBy (hot grams collapse map-side) whose "
+        "thresholded output BROADCASTS to the probe stream — no Window "
+        "over the gram hash anywhere, so a billion-occurrence boilerplate "
+        "gram never serializes one partition. The only Window left is the "
+        "per-document interval merge.",
+        formatted(dup_ngram_spans_over(docs, frequent_grams_via="broadcast")),
+    ))
+
+    # semantic dedup, production parameterization
+    from paddleocr_spark.functions.similarity import semantic_dedup_scaled
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    sections.append((
+        "SemDeDup production path (semantic_dedup_scaled / jobs/semdedup.py)",
+        "Lloyd-refined centroids live in the plan as literals (zero-shuffle "
+        "argmax assignment); the within-cluster pair scan joins on "
+        "(cluster, table, bucket) — banded LSH bounds per-cluster work at "
+        "(n/k)^2*L/2^b. k itself is picked from corpus size upstream "
+        "(ceil(n / target_cluster_size)).",
+        formatted(
+            semantic_dedup_scaled(emb, k=4, tau=0.9, refine_iters=1)
+        ),
+    ))
+
     out = ["# PLANS — captured physical plans (regenerate: `python jobs/capture_plans.py`)\n"]
     for title, note, plan in sections:
         plan = re.sub(r"file:[^\s,\]]*", "file:<elided>", plan)

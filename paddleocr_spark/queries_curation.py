@@ -979,6 +979,20 @@ from per, tot
 """
 
 
+def q_dup_ngram_spans_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Zipf-head-safe mode of `dup_ngram_spans` (frequent grams via
+    groupBy partial agg + broadcast of the thresholded set — see
+    q_dup_ngram_spans's skew caveat), checked against the SAME SQL
+    oracle as the window mode: a driver-green row that the two
+    physical strategies compute identical values."""
+    from paddleocr_spark.functions.dedup import _spread
+
+    return dup_ngram_spans_over(
+        _spread(_t(spark, sf_dir, "documents"), "doc_id"),
+        frequent_grams_via="broadcast",
+    )
+
+
 CURATION_QUERIES = {
     "decontaminate": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -986,6 +1000,7 @@ CURATION_QUERIES = {
     "stratified_sample": q_stratified_sample,
     "unigram_logprob": q_unigram_logprob,
     "dup_ngram_spans": q_dup_ngram_spans,
+    "dup_ngram_spans_bcast": q_dup_ngram_spans_bcast,
     "block_dedup": q_block_dedup,
     "seq_packing": q_seq_packing,
     "url_filter": q_url_filter,
@@ -1002,6 +1017,7 @@ CURATION_ORACLES = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
+    "dup_ngram_spans_bcast": SQL_DUP_NGRAM_SPANS,
     "block_dedup": SQL_BLOCK_DEDUP,
     "seq_packing": SQL_SEQ_PACKING,
     "url_filter": SQL_URL_FILTER,
