@@ -712,6 +712,17 @@ def semantic_dedup_scaled(
 
     Driver actions: one count(), one O(k) seed collect, refine_iters
     O(k·dim) collects. No document/vector data ever reaches the driver.
+
+    k ceiling (honest bound): centroids live in the assignment plan as
+    literals, so plan size grows as k·dim — practical to k ≈ a few
+    thousand (dim 64), i.e. corpora to ~10^7-10^8 docs at the default
+    target_cluster_size. Beyond that, a deployment shards the corpus
+    (e.g. by lang/source — each shard gets its own k) or goes
+    two-level IVF-style: cluster the centroid SET with this same
+    function, assign rows to a super-cluster, then to a centroid
+    within it — both compositions of pieces this module already has.
+    What does NOT work at large k is centroids-as-a-joined-DataFrame:
+    a k-way crossJoin blows the row count up k× before the argmax.
     """
     import math as _math
 
