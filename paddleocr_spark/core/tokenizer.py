@@ -88,11 +88,16 @@ class Block:
 
 
 def _visible(inner: str) -> str:
-    return _TAG_RE.sub("", inner)
+    # tag-free fast path (exact): no "<" => the sub is a no-op
+    return inner if "<" not in inner else _TAG_RE.sub("", inner)
 
 
 def _link_len(inner: str) -> int:
-    return sum(len(_visible(m)) for m in _A_RE.findall(inner))
+    # most anchor bodies carry no nested tags: length without the sub
+    return sum(
+        (len(m) if "<" not in m else len(_TAG_RE.sub("", m)))
+        for m in _A_RE.findall(inner)
+    )
 
 
 def _bbox(attrs: str):
