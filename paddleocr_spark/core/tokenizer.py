@@ -93,6 +93,9 @@ def _visible(inner: str) -> str:
 
 
 def _link_len(inner: str) -> int:
+    # anchor-free fast path (exact): the findall needs "<a" to match
+    if "<a" not in inner:
+        return 0
     # most anchor bodies carry no nested tags: length without the sub
     return sum(
         (len(m) if "<" not in m else len(_TAG_RE.sub("", m)))
