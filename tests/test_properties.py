@@ -272,3 +272,43 @@ def test_warc_gz_truncation_never_yields_garbage(records, cut):
     assert len(got_cut) < len(got_full)
     for (gu, _, gp, _, _), (u, p) in zip(got_cut, records):
         assert gu == u and gp == p
+
+
+# ---------------------------------------------------------------------------
+# The tokenizer fast paths are EXACT: property-check each against its
+# original single-regex definition over adversarial ws/tag soup.
+# ---------------------------------------------------------------------------
+
+_ws_soup = st.text(
+    alphabet=" \t\n\r\f\x0b" + "abcZ9.:<>/=\"'é中", min_size=0, max_size=80
+)
+
+
+@given(_ws_soup)
+def test_normalize_ws_fast_path_is_exact(s):
+    from paddleocr_spark.core.text import _WS_RE, normalize_ws
+
+    assert normalize_ws(s) == _WS_RE.sub(" ", s).strip()
+
+
+@given(_ws_soup)
+def test_visible_fast_path_is_exact(s):
+    from paddleocr_spark.core.tokenizer import _TAG_RE, _visible
+
+    assert _visible(s) == _TAG_RE.sub("", s)
+
+
+@given(
+    st.lists(
+        st.tuples(_ws_soup, st.booleans()),
+        max_size=6,
+    )
+)
+def test_link_len_fast_path_is_exact(parts):
+    from paddleocr_spark.core.tokenizer import _A_RE, _TAG_RE, _link_len
+
+    inner = "".join(
+        (f'<a href="#">{t}</a>' if is_a else t) for t, is_a in parts
+    )
+    want = sum(len(_TAG_RE.sub("", m)) for m in _A_RE.findall(inner))
+    assert _link_len(inner) == want
