@@ -107,10 +107,56 @@ _WINDOW_PRIORITY = [
 ]
 
 
+def _recorded_green_rounds() -> dict[str, int]:
+    """name -> latest round with a fully-green driver CORRECTNESS row,
+    from the CORRECTNESS_r*.json files committed in the repo root."""
+    import glob
+    import json
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and (row.get("hash_match") or row.get("hash_match") is None)
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def _rotated(d: dict) -> dict:
-    out = {k: d[k] for k in _WINDOW_PRIORITY if k in d}
-    out.update({k: v for k, v in d.items() if k not in out})
-    return out
+    """Order queries so the driver's 50-row window maximizes coverage:
+    entries with NO green driver row ever come first (in registry
+    order), then previously-green entries, least-recently-confirmed
+    first. Self-maintaining — each round's recorded CORRECTNESS file
+    rotates the next round's window automatically. Falls back to the
+    hand-rotation above if the records are unreadable."""
+    try:
+        latest = _recorded_green_rounds()
+    except Exception:
+        latest = None
+    if not latest:
+        out = {k: d[k] for k in _WINDOW_PRIORITY if k in d}
+        out.update({k: v for k, v in d.items() if k not in out})
+        return out
+    names = list(d)
+    order = sorted(
+        range(len(names)), key=lambda i: (latest.get(names[i], 0), i)
+    )
+    return {names[i]: d[names[i]] for i in order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
