@@ -348,8 +348,12 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the number of DISTINCT frequent grams, not their occurrence
     count) broadcasts, so the probe stream never shuffles on h at all
     (cost: the shingle transform is evaluated once per branch, CPU for
-    shuffle). Both modes are value-identical (tests/test_curation.py)
-    and the broadcast plan is asserted window-free over h.
+    shuffle). When the DISTINCT frequent set itself outgrows a
+    broadcast (the 100 TB case), ``"hybrid"`` threshold-splits it:
+    the head (count >= head_min_count, tiny by construction)
+    broadcasts and the torso shuffle-joins with per-key skew bounded
+    by head_min_count. All modes are value-identical
+    (tests/test_curation.py) and plan-asserted window-free over h.
     """
     from paddleocr_spark.functions.dedup import _spread
 
@@ -357,9 +361,11 @@ def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dup_ngram_spans_over(
-    docs: DataFrame, frequent_grams_via: str = "window"
+    docs: DataFrame,
+    frequent_grams_via: str = "window",
+    head_min_count: int = 100_000,
 ) -> DataFrame:
-    if frequent_grams_via not in ("window", "broadcast"):
+    if frequent_grams_via not in ("window", "broadcast", "hybrid"):
         raise ValueError(f"frequent_grams_via: {frequent_grams_via!r}")
     d = docs.filter(F.size(F.split("text", " ")) >= 5)
     g = with_shingles(d.select("doc_id", "text"), "text", 5, "__g")
@@ -376,11 +382,13 @@ def dup_ngram_spans_over(
             .filter(F.col("cnt") >= 3)
             .select("doc_id", "n_tokens", "pos")
         )
-    else:
+    elif frequent_grams_via == "broadcast":
         # Zipf-head-safe: partial-aggregated count per gram hash (a
         # billion-occurrence gram reduces map-side to one row per
         # partition), threshold, broadcast the frequent SET — the probe
-        # stream joins map-side and never exchanges on h
+        # stream joins map-side and never exchanges on h. Right when
+        # the DISTINCT frequent-gram set is broadcast-sized (it is at
+        # oracle/bench scale); at 100 TB it is not — use "hybrid".
         freq = (
             grams.groupBy("h")
             .agg(F.count("*").alias("cnt"))
@@ -389,6 +397,25 @@ def dup_ngram_spans_over(
         )
         hits = grams.join(F.broadcast(freq), "h").select(
             "doc_id", "n_tokens", "pos"
+        )
+    else:
+        # hybrid (the 100 TB shape): threshold-split the frequent set.
+        # The Zipf HEAD (count >= head_min_count — boilerplate grams,
+        # a tiny distinct set by construction) broadcasts, so its
+        # billions of probe occurrences never shuffle on h; the TORSO
+        # (3 <= count < head_min_count — possibly billions of distinct
+        # grams, NOT broadcastable) goes through a plain shuffle join
+        # whose per-key skew is BOUNDED by head_min_count occurrences.
+        # Same value as the other modes: head ∪ torso = {count >= 3}.
+        counts = grams.groupBy("h").agg(F.count("*").alias("cnt"))
+        head = counts.filter(F.col("cnt") >= head_min_count).select("h")
+        torso = counts.filter(
+            (F.col("cnt") >= 3) & (F.col("cnt") < head_min_count)
+        ).select("h")
+        hits = (
+            grams.join(F.broadcast(head), "h")
+            .unionByName(grams.join(torso, "h"))
+            .select("doc_id", "n_tokens", "pos")
         )
     prev_end = F.max(F.col("pos") + 5).over(
         Window.partitionBy("doc_id")

@@ -192,6 +192,31 @@ def test_dup_ngram_spans_broadcast_mode_matches_window_mode(spark):
         assert "doc_id" in m.group(1), plan
 
 
+def test_dup_ngram_spans_hybrid_mode_matches_and_splits(spark):
+    """The 100 TB shape: head (count >= H) broadcasts, torso
+    (3 <= count < H) shuffle-joins with skew bounded by H. Value-
+    identical to the window mode at every split point, including the
+    degenerate ones (everything head / everything torso), and the
+    plan carries both a broadcast join and a window-free gram path."""
+    from paddleocr_spark.queries_curation import dup_ngram_spans_over
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = dup_ngram_spans_over(docs, frequent_grams_via="window")
+    for h_min in (3, 4, 100_000):  # all-head, split, all-torso
+        hy = dup_ngram_spans_over(
+            docs, frequent_grams_via="hybrid", head_min_count=h_min
+        )
+        assert w.exceptAll(hy).count() == 0 and hy.exceptAll(w).count() == 0, h_min
+    plan = _plan(
+        dup_ngram_spans_over(docs, frequent_grams_via="hybrid", head_min_count=4)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\(([^,]+),", plan):
+        assert "doc_id" in m.group(1), plan
+
+
 def test_block_dedup_keeps_each_block_exactly_once(spark):
     """Corpus-wide, sum(n_kept) equals the number of DISTINCT blocks;
     a doc that is a copy of an earlier one keeps zero blocks."""
