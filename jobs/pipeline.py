@@ -21,6 +21,10 @@ as one resumable Spark job):
   3.5 decontaminate (opt-in, --benchmark) — drop corpus docs sharing
                  any word-5-gram with the eval-set texts; benchmark
                  grams broadcast, corpus grams never shuffle-joined
+  3.7 semantic dedup (opt-in, --semdedup-embeddings) — SemDeDup over
+                 upstream model embeddings: k from corpus size,
+                 LSH-bounded within-cluster scan
+                 (functions/similarity.semantic_dedup_scaled)
   4. split     — deterministic content-hash train/val/test assignment
                  (pure function of url: stable across runs, reshards
                  and cluster sizes), written partitioned by split
@@ -83,6 +87,9 @@ def run_pipeline(
     checkpoint_dir: str | None = None,
     benchmark_path: str | None = None,
     blocked_hosts: list[str] | None = None,
+    semdedup_embeddings: str | None = None,
+    semdedup_tau: float = 0.95,
+    semdedup_cluster_size: int = 4096,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -178,6 +185,39 @@ def run_pipeline(
         n_corpus = n_clean
         timings["decontaminate_s"] = round(time.monotonic() - t0, 3)
 
+    # -- 3.7 semantic dedup (optional, vs upstream embeddings) --------
+    # SemDeDup over a (doc_id, embedding) table produced by an
+    # upstream embedding model — exactly how SemDeDup deployments run
+    # (the model is not part of the curation job). k is picked from
+    # corpus size and the within-cluster scan is LSH-bounded
+    # (functions/similarity.semantic_dedup_scaled). Only embeddings of
+    # surviving corpus docs participate (semi-join; AQE picks the
+    # strategy — neither side is assumed broadcastable).
+    n_semantic_dropped = 0
+    if semdedup_embeddings:
+        t0 = time.monotonic()
+        from paddleocr_spark.functions.similarity import semantic_dedup_scaled
+
+        emb = spark.read.parquet(semdedup_embeddings).join(
+            corpus.select("doc_id"), "doc_id", "left_semi"
+        )
+        decisions = semantic_dedup_scaled(
+            emb,
+            target_cluster_size=semdedup_cluster_size,
+            tau=semdedup_tau,
+            id_col="doc_id",
+        )
+        drops = decisions.filter(F.col("kept") == 0).select("doc_id")
+        sem_path = os.path.join(output_dir, "semdeduped")
+        corpus.join(drops, "doc_id", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(sem_path)
+        corpus = spark.read.parquet(sem_path)
+        n_sem = corpus.count()
+        n_semantic_dropped = n_corpus - n_sem
+        n_corpus = n_sem
+        timings["semdedup_s"] = round(time.monotonic() - t0, 3)
+
     # -- 4. split (deterministic, content-derived) --------------------
     t0 = time.monotonic()
     dataset = corpus.withColumn("split", split_col("doc_id"))
@@ -198,6 +238,7 @@ def run_pipeline(
         n_curated=n_curated,
         n_corpus=n_corpus,
         n_contaminated=n_contaminated,
+        n_semantic_dropped=n_semantic_dropped,
         curate_retention=round(n_curated / n_extracted, 4) if n_extracted else None,
         dedup_retention=round((n_corpus + n_contaminated) / n_curated, 4) if n_curated else None,
         splits=split_counts,
@@ -233,6 +274,12 @@ def main(argv=None) -> int:
     ap.add_argument("--blocklist", default=None,
                     help="host blocklist (file of hosts or comma-separated "
                          "list); matching pages are pruned before extraction")
+    ap.add_argument("--semdedup-embeddings", default=None,
+                    help="parquet of (doc_id, embedding) from an upstream "
+                         "model; SemDeDup drops semantic near-dups from the "
+                         "corpus (k picked from corpus size)")
+    ap.add_argument("--semdedup-tau", type=float, default=0.95)
+    ap.add_argument("--semdedup-cluster-size", type=int, default=4096)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -255,6 +302,9 @@ def main(argv=None) -> int:
         checkpoint_dir=args.checkpoint_dir,
         benchmark_path=args.benchmark,
         blocked_hosts=parse_blocklist(args.blocklist),
+        semdedup_embeddings=args.semdedup_embeddings,
+        semdedup_tau=args.semdedup_tau,
+        semdedup_cluster_size=args.semdedup_cluster_size,
     )
     manifest["wall_sec"] = round(time.time() - t0, 3)
     print(json.dumps(manifest))

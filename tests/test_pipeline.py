@@ -118,3 +118,59 @@ def test_pipeline_decontamination_drops_benchmark_overlap(spark, smoke_dir, tmp_
     assert clean.filter(F.col("doc_id") == victim["doc_id"]).count() == 0
     assert m["n_corpus"] == base["n_corpus"] - m["n_contaminated"]
     assert sum(m["splits"].values()) == m["n_corpus"]
+
+
+def test_pipeline_semdedup_stage_drops_planted_semantic_dups(spark, smoke_dir, tmp_path):
+    """Opt-in SemDeDup stage: upstream (doc_id, embedding) table with
+    two corpus docs planted on the SAME vector — exactly one survives;
+    every other doc is untouched; manifest accounting stays closed."""
+    out = str(tmp_path / "pipe_sem")
+    base = run_pipeline(
+        spark,
+        input_path=os.path.join(smoke_dir, "pages.parquet"),
+        output_dir=out,
+        n_partitions=8,
+        salt=2,
+    )
+    corpus_ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "corpus"))
+        .select("doc_id").collect()
+    )
+    a, b = corpus_ids[0], corpus_ids[1]
+    # deterministic unique vectors per doc; a and b share one
+    src = F.when(F.col("doc_id") == b, F.lit(a)).otherwise(F.col("doc_id"))
+    emb = (
+        spark.createDataFrame([(u,) for u in corpus_ids], "doc_id string")
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda i: (F.pmod(F.xxhash64(src, i), F.lit(101)).cast("double") - 50.0) / 25.0,
+            ).cast("array<float>").alias("embedding"),
+        )
+    )
+    emb_path = str(tmp_path / "emb.parquet")
+    emb.write.parquet(emb_path)
+
+    out2 = str(tmp_path / "pipe_sem2")
+    m = run_pipeline(
+        spark,
+        input_path=os.path.join(smoke_dir, "pages.parquet"),
+        output_dir=out2,
+        n_partitions=8,
+        salt=2,
+        semdedup_embeddings=emb_path,
+        semdedup_tau=0.999,
+        semdedup_cluster_size=64,
+    )
+    assert m["n_semantic_dropped"] == 1
+    assert m["n_corpus"] == base["n_corpus"] - 1
+    survivors = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out2, "semdeduped"))
+        .select("doc_id").collect()
+    }
+    # exactly one of the planted pair survives (the min id, a < b)
+    assert a in survivors and b not in survivors
+    assert sum(m["splits"].values()) == m["n_corpus"]
