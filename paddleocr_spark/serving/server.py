@@ -36,6 +36,10 @@ Endpoints (module-per-task, mirroring deploy/hubserving/*):
       text_len, link_text_len, score, kept, ...) — the ocr_det module
       analog, detect-only.
 
+  POST /predict/kie_ser_re
+      same body -> SER entity labels + RE key-value links per page —
+      the deploy/hubserving/kie_ser_re module analog over core/kie.py.
+
   GET /health -> ``{"status": "ok"}``
 
 Errors: 400 for malformed JSON / unknown config keys / non-list
@@ -55,7 +59,9 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.request import Request, urlopen
 
 from ..config import DEFAULT, PipelineConfig
+from ..core.kie import entity_label, link_key_values
 from ..core.oracle import detect_blocks_rows, extract_page
+from ..core.tokenizer import tokenize_page
 
 # hubserving's default port (deploy/hubserving/readme_en.md: 8866).
 DEFAULT_PORT = 8866
@@ -136,9 +142,44 @@ def _predict_det(body: dict) -> dict:
     return dict(results=results)
 
 
+def _predict_kie(body: dict) -> dict:
+    """kie_ser_re module analog: SER entity labels + RE key-value links
+    per page (deploy/hubserving/kie_ser_re; core semantics in
+    core/kie.py — heading-like keys govern following value blocks in
+    reading order)."""
+    cfg = _parse_config(body.get("config"))
+    pages = body.get("pages")
+    if not isinstance(pages, list):
+        raise BadRequest("'pages' must be a list")
+    results = []
+    for page in pages:
+        try:
+            url, html, _lang = _decode_page(page)
+        except BadRequest as e:
+            results.append(dict(url=(page or {}).get("url", ""), error=str(e)))
+            continue
+        blocks = tokenize_page(html, cfg)
+        results.append(
+            dict(
+                url=url,
+                entities=[
+                    dict(block_id=b.block_id, tag=b.tag,
+                         label=entity_label(b.tag, b.text))
+                    for b in blocks
+                ],
+                links=[
+                    dict(value_id=vid, key_id=kid)
+                    for vid, kid in link_key_values(blocks)
+                ],
+            )
+        )
+    return dict(results=results)
+
+
 _ROUTES = {
     "/predict/extract_system": _predict_system,
     "/predict/extract_det": _predict_det,
+    "/predict/kie_ser_re": _predict_kie,
 }
 
 

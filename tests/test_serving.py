@@ -58,6 +58,26 @@ def test_extract_det_matches_oracle_rows(endpoint):
         assert got["blocks"] == detect_blocks_rows(page["url"], page["html"])
 
 
+def test_kie_ser_re_matches_core(endpoint):
+    from paddleocr_spark.core.kie import entity_label, link_key_values
+    from paddleocr_spark.core.tokenizer import tokenize_page
+
+    pages = _pages(6, "heavy")
+    out = predict(endpoint + "/predict/kie_ser_re", pages)
+    saw_link = False
+    for page, got in zip(pages, out["results"]):
+        blocks = tokenize_page(page["html"])
+        assert got["entities"] == [
+            dict(block_id=b.block_id, tag=b.tag, label=entity_label(b.tag, b.text))
+            for b in blocks
+        ]
+        assert got["links"] == [
+            dict(value_id=v, key_id=k) for v, k in link_key_values(blocks)
+        ]
+        saw_link = saw_link or any(l["key_id"] is not None for l in got["links"])
+    assert saw_link  # the fixture pages really contain governed values
+
+
 def test_config_overrides_applied(endpoint):
     pages = _pages(4)
     cfg = dict(drop_score=0.9, prefilter_bin=True)
