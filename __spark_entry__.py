@@ -141,9 +141,14 @@ def _rotated(d: dict) -> dict:
     """Order queries so the driver's 50-row window maximizes coverage:
     entries with NO green driver row ever come first (in registry
     order), then previously-green entries, least-recently-confirmed
-    first. Self-maintaining — each round's recorded CORRECTNESS file
-    rotates the next round's window automatically. Falls back to the
-    hand-rotation above if the records are unreadable."""
+    first. Queries with no DuckDB oracle (the driver can only record a
+    rows-only ``no_oracle`` row for them, never a fully-green one) are
+    ordered LAST so they never pin a verification slot (r3 VERDICT
+    "What's wrong" #2). Self-maintaining — each round's recorded
+    CORRECTNESS file rotates the next round's window automatically.
+    Falls back to the hand-rotation above if the records are
+    unreadable."""
+    no_oracle = {k for k in QUERIES if k not in ORACLES}
     try:
         latest = _recorded_green_rounds()
     except Exception:
@@ -154,7 +159,8 @@ def _rotated(d: dict) -> dict:
         return out
     names = list(d)
     order = sorted(
-        range(len(names)), key=lambda i: (latest.get(names[i], 0), i)
+        range(len(names)),
+        key=lambda i: (names[i] in no_oracle, latest.get(names[i], 0), i),
     )
     return {names[i]: d[names[i]] for i in order}
 

@@ -114,6 +114,26 @@ def run_daily(
     pending = state.get("pending")
     if (
         pending
+        and pending.get("window") != target
+        and os.path.isdir(pending.get("out_path", ""))
+        and pending["window"] in {s["snapshot_id"] for s in W.snapshots(extracted_dir)}
+    ):
+        # crash after append_to_store but before the final marker, AND
+        # new data synced before the rerun (target advanced past the
+        # pending window). Recomputing admitted_through -> target would
+        # reject the crashed batch against its own already-appended
+        # signatures and strand it in the never-sealed out_path. Finish
+        # the pending window first — re-append its signatures
+        # (duplicates harmless) and advance admitted_through to it —
+        # then compute the remaining window pending -> target below.
+        recovered = spark.read.parquet(pending["out_path"])
+        stats["recovered"] = S.append_to_store(recovered, store_dir)
+        stats["recovered_path"] = pending["out_path"]
+        state = {"admitted_through": pending["window"], "pending": None}
+        _write_admission_state(store_dir, state)
+        pending = None
+    if (
+        pending
         and pending.get("window") == target
         and os.path.isdir(pending["out_path"])
     ):

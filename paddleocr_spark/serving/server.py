@@ -217,6 +217,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, dict(error=str(e)))
         except json.JSONDecodeError as e:
             self._reply(400, dict(error=f"bad JSON: {e}"))
+        except UnicodeDecodeError as e:
+            self._reply(400, dict(error=f"body is not UTF-8: {e}"))
+        except ValueError as e:
+            # e.g. a non-integer Content-Length header
+            self._reply(400, dict(error=f"bad request: {e}"))
+        except Exception as e:  # route-handler failure: JSON 500, not a
+            # dropped connection / stack trace on the socket
+            self._reply(500, dict(error=f"{type(e).__name__}: {e}"))
 
 
 def start_server(host: str = "127.0.0.1", port: int = DEFAULT_PORT):

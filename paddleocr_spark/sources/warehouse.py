@@ -97,11 +97,73 @@ def _canon_stat(v):
     return str(v)
 
 
-def _canon_bound(b, stored_sample):
+def _session_tzinfo(spark):
+    """tzinfo for ``spark.sql.session.timeZone`` (the zone Spark uses to
+    interpret naive/string timestamp literals in row filters), or None
+    when it can't be resolved — callers must then refuse to prune on
+    naive bounds rather than guess."""
+    try:
+        name = spark.conf.get("spark.sql.session.timeZone")
+    except Exception:
+        return None
+    return _session_tzinfo_from_name(name)
+
+
+def _session_tzinfo_from_name(name):
+    import datetime
+    import re
+
+    if not name:
+        return None
+    if name.upper() in ("UTC", "Z", "GMT", "GMT0", "ETC/UTC", "ETC/GMT"):
+        return datetime.timezone.utc
+    m = re.fullmatch(r"(?:GMT|UTC)?([+-])(\d{1,2})(?::?(\d{2}))?", name)
+    if m:
+        sign = 1 if m.group(1) == "+" else -1
+        delta = datetime.timedelta(
+            hours=int(m.group(2)), minutes=int(m.group(3) or 0)
+        )
+        return datetime.timezone(sign * delta)
+    try:
+        import zoneinfo
+
+        return zoneinfo.ZoneInfo(name)
+    except Exception:
+        return None
+
+
+def _looks_like_timestamp_str(s: str) -> bool:
+    """True for strings parseable as a datetime — the legacy (pre-typed)
+    stats encoding stored timestamps via ``str()``; comparing those
+    lexicographically against a differently-formatted bound was the
+    original mis-skip bug, so such stats must never drive pruning."""
+    import datetime
+
+    try:
+        datetime.datetime.fromisoformat(s.replace("T", " "))
+        return True
+    except (ValueError, TypeError):
+        return False
+
+
+def _canon_bound(b, stored_sample, tz=None):
     """Bring a query bound into the stored stat's comparison domain.
     Returns None when it can't (then the file is KEPT — skipping is an
-    optimization, never a correctness decision)."""
+    optimization, never a correctness decision).
+
+    ``tz`` is the SESSION timezone (from ``_session_tzinfo``): Spark
+    evaluates the typed row filter's naive/string timestamp literals in
+    that zone, so the stats comparison must localize naive bounds the
+    same way or the two layers disagree and a matching file could be
+    pruned. A naive bound with ``tz is None`` refuses to prune."""
     import datetime
+
+    def _naive_to_micros(dt):
+        if dt.tzinfo is None:
+            if tz is None:
+                return None  # can't know how Spark will read it: keep
+            dt = dt.replace(tzinfo=tz)
+        return int(dt.timestamp() * 1_000_000)
 
     if isinstance(stored_sample, (int, float)) and not isinstance(
         stored_sample, bool
@@ -111,13 +173,21 @@ def _canon_bound(b, stored_sample):
                 dt = datetime.datetime.fromisoformat(b.replace("T", " "))
             except ValueError:
                 return None
-            return _canon_stat(dt)
-        if isinstance(b, (datetime.datetime, datetime.date)):
-            return _canon_stat(b)
+            return _naive_to_micros(dt)
+        if isinstance(b, datetime.datetime):
+            return _naive_to_micros(b)
+        if isinstance(b, datetime.date):
+            return _naive_to_micros(
+                datetime.datetime(b.year, b.month, b.day)
+            )
         if isinstance(b, (int, float)) and not isinstance(b, bool):
             return b
         return None
     if isinstance(stored_sample, str):
+        # legacy manifests (pre-typed stats) stored timestamps via
+        # str(); format-dependent string compare mis-skips — keep file
+        if _looks_like_timestamp_str(stored_sample):
+            return None
         return b if isinstance(b, str) else None
     return None
 
@@ -215,6 +285,32 @@ def current_snapshot_id(table_dir: str) -> str | None:
     return snaps[-1]["snapshot_id"] if snaps else None
 
 
+class _micros_timestamps:
+    """Scoped ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS``:
+    sets the conf for the write and restores the caller's prior value on
+    exit, so warehouse writes never leak a session-wide encoding change
+    into unrelated parquet writes."""
+
+    _KEY = "spark.sql.parquet.outputTimestampType"
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(self._KEY)
+        except Exception:
+            self.prev = None
+        self.spark.conf.set(self._KEY, "TIMESTAMP_MICROS")
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(self._KEY)
+        else:
+            self.spark.conf.set(self._KEY, self.prev)
+        return False
+
+
 def _write_data(
     df: DataFrame,
     table_dir: str,
@@ -232,17 +328,15 @@ def _write_data(
     the Iceberg spec mandates — NOT Spark's legacy INT96 default:
     INT96 columns carry no parquet min/max statistics, which would
     silently disable manifest-stats file skipping on ``warc_ts``."""
-    df.sparkSession.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )
     before = set(_list_data_files(table_dir)) if os.path.exists(_data_dir(table_dir)) else set()
-    (
-        df.withColumn("day", day_col(ts_col))
-        .withColumn("bucket", bucket_col(url_col, n_buckets))
-        .write.mode("append")
-        .partitionBy("day", "bucket")
-        .parquet(_data_dir(table_dir))
-    )
+    with _micros_timestamps(df.sparkSession):
+        (
+            df.withColumn("day", day_col(ts_col))
+            .withColumn("bucket", bucket_col(url_col, n_buckets))
+            .write.mode("append")
+            .partitionBy("day", "bucket")
+            .parquet(_data_dir(table_dir))
+        )
     after = _list_data_files(table_dir)
     return sorted(set(after) - before)
 
@@ -470,6 +564,7 @@ def read_table(
     if prune_stats is not None:
         col, lo, hi = prune_stats
         stats = m["file_stats"]
+        tz = _session_tzinfo(spark)
 
         def _keep(f: str) -> bool:
             rng = stats.get(f, {}).get(col)
@@ -478,8 +573,12 @@ def read_table(
             # compare in the stored stat's domain (epoch micros for
             # timestamps, raw for numerics/strings); an uncomparable
             # bound keeps the file — the typed row filter below is the
-            # correctness layer, skipping is only an optimization
-            clo, chi = _canon_bound(lo, rng[0]), _canon_bound(hi, rng[1])
+            # correctness layer, skipping is only an optimization.
+            # Naive/string bounds are localized to the SESSION timezone
+            # (the zone the row filter evaluates them in); if that zone
+            # can't be resolved the file is kept.
+            clo = _canon_bound(lo, rng[0], tz)
+            chi = _canon_bound(hi, rng[1], tz)
             if clo is None or chi is None:
                 return True
             return rng[0] <= chi and rng[1] >= clo
@@ -720,9 +819,6 @@ def compact(
     the classic small-files failure mode at scale: scan planning cost
     grows with file count and each file under-fills its read task.
     """
-    spark.conf.set(
-        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-    )  # int64 micros: keeps footer stats alive (see _write_data)
     cur = read_table(spark, table_dir)  # merge-on-read: deletes applied
     before = set(_list_data_files(table_dir))
     if sort_within_partitions:
@@ -740,11 +836,13 @@ def compact(
         rewrite = cur.repartition(
             target_partitions_per_day_bucket, "day", "bucket"
         )
-    (
-        rewrite.write.mode("append")
-        .partitionBy("day", "bucket")
-        .parquet(_data_dir(table_dir))
-    )
+    # int64 micros: keeps footer stats alive (see _write_data)
+    with _micros_timestamps(spark):
+        (
+            rewrite.write.mode("append")
+            .partitionBy("day", "bucket")
+            .parquet(_data_dir(table_dir))
+        )
     after = _list_data_files(table_dir)
     added = sorted(set(after) - before)
     parent = current_snapshot_id(table_dir)

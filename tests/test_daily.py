@@ -177,3 +177,80 @@ def test_daily_admission_crash_recovery(spark, smoke_dir, tmp_path, monkeypatch)
     s4 = run_daily(*args)
     assert s4["admitted"] == 0
     day1.unpersist(); day2.unpersist(); day3.unpersist()
+
+
+def test_daily_pending_window_survives_target_advance(
+    spark, smoke_dir, tmp_path, monkeypatch
+):
+    """ADVICE r3: crash after the signature append but before the
+    marker, THEN new data syncs before the rerun — target advances past
+    the pending window. The old recovery branch (pending == target
+    only) skipped it and the recomputed window rejected the crashed
+    batch against its own signatures, stranding those docs in the
+    never-sealed out_path. The rerun must now finish the pending window
+    FIRST (report it as recovered), then admit the new window."""
+    import pytest
+
+    from daily import run_daily, _admission_state
+    import paddleocr_spark.functions.dedup_store as S
+
+    landing = str(tmp_path / "landing")
+    pages_tbl = str(tmp_path / "pages_tbl")
+    ext_tbl = str(tmp_path / "ext_tbl")
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    args = (spark, landing, pages_tbl, ext_tbl, store, out, ckpt)
+
+    pages = spark.read.parquet(os.path.join(smoke_dir, "pages.parquet"))
+    day1 = pages.limit(30).cache()
+    _land(day1, landing, "crawl_day1.parquet", tmp_path)
+    run_daily(*args)
+    day1_urls = sorted(r["url"] for r in day1.select("url").collect())
+
+    # day 2 crashes after append_to_store, leaving the window open
+    day2 = pages.filter(~F.col("url").isin(day1_urls)).limit(10).cache()
+    _land(day2, landing, "crawl_day2.parquet", tmp_path)
+    real_append = S.append_to_store
+
+    def append_then_crash(docs, store_dir, **kw):
+        real_append(docs, store_dir, **kw)
+        raise RuntimeError("injected crash after append")
+
+    monkeypatch.setattr(S, "append_to_store", append_then_crash)
+    with pytest.raises(RuntimeError):
+        run_daily(*args)
+    monkeypatch.undo()
+    pend = _admission_state(store)["pending"]
+    assert pend is not None
+    day2_urls = {r["url"] for r in day2.select("url").collect()}
+
+    # day 3 lands BEFORE the rerun: sync advances target past pending
+    day3 = pages.filter(
+        ~F.col("url").isin(day1_urls) & ~F.col("url").isin(sorted(day2_urls))
+    ).limit(7).cache()
+    _land(day3, landing, "crawl_day3.parquet", tmp_path)
+
+    s = run_daily(*args)
+    # the stranded day-2 batch is recovered (sealed into the store)...
+    assert s.get("recovered", 0) > 0
+    assert s["recovered_path"] == pend["out_path"]
+    rec_urls = {
+        r["url"] for r in spark.read.parquet(s["recovered_path"]).collect()
+    }
+    assert rec_urls and rec_urls <= day2_urls
+    # ...and the new day-3 window is admitted in the same run
+    assert s["admitted"] > 0
+    adm_urls = {
+        r["url"] for r in spark.read.parquet(s["admitted_path"]).collect()
+    }
+    day3_urls = {r["url"] for r in day3.select("url").collect()}
+    assert adm_urls and adm_urls <= day3_urls
+    # marker sealed at the new target; steady state is a no-op
+    st = _admission_state(store)
+    assert st["pending"] is None
+    assert st["admitted_through"] == W.current_snapshot_id(ext_tbl)
+    s_again = run_daily(*args)
+    assert s_again["admitted"] == 0 and "recovered" not in s_again
+    day1.unpersist(); day2.unpersist(); day3.unpersist()

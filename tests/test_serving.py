@@ -145,3 +145,29 @@ def test_protocol_errors(endpoint):
     # health
     with urllib.request.urlopen(endpoint + "/health", timeout=10) as resp:
         assert json.loads(resp.read()) == dict(status="ok")
+
+
+def test_protocol_errors_hardened(endpoint):
+    """ADVICE r3: non-UTF-8 bodies and unexpected handler failures must
+    come back as JSON 400/500 replies, never a dropped connection."""
+    # non-UTF-8 body -> 400 JSON
+    code, out = _post_raw(
+        endpoint, "/predict/extract_system", b"\xff\xfe\x00bad"
+    )
+    assert code == 400 and "UTF-8" in out["error"]
+    # unexpected handler exception -> 500 JSON (patch a route to blow up)
+    from paddleocr_spark.serving import server as srv
+
+    def boom(body):
+        raise KeyError("internal-kaboom")
+
+    orig = srv._ROUTES["/predict/extract_det"]
+    srv._ROUTES["/predict/extract_det"] = boom
+    try:
+        code, out = _post_raw(
+            endpoint, "/predict/extract_det",
+            json.dumps(dict(pages=[])).encode(),
+        )
+        assert code == 500 and "internal-kaboom" in out["error"]
+    finally:
+        srv._ROUTES["/predict/extract_det"] = orig

@@ -681,3 +681,105 @@ def test_merge_on_read_mixed_delete_keys(spark, smoke_dir, tmp_path):
     assert cur.filter(F.col("lang") == "ar").count() == 0
     assert cur.filter(F.col("url").isin(victims)).count() == 0
     full.unpersist()
+
+
+def test_canon_bound_session_timezone(spark):
+    """ADVICE r3 (medium): naive/string timestamp bounds must be
+    canonicalized in the SESSION timezone (the zone the typed row
+    filter evaluates them in), not hard-coded UTC — and must refuse to
+    prune when the zone can't be resolved."""
+    import datetime
+
+    utc = datetime.timezone.utc
+    la = W._session_tzinfo_from_name("America/Los_Angeles")
+    # epoch-micros stored stat sample
+    stored = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z
+    naive = "2024-01-01T00:00:00"
+    # UTC session: naive bound == the instant itself
+    assert W._canon_bound(naive, stored, utc) == stored
+    # LA session (UTC-8 on Jan 1): same wall-clock string is 8h later
+    assert W._canon_bound(naive, stored, la) == stored + 8 * 3600 * 1_000_000
+    # unresolvable session zone: refuse to prune on a naive bound
+    assert W._canon_bound(naive, stored, None) is None
+    # tz-AWARE bound is unambiguous regardless of session zone
+    aware = datetime.datetime(2024, 1, 1, tzinfo=utc)
+    assert W._canon_bound(aware, stored, None) == stored
+
+
+def test_session_tzinfo_formats(spark):
+    """_session_tzinfo resolves region names, UTC aliases and
+    GMT+H[:MM] offsets; unknown names yield None (never guess)."""
+    import datetime
+
+    assert W._session_tzinfo_from_name("UTC") == datetime.timezone.utc
+    off = W._session_tzinfo_from_name("GMT+8")
+    assert off.utcoffset(None) == datetime.timedelta(hours=8)
+    off2 = W._session_tzinfo_from_name("-05:30")
+    assert off2.utcoffset(None) == -datetime.timedelta(hours=5, minutes=30)
+    assert W._session_tzinfo_from_name("Asia/Tokyo") is not None
+    assert W._session_tzinfo_from_name("Not/AZone") is None
+
+
+def test_prune_stats_non_utc_session_timezone(spark, smoke_dir, tmp_path):
+    """End-to-end: with a non-UTC session timezone, the pruned read
+    with naive string bounds must still equal the typed between()
+    filter — before the fix the stats layer read the bound as UTC
+    while the row filter read it in session time, silently dropping
+    matching files."""
+    tbl = str(tmp_path / "tz_tbl")
+    pages = _load_pages(spark, smoke_dir)
+    W.append(pages, tbl)
+    W.compact(spark, tbl, target_partitions_per_day_bucket=3,
+              sort_within_partitions=["warc_ts"])
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        # pick bounds that bracket some rows *as seen in LA time*
+        row = W.read_table(spark, tbl).selectExpr(
+            "date_format(min(warc_ts), 'yyyy-MM-dd HH:mm:ss') AS lo",
+            "date_format(max(warc_ts), 'yyyy-MM-dd HH:mm:ss') AS hi",
+        ).collect()[0]
+        lo, hi = row["lo"], row["hi"]
+        expect = (
+            W.read_table(spark, tbl)
+            .filter(F.col("warc_ts").between(lo, hi))
+            .count()
+        )
+        assert expect > 0
+        got = W.read_table(
+            spark, tbl, prune_stats=("warc_ts", lo, hi)
+        ).count()
+        assert got == expect
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_legacy_string_timestamp_stats_never_prune(spark):
+    """ADVICE r3: manifests written before typed stats stored
+    timestamps via str(); those string stats must be detected and
+    excluded from pruning (return None => keep the file) instead of
+    re-running the lexicographic mis-compare."""
+    legacy = "2024-01-01 00:00:00+00:00"
+    assert W._canon_bound("2024-01-01T00:01:00", legacy, None) is None
+    # genuine string column stats still compare
+    assert W._canon_bound("fr", "ar", None) == "fr"
+
+
+def test_micros_timestamps_conf_restored(spark, smoke_dir, tmp_path):
+    """ADVICE r3: warehouse writes must not leak
+    outputTimestampType=TIMESTAMP_MICROS into the caller's session."""
+    key = "spark.sql.parquet.outputTimestampType"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "INT96")
+    try:
+        tbl = str(tmp_path / "conf_tbl")
+        W.append(_load_pages(spark, smoke_dir).limit(10), tbl)
+        assert spark.conf.get(key) == "INT96"
+        W.compact(spark, tbl)
+        assert spark.conf.get(key) == "INT96"
+        # and the warehouse files themselves still carry typed stats
+        m = W._load_manifest(tbl, W.current_snapshot_id(tbl))
+        some = next(s for s in m["file_stats"].values() if "warc_ts" in s)
+        assert isinstance(some["warc_ts"][0], int)
+    finally:
+        spark.conf.set(key, prev)
