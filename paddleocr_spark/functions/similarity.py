@@ -678,6 +678,174 @@ def _with_band_buckets(
     )
 
 
+def _two_level_structure(
+    cents: list, coarse_k: int | None = None, coarse_iters: int = 4
+) -> tuple[list, dict]:
+    """Driver-side coarse quantizer over the LEAF centroid set (the IVF
+    coarse/fine split, same pattern as `topk_cosine_ivf`): cluster the k
+    leaf centroids into m ≈ ceil(sqrt(k)) coarse cells so row assignment
+    can go top-level -> leaf-level with per-level literal counts O(m)
+    instead of O(k). Pure numpy over the O(k·dim) centroid list — the
+    same data the seed collect already put on the driver; no document
+    rows involved. Deterministic: seeds are every (k/m)-th leaf in
+    cid-sorted order, Lloyd means accumulate in fixed row order.
+
+    Returns (coarse_cents3, leaf_to_super): coarse_cents3 is
+    [(super_id, vector, norm)] with empty cells dropped and ids
+    renumbered densely; leaf_to_super maps leaf cid -> super_id."""
+    import numpy as np
+
+    cids = [int(c) for c, v in cents]
+    mat = np.asarray([list(map(float, v)) for _, v in cents], dtype=np.float64)
+    k = len(cents)
+    m = min(coarse_k or max(2, -(-k // max(1, math.isqrt(k)))), k)
+    order = np.argsort(np.asarray(cids))
+    seed_idx = [int(order[(j * k) // m]) for j in range(m)]
+    C = mat[seed_idx].copy()
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+
+    def _assign(C):
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        return np.argmax(unit @ (C / cn[:, None]).T, axis=1)
+
+    for _ in range(coarse_iters):
+        a = _assign(C)
+        for j in range(m):
+            members = mat[a == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+    a = _assign(C)
+    used = sorted({int(x) for x in a})
+    remap = {s: i for i, s in enumerate(used)}
+    coarse3 = [
+        (remap[s], [float(x) for x in C[s]], float(np.linalg.norm(C[s])))
+        for s in used
+    ]
+    leaf_to_super = {cids[i]: remap[int(a[i])] for i in range(k)}
+    return coarse3, leaf_to_super
+
+
+def _coarse_probes_expr(cents3: list, vec_col: str, nprobe: int) -> Column:
+    """Top-``nprobe`` coarse cells by rounded cosine, as ONE SQL
+    expression over O(m·dim) literals (same encoding discipline as
+    `_centroid_argmax`; descending struct sort = cs desc then nc desc,
+    i.e. ties break to the smallest cell id, matching array_max)."""
+
+    def _d(v: float) -> str:
+        return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+    def _struct(cid: int, vec, nrm: float) -> str:
+        lits = ", ".join(_d(x) for x in vec)
+        return (
+            "named_struct('cs', round(aggregate(zip_with("
+            f"{vec_col}, array({lits}), "
+            "(x, y) -> cast(x as double) * cast(y as double)), "
+            "cast(0.0 as double), (acc, v) -> acc + v) "
+            f"/ (__nrm * {_d(nrm)}), 6), 'nc', {-int(cid)})"
+        )
+
+    arr = ", ".join(_struct(c, v, n) for c, v, n in cents3)
+    return F.expr(
+        f"transform(slice(sort_array(array({arr}), false), 1, {int(nprobe)}),"
+        " s -> -s.nc)"
+    )
+
+
+def _leaf_pack_frame(spark, cents: list, leaf_to_super: dict) -> DataFrame:
+    """(super:int, pack:array<struct<cid,vec,nrm>>) — the leaf centroids
+    of each coarse cell packed into ONE row, so row assignment joins
+    exactly one broadcast row per probe (no k-way row inflation; the
+    k·dim floats are DATA in a broadcast table, not plan text)."""
+    packs: dict[int, list] = {}
+    for c, v in cents:
+        vec = [float(x) for x in v]
+        packs.setdefault(leaf_to_super[int(c)], []).append(
+            (int(c), vec, math.sqrt(sum(x * x for x in vec)))
+        )
+    rows = [(s, sorted(p)) for s, p in sorted(packs.items())]
+    return spark.createDataFrame(
+        rows,
+        "super int, pack array<struct<cid: bigint, vec: array<double>, "
+        "nrm: double>>",
+    )
+
+
+def _assign_two_level(
+    e: DataFrame,
+    cents: list,
+    vec_col: str,
+    id_col: str,
+    coarse_k: int | None = None,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style two-level nearest-centroid assignment: stage A picks
+    the top-``nprobe`` coarse cells with an O(m·dim)-literal expression;
+    stage B broadcast-joins each probe's leaf pack and takes the argmax
+    over the joined arrays (plain array expressions — JVM-side, no
+    shuffle, no row inflation beyond the nprobe probe columns).
+
+    Approximation contract: exact vs flat argmax whenever the true
+    nearest leaf's coarse cell is among the row's nprobe probes (the
+    standard IVF nprobe trade; agreement is asserted on 10k vectors in
+    tests/test_semdedup_scaled.py). Input frame must carry __nrm."""
+    spark = e.sparkSession
+    coarse3, leaf_to_super = _two_level_structure(cents, coarse_k)
+    nprobe = max(1, min(nprobe, len(coarse3)))
+    pack = _leaf_pack_frame(spark, cents, leaf_to_super)
+    out = e.withColumn("__probes", _coarse_probes_expr(coarse3, vec_col, nprobe))
+    bests = []
+    for i in range(1, nprobe + 1):
+        s_col, p_col = f"__s{i}", f"__pk{i}"
+        out = out.withColumn(s_col, F.element_at("__probes", i)).join(
+            F.broadcast(
+                pack.select(
+                    F.col("super").alias(s_col), F.col("pack").alias(p_col)
+                )
+            ),
+            s_col,
+            "left",
+        )
+        bests.append(
+            F.array_max(
+                F.transform(
+                    F.col(p_col),
+                    lambda c: F.struct(
+                        F.round(
+                            dot(F.col(vec_col), c["vec"])
+                            / (F.col("__nrm") * c["nrm"]),
+                            6,
+                        ).alias("cs"),
+                        (-c["cid"]).alias("nc"),
+                    ),
+                )
+            )
+        )
+    best = bests[0] if len(bests) == 1 else F.greatest(*bests)
+    return out.select(
+        id_col, vec_col, "__nrm", (-best["nc"]).cast("bigint").alias("cluster")
+    )
+
+
+def _mean_update(assigned: DataFrame, vec_col: str) -> list:
+    """One Lloyd mean step: per-cluster dimension-wise average, collected
+    as [(cluster_id, vector)] — O(k·dim) driver rows, no document data
+    (the same update `kmeans_refine` performs)."""
+    rows = (
+        assigned.select("cluster", F.posexplode(vec_col).alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("x").alias("m"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+        .collect()
+    )
+    return sorted(
+        (int(r["cluster"]), [float(p["m"]) for p in r["dm"]]) for r in rows
+    )
+
+
 def semantic_dedup_scaled(
     df: DataFrame,
     target_cluster_size: int = 4096,
@@ -689,6 +857,10 @@ def semantic_dedup_scaled(
     n_planes: int = 8,
     n_tables: int = 2,
     return_candidates: bool = False,
+    two_level: bool | None = None,
+    coarse_k: int | None = None,
+    nprobe: int = 2,
+    two_level_threshold: int = 2048,
 ) -> DataFrame:
     """SemDeDup at corpus scale — the production parameterization of
     `semantic_dedup`, which that function's docstring promises: k is
@@ -713,16 +885,29 @@ def semantic_dedup_scaled(
     Driver actions: one count(), one O(k) seed collect, refine_iters
     O(k·dim) collects. No document/vector data ever reaches the driver.
 
-    k ceiling (honest bound): centroids live in the assignment plan as
-    literals, so plan size grows as k·dim — practical to k ≈ a few
-    thousand (dim 64), i.e. corpora to ~10^7-10^8 docs at the default
-    target_cluster_size. Beyond that, a deployment shards the corpus
-    (e.g. by lang/source — each shard gets its own k) or goes
-    two-level IVF-style: cluster the centroid SET with this same
-    function, assign rows to a super-cluster, then to a centroid
-    within it — both compositions of pieces this module already has.
-    What does NOT work at large k is centroids-as-a-joined-DataFrame:
-    a k-way crossJoin blows the row count up k× before the argmax.
+    k ceiling: the FLAT path bakes centroids into the assignment plan
+    as literals, so plan size grows as k·dim — practical to k ≈ a few
+    thousand (dim 64). Past ``two_level_threshold`` (or with
+    ``two_level=True``) assignment switches to the IVF-style TWO-LEVEL
+    path: ``_two_level_structure`` clusters the centroid set into
+    m ≈ sqrt(k) coarse cells driver-side (numpy over the O(k·dim)
+    list the seed collect already holds), stage A picks each row's
+    top-``nprobe`` coarse cells with an O(m·dim)-literal expression,
+    and stage B broadcast-joins the probes' leaf packs
+    (`_leaf_pack_frame`: the k·dim floats travel as broadcast DATA,
+    not plan text) and argmaxes over the joined arrays. Lloyd
+    refinement reuses the same two-level assignment per iteration.
+    That lifts the binding ceiling from plan size (k ≈ 2·10^3) to
+    driver memory for the centroid list (k ≈ 10^6 at dim 64 ≈ 0.5 GB
+    — corpora to ~10^9-10^10 docs at the default target size); beyond
+    that, shard by lang/source or add a third level with the same two
+    helpers. Two-level assignment is approximate exactly where IVF is:
+    a row whose true nearest leaf lives outside its nprobe coarse
+    cells is assigned to the best probed leaf (agreement vs flat
+    argmax asserted on 10k vectors in tests/test_semdedup_scaled.py).
+    What does NOT work at large k is centroids-as-a-joined-DataFrame
+    per leaf: a k-way crossJoin blows the row count up k× before the
+    argmax — the leaf-pack join is one row per probe instead.
     """
     import math as _math
 
@@ -759,18 +944,31 @@ def semantic_dedup_scaled(
         return df.sparkSession.createDataFrame(
             [], f"{id_col} bigint, cluster int, kept int"
         )
-    cents = (
-        kmeans_refine(df, seeds, iters=refine_iters, id_col=id_col, vec_col=vec_col)
-        if refine_iters > 0
-        else seeds
-    )
-    cents3 = [
-        (c, v, _math.sqrt(sum(float(x) * float(x) for x in v))) for c, v in cents
-    ]
-    best = _centroid_argmax(cents3, vec_col)
-    assigned = e.select(
-        id_col, vec_col, "__nrm", (-best["nc"]).cast("bigint").alias("cluster")
-    )
+    if two_level is None:
+        two_level = len(seeds) > two_level_threshold
+    if two_level:
+        cents = seeds
+        for _ in range(max(0, refine_iters)):
+            step = _assign_two_level(
+                e, cents, vec_col, id_col, coarse_k=coarse_k, nprobe=nprobe
+            )
+            cents = _mean_update(step, vec_col)
+        assigned = _assign_two_level(
+            e, cents, vec_col, id_col, coarse_k=coarse_k, nprobe=nprobe
+        )
+    else:
+        cents = (
+            kmeans_refine(df, seeds, iters=refine_iters, id_col=id_col, vec_col=vec_col)
+            if refine_iters > 0
+            else seeds
+        )
+        cents3 = [
+            (c, v, _math.sqrt(sum(float(x) * float(x) for x in v))) for c, v in cents
+        ]
+        best = _centroid_argmax(cents3, vec_col)
+        assigned = e.select(
+            id_col, vec_col, "__nrm", (-best["nc"]).cast("bigint").alias("cluster")
+        )
     sigs = _with_band_buckets(assigned, vec_col, n_planes, n_tables)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
