@@ -3,21 +3,28 @@
 Image/audio/video payloads are `binary` columns with a typed metadata
 struct, processed by Arrow-batched `mapInPandas` (the same process
 boundary as the reference's numpy→C++ predictor hop, SURVEY.md §3.1).
-The container has no image/audio codecs, so the *decode* itself is a
-deterministic stub (documented below); the Spark-side contract — schema,
-Arrow batch shape, partitioning neutrality, column pruning (payload
-dropped after feature extraction) — is real and tested.
 
-Stub semantics (pure function of the payload bytes, so the DuckDB
-oracle can reproduce them):
+Metadata decode is REAL for the container formats whose headers are
+parseable without codec libraries — PNG (IHDR), GIF (logical screen
+descriptor), JPEG (SOF frame header scan), BMP (BITMAPINFOHEADER) —
+mirroring the reference's `img_decode`/`check_and_read`
+(ppocr/utils/utility.py:108-140), which sniff and decode real headers.
+`decode_image_header` is ~60 lines of dependency-free struct reads; no
+PIL/cv2 (environment-blocked here) is needed because only dimensions /
+channels / format are extracted, never pixels.
+
+Unrecognized payloads fall back to a deterministic stub (a pure
+function of the byte count, so the DuckDB oracle can reproduce it):
 - n_bytes   = len(payload)
 - width     = 64 + n_bytes % 512      (fake decoded dimensions)
 - height    = 64 + (n_bytes * 7) % 512
 - channels  = 3
 - format    = 'png' if n_bytes % 2 == 0 else 'jpeg'
 
-A real deployment replaces `_fake_decode` with PIL/ffmpeg calls within
-the same batch loop; everything else stands.
+A real deployment extends the same batch loop with pixel-level codecs
+(PIL/ffmpeg); the Spark-side contract — schema, Arrow batch shape,
+partitioning neutrality, column pruning (payload dropped after feature
+extraction) — stands unchanged.
 """
 
 from __future__ import annotations
@@ -51,9 +58,9 @@ MEDIA_META_SCHEMA = StructType(
 
 
 def _fake_decode(n_bytes: pd.Series) -> pd.DataFrame:
-    """Deterministic decode stub (see module docstring). Replace with a
-    real codec (PIL.Image.open etc.) in deployment; raise instead with
-    `NotImplementedError` if silent fakes are unacceptable."""
+    """Deterministic decode stub for UNRECOGNIZED payloads (see module
+    docstring). Raise `NotImplementedError` instead if silent fakes are
+    unacceptable for a deployment."""
     return pd.DataFrame(
         {
             "n_bytes": n_bytes.astype("int32"),
@@ -63,6 +70,93 @@ def _fake_decode(n_bytes: pd.Series) -> pd.DataFrame:
             "format": (n_bytes % 2).map({0: "png", 1: "jpeg"}),
         }
     )
+
+
+# PNG color type -> sample channels (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOF markers: C0-CF minus DHT (C4), JPG (C8), DAC (CC)
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+_MAX_DIM = 1 << 24  # sanity bound: reject absurd header dims as corrupt
+
+
+def decode_image_header(b: bytes) -> tuple[int, int, int, str] | None:
+    """Parse (width, height, channels, format) from a real image header
+    — PNG / GIF / JPEG / BMP — with no codec dependency; None for
+    anything unrecognized or corrupt (callers fall back to the stub).
+    The reference analog is img_decode + check_and_read
+    (ppocr/utils/utility.py:108-140): sniff the container, read the
+    header, never trust it blindly (dims are sanity-bounded)."""
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+            w = int.from_bytes(b[16:20], "big")
+            h = int.from_bytes(b[20:24], "big")
+            ch = _PNG_CHANNELS.get(b[25])
+            if ch and 0 < w < _MAX_DIM and 0 < h < _MAX_DIM:
+                return (w, h, ch, "png")
+            return None
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            w = int.from_bytes(b[6:8], "little")
+            h = int.from_bytes(b[8:10], "little")
+            if 0 < w and 0 < h:
+                return (w, h, 3, "gif")
+            return None
+        if b[:2] == b"\xff\xd8":  # JPEG SOI; scan segments for a SOF
+            i, n = 2, len(b)
+            while i + 9 < n:
+                if b[i] != 0xFF:
+                    return None  # desynchronized marker stream
+                marker = b[i + 1]
+                if marker == 0xFF:  # fill byte
+                    i += 1
+                    continue
+                if 0xD0 <= marker <= 0xD9:  # RST/SOI/EOI: no length
+                    i += 2
+                    continue
+                seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+                if seg_len < 2:
+                    return None
+                if marker in _JPEG_SOF:
+                    h = int.from_bytes(b[i + 5 : i + 7], "big")
+                    w = int.from_bytes(b[i + 7 : i + 9], "big")
+                    ch = b[i + 9]
+                    if 0 < w < _MAX_DIM and 0 < h < _MAX_DIM and 0 < ch <= 4:
+                        return (w, h, ch, "jpeg")
+                    return None
+                i += 2 + seg_len
+            return None
+        if b[:2] == b"BM" and len(b) >= 30:
+            hdr = int.from_bytes(b[14:18], "little")
+            if hdr < 40:  # only BITMAPINFOHEADER and newer
+                return None
+            w = int.from_bytes(b[18:22], "little", signed=True)
+            h = abs(int.from_bytes(b[22:26], "little", signed=True))
+            bpp = int.from_bytes(b[28:30], "little")
+            if bpp in (8, 24, 32) and 0 < w < _MAX_DIM and 0 < h < _MAX_DIM:
+                return (w, h, bpp // 8, "bmp")
+            return None
+    except (IndexError, TypeError):
+        return None
+    return None
+
+
+def _decode_batch(payload: pd.Series) -> pd.DataFrame:
+    """Per-batch metadata decode: real header parse where the container
+    is recognized, byte-count stub otherwise. One pass, stub computed
+    vectorized for the fallback rows."""
+    raw = payload.map(lambda v: bytes(v))
+    parsed = raw.map(decode_image_header)
+    out = _fake_decode(raw.map(len))
+    hit = parsed.notna()
+    if hit.any():
+        cols = ("width", "height", "channels", "format")
+        for j, c in enumerate(cols):
+            vals = parsed[hit].map(lambda t: t[j])
+            if c != "format":
+                vals = vals.astype("int32")
+            out.loc[hit, c] = vals
+        for c in ("width", "height", "channels"):
+            out[c] = out[c].astype("int32")
+    return out
 
 
 def extract_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -75,8 +169,7 @@ def extract_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n = pdf[payload_col].map(len)
-            out = _fake_decode(n)
+            out = _decode_batch(pdf[payload_col])
             out.insert(0, "doc_id", pdf["doc_id"].astype("int64"))
             yield out
 
@@ -111,9 +204,8 @@ def resize_media(df: DataFrame, max_side: int = 128, payload_col: str = "payload
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            n = pdf[payload_col].map(len)
-            w = 64 + n % 512
-            h = 64 + n * 7 % 512
+            meta = _decode_batch(pdf[payload_col])  # real dims when parseable
+            w, h = meta["width"], meta["height"]
             scale = pd.concat([w, h], axis=1).max(axis=1).clip(lower=1)
             ratio = (max_side / scale).clip(upper=1.0)
             out = pd.DataFrame(

@@ -859,23 +859,69 @@ from pred join gold using (url)
 # ---------------------------------------------------------------------------
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload -> typed metadata via Arrow mapInPandas (stub
-    decode; see functions/multimodal.py). Oracle reproduces the stub's
-    pure byte-count arithmetic."""
+    """Binary payload -> typed metadata via Arrow mapInPandas. The
+    payloads carry REAL image headers (PNG IHDR / GIF screen descriptor
+    / JPEG SOF0) built per doc_id with known dims, plus one
+    unrecognized-format branch; `extract_media_meta` must parse the
+    real headers back (decode_image_header) and stub the unknown one.
+    The oracle recomputes the constructed dims directly — it verifies
+    the parser recovered exactly what was encoded."""
+    w = "(1 + doc_id % 640)"
+    h = "(1 + doc_id % 480)"
+    be4 = "unhex(lpad(hex({v}), 8, '0'))"
+    be2 = "unhex(lpad(hex({v}), 4, '0'))"
+    le2 = (
+        "unhex(concat(substring(lpad(hex({v}), 4, '0'), 3, 2),"
+        " substring(lpad(hex({v}), 4, '0'), 1, 2)))"
+    )
+    # sig + IHDR len/tag + w + h + depth 08 + colortype 02 (RGB) +
+    # compression/filter/interlace 00 00 00 => 29 header bytes
+    png = (
+        "concat(unhex('89504E470D0A1A0A'), unhex('0000000D'),"
+        f" unhex('49484452'), {be4.format(v=w)}, {be4.format(v=h)},"
+        " unhex('0802000000'), encode(text, 'UTF-8'))"
+    )
+    gif = (
+        f"concat(unhex('474946383961'), {le2.format(v=w)},"
+        f" {le2.format(v=h)}, encode(text, 'UTF-8'))"
+    )
+    jpg = (
+        "concat(unhex('FFD8FFC0'), unhex('0011'), unhex('08'),"
+        f" {be2.format(v=h)}, {be2.format(v=w)}, unhex('03'),"
+        " encode(text, 'UTF-8'))"
+    )
+    raw = "concat(unhex('00'), encode(text, 'UTF-8'))"  # never a signature
     d = _t(spark, sf_dir, "documents").select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+        "doc_id",
+        F.expr(
+            f"case cast(doc_id % 4 as int) when 0 then {png}"
+            f" when 1 then {gif} when 2 then {jpg} else {raw} end"
+        ).alias("payload"),
     )
     return extract_media_meta(d)
 
 
 SQL_MULTIMODAL_META = """
+with p as (
+  select doc_id,
+         doc_id % 4 as fmt,
+         octet_length(encode(text)) as tn,
+         (1 + doc_id % 640)::int as ww,
+         (1 + doc_id % 480)::int as hh
+  from documents
+)
 select doc_id,
-       octet_length(encode(text))::int n_bytes,
-       (64 + octet_length(encode(text)) % 512)::int width,
-       (64 + octet_length(encode(text)) * 7 % 512)::int height,
+       (case fmt when 0 then 29 when 1 then 10 when 2 then 12 else 1 end
+        + tn)::int n_bytes,
+       case when fmt < 3 then ww
+            else (64 + (1 + tn) % 512)::int end width,
+       case when fmt < 3 then hh
+            else (64 + (1 + tn) * 7 % 512)::int end height,
        3::int channels,
-       case when octet_length(encode(text)) % 2 = 0 then 'png' else 'jpeg' end format
-from documents
+       case fmt when 0 then 'png' when 1 then 'gif' when 2 then 'jpeg'
+            else case when (1 + tn) % 2 = 0 then 'png' else 'jpeg' end
+       end format
+from p
 """
 
 
