@@ -1234,7 +1234,16 @@ def q_kie_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the whole query is explode + window + filter — no
     joins, whole-stage codegen outside the window, one exchange on
     url. At 10^12 docs the window partition is one document's blocks
-    (bounded), never a corpus-wide key."""
+    (bounded), never a corpus-wide key.
+
+    Reading-order permutation evidence: before the window the rows are
+    physically scrambled with a hash-order sortWithinPartitions (a
+    local sort — no extra exchange), so this oracle row going green
+    proves the link targets are recovered purely by the window's
+    orderBy(block_id), never by arrival order — the subtle requirement
+    of the reference's recovery sort (recovery_to_doc.py:106-152),
+    where reading order is a *derived* column ordering, not the order
+    rows happen to arrive in."""
     from paddleocr_spark.operators.kie_stage import link_key_values_df
 
     d = _t(spark, sf_dir, "documents")
@@ -1261,7 +1270,8 @@ def q_kie_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("btext").alias("text"),
         )
     )
-    out = link_key_values_df(blocks)
+    scrambled = blocks.sortWithinPartitions(F.xxhash64("url", "block_id"))
+    out = link_key_values_df(scrambled)
     return out.select(
         "url",
         F.col("value_block_id").cast("int").alias("value_block_id"),

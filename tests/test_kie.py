@@ -39,6 +39,73 @@ def test_link_prefers_latest_key():
     assert link_key_values(blocks) == [(0, None), (2, 1), (4, 3), (5, 3)]
 
 
+def test_links_follow_layout_reading_order_not_y_order(spark):
+    """The recovery_to_doc.py:106-152 subtlety reaching the link
+    structure: in a two-column page, reading order is the column-aware
+    layout sort, NOT the naive (y, x) sort — and the KIE links must
+    follow it. Left column: key then two values; right column: key
+    then two values, vertically interleaved so that the naive y-order
+    would link the left column's first value to the RIGHT column's
+    key. Assigning block_id from sorted_layout_boxes and running the
+    native window linker over a physically permuted row set must
+    recover each value's own-column key."""
+    from paddleocr_spark.core.geometry import sorted_layout_boxes
+
+    w = 1000
+    # (box, tag, text); y-interleaved across the two columns
+    regions = [
+        ((50, 100, 400, 130), "h2", "Left Section"),    # L key   y=100
+        ((550, 150, 900, 180), "h2", "Right Section"),  # R key   y=150
+        ((50, 200, 400, 230), "p", "left value one"),   # L val   y=200
+        ((550, 250, 900, 280), "p", "right value one"), # R val   y=250
+        ((50, 300, 400, 330), "p", "left value two"),   # L val   y=300
+        ((550, 350, 900, 380), "p", "right value two"), # R val   y=350
+    ]
+    order, _labels = sorted_layout_boxes([r[0] for r in regions], w)
+    # the layout sort puts the whole left column before the right one
+    assert [regions[k][2] for k in order] == [
+        "Left Section", "left value one", "left value two",
+        "Right Section", "right value one", "right value two",
+    ]
+
+    class B:
+        def __init__(self, bid, tag, text):
+            self.block_id, self.tag, self.text = bid, tag, text
+
+    ordered = [B(i, regions[k][1], regions[k][2]) for i, k in enumerate(order)]
+    expected = link_key_values(ordered)
+    texts = {b.block_id: b.text for b in ordered}
+    # every value is governed by its OWN column's key
+    assert {(texts[v], texts[k]) for v, k in expected} == {
+        ("left value one", "Left Section"),
+        ("left value two", "Left Section"),
+        ("right value one", "Right Section"),
+        ("right value two", "Right Section"),
+    }
+    # ...whereas ids assigned from the naive (y, x) order would have
+    # mislinked the left column's first value to the right key —
+    # the case is genuinely subtle, not vacuous
+    naive = sorted(range(len(regions)), key=lambda k: (regions[k][0][1], regions[k][0][0]))
+    naive_blocks = [B(i, regions[k][1], regions[k][2]) for i, k in enumerate(naive)]
+    ntexts = {b.block_id: b.text for b in naive_blocks}
+    naive_pairs = {(ntexts[v], ntexts[k]) for v, k in link_key_values(naive_blocks)}
+    assert ("left value one", "Right Section") in naive_pairs
+
+    # native window form over a PERMUTED physical row order agrees
+    rows = [("doc", b.block_id, b.tag, b.text) for b in ordered]
+    rows = rows[::-1]  # reversed arrival order
+    df = (
+        spark.createDataFrame(rows, "url string, block_id int, tag string, text string")
+        .repartition(4)
+        .sortWithinPartitions(F.md5(F.concat_ws("|", "url", "block_id")))
+    )
+    got = {
+        (r["value_block_id"], r["key_block_id"])
+        for r in link_key_values_df(df).collect()
+    }
+    assert got == set(expected)
+
+
 def test_window_form_matches_core_on_fixture_pages(spark, smoke_dir):
     pages_path = os.path.join(smoke_dir, "pages.parquet")
 
