@@ -107,6 +107,12 @@ BENCH_QUERIES = [
     "events_session_window",
     "kie_links",
     "dup_ngram_spans_bcast",
+    "table_match",
+    "table_match_filtered",
+    "table_html",
+    "line_confidence",
+    "det_metric",
+    "word_runs",
 ]
 
 

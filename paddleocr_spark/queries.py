@@ -1010,6 +1010,10 @@ def _merge_ext() -> None:
     # recrawl latest-snapshot, text sanitization)
     from paddleocr_spark import queries_web  # noqa: F401
 
+    # self-registering structure-branch set (TableMatch join, pred-HTML
+    # assembly, line confidence, DetMetric, word-run segmentation)
+    from paddleocr_spark import queries_struct  # noqa: F401
+
 
 try:  # noqa: E402
     _merge_ext()
