@@ -332,6 +332,29 @@ def main():
         ),
     ))
 
+    # structure-branch distributed twins (queries_struct.py)
+    from paddleocr_spark.queries_struct import q_line_confidence, q_table_match
+
+    sections.append((
+        "TableMatch nearest-cell join (table_match)",
+        "The cell grid is a FIXED-SIZE literal frame on the broadcast side "
+        "of the crossJoin — the fragment (big) side never shuffles, and the "
+        "argmin is a partial-aggregable min(struct(1-IoU, dist, cell_id)): "
+        "map-side combine collapses each partition to one candidate per "
+        "fragment before the single exchange on the group key.",
+        formatted(q_table_match(spark, SF)),
+    ))
+
+    sections.append((
+        "CTC line confidence (line_confidence)",
+        "CTC selection (drop adjacent repeats, then blanks) is a lag window "
+        "partitioned by document — bounded per-partition state, ONE "
+        "exchange on doc_id; the mean is integer-exact (sum of centi-conf "
+        "over count) so the DuckDB oracle reproduces the doubles "
+        "bit-for-bit.",
+        formatted(q_line_confidence(spark, SF)),
+    ))
+
     out = ["# PLANS — captured physical plans (regenerate: `python jobs/capture_plans.py`)\n"]
     for title, note, plan in sections:
         plan = re.sub(r"file:[^\s,\]]*", "file:<elided>", plan)
