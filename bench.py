@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "source_cap",
     "stratified_sample",
     "unigram_logprob",
+    "bigram_logprob",
+    "ccnet_buckets",
     "dup_ngram_spans",
     "url_filter",
     "quality_linear",

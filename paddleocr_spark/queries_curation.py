@@ -318,6 +318,169 @@ group by doc_id
 
 
 # ---------------------------------------------------------------------------
+# Stupid-backoff bigram LM scoring + CCNet perplexity buckets
+# ---------------------------------------------------------------------------
+
+def _bigram_stream(df: DataFrame) -> DataFrame:
+    """(doc_id, h1, h2, hb): adjacent word pairs as 8-byte hashed keys.
+
+    The pair array is built IN-EXPRESSION (``transform`` over a slice of
+    the split array) — no window, no positional self-join — so the only
+    shuffles in any consumer are its own joins/aggregations. Gram text
+    never leaves the expression: everything downstream carries xxhash64
+    keys only (multi-arg hash, so ("a","bc") never collides with
+    ("ab","c") by concatenation). Docs with < 2 tokens contribute no
+    pairs (slice length 0) and drop out of the scored output.
+    """
+    return (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(split(text, ' '), 1, "
+                    "greatest(size(split(text, ' ')) - 1, 0)), "
+                    "(w, i) -> struct(w as w1, "
+                    "element_at(split(text, ' '), i + 2) as w2))"
+                )
+            ).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            F.xxhash64("bg.w1").alias("h1"),
+            F.xxhash64("bg.w2").alias("h2"),
+            F.xxhash64("bg.w1", "bg.w2").alias("hb"),
+        )
+    )
+
+
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean surprise under a STUPID-BACKOFF bigram LM
+    (Brants et al. 2007, "Large Language Models in Machine Translation"
+    — the discount-free backoff that made web-scale LMs practical, and
+    the shape CCNet's KenLM gate reduces to at n=2):
+
+        S(w2 | w1) = c(w1 w2) / c(w1)          if the bigram was seen
+                   = 0.4 * c(w2) / T           else (unigram backoff)
+                   = 0.4 * 1 / T               else (OOV floor)
+
+    The model is trained on the even-``doc_id`` half of the corpus and
+    scores ALL documents, so held-out docs genuinely exercise the
+    backoff and OOV paths (a same-corpus model would see every bigram
+    and the backoff would be dead code). Reference analog: none —
+    this is the corpus-level quality gate the extraction output feeds
+    (SURVEY.md §2 curation extension family, next to unigram_logprob).
+
+    Plan: pair arrays built in-expression (no window), counts are
+    map-side-partial groupBys over 8-byte hashed keys, the count
+    tables join back to the scoring stream (vocab-sized — AQE
+    broadcasts at test SF, shuffle-joins at corpus scale), T by a
+    1-row broadcast cross join, one final doc_id aggregation. No UDFs,
+    no driver actions; gram text never shuffles.
+    """
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    ttoks = train.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).select(F.xxhash64("w").alias("hw"))
+    uni = ttoks.groupBy("hw").agg(F.count("*").alias("c"))
+    total = ttoks.agg(F.count("*").alias("t_tokens"))
+    bi = _bigram_stream(train).groupBy("hb").agg(F.count("*").alias("n_b"))
+
+    u1 = uni.select(F.col("hw").alias("h1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("hw").alias("h2"), F.col("c").alias("c2"))
+    prob = (
+        F.when(
+            F.col("n_b").isNotNull(),
+            F.col("n_b").cast("double") / F.col("c1").cast("double"),
+        )
+        .otherwise(
+            F.lit(0.4)
+            * F.coalesce(F.col("c2"), F.lit(1)).cast("double")
+            / F.col("t_tokens").cast("double")
+        )
+    )
+    return (
+        _bigram_stream(d)
+        .join(bi, "hb", "left")
+        .join(u1, "h1", "left")
+        .join(u2, "h2", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(prob)), 6).alias("mean_nll"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
+SQL_BIGRAM_LOGPROB = """
+with train as (select doc_id, text from documents where doc_id % 2 = 0),
+ttoks as (
+  select unnest(str_split(text, ' ')) w from train
+),
+uni as (select w, count(*) c from ttoks group by 1),
+tot as (select count(*) t_tokens from ttoks),
+tbis as (
+  select w1, w2, count(*) n_b from (
+    select ws[i] w1, ws[i + 1] w2
+    from (select str_split(text, ' ') ws from train),
+         unnest(generate_series(1, len(ws) - 1)) g(i)
+  ) group by 1, 2
+),
+stream as (
+  select doc_id, ws[i] w1, ws[i + 1] w2
+  from (select doc_id, str_split(text, ' ') ws from documents),
+       unnest(generate_series(1, len(ws) - 1)) g(i)
+)
+select doc_id,
+       round(avg(-ln(case
+         when n_b is not null then n_b::double / u1.c::double
+         else 0.4 * coalesce(u2.c, 1)::double / t_tokens::double
+       end)), 6) mean_nll,
+       count(*) n_bigrams
+from stream
+left join tbis using (w1, w2)
+left join uni u1 on u1.w = stream.w1
+left join uni u2 on u2.w = stream.w2
+cross join tot
+group by doc_id
+"""
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): rank every
+    document by LM surprise (the stupid-backoff bigram score above) and
+    cut the corpus into perplexity TERTILES — head (most fluent) is
+    what CCNet publishes as its highest-quality slice.
+
+    The cut is ``ntile(3)`` over (mean_nll, doc_id) — exact integer
+    window semantics with a total-order tiebreak, NOT an interpolated
+    percentile threshold, so the bucket assignment is value-identical
+    across engines (no float-boundary flips) and across reruns. One
+    extra single-column shuffle over the scorer's output; at corpus
+    scale the same cut runs as a 2-pass approx-quantile gate, but the
+    exact form IS the published semantics and is what the oracle pins.
+    """
+    scored = q_bigram_logprob(spark, sf_dir)
+    w = Window.orderBy("mean_nll", "doc_id")
+    return scored.select(
+        "doc_id",
+        "mean_nll",
+        F.element_at(
+            F.lit(["head", "middle", "tail"]), F.ntile(3).over(w)
+        ).alias("bucket"),
+    )
+
+
+SQL_CCNET_BUCKETS = f"""
+with scored as ({SQL_BIGRAM_LOGPROB.strip()})
+select doc_id, mean_nll,
+       (['head', 'middle', 'tail'])[ntile(3) over (order by mean_nll, doc_id)] bucket
+from scored
+"""
+
+
+# ---------------------------------------------------------------------------
 # Repeated n-gram span coverage (exact-substring-dedup analog)
 # ---------------------------------------------------------------------------
 
@@ -1026,6 +1189,8 @@ CURATION_QUERIES = {
     "source_cap": q_source_cap,
     "stratified_sample": q_stratified_sample,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
+    "ccnet_buckets": q_ccnet_buckets,
     "dup_ngram_spans": q_dup_ngram_spans,
     "dup_ngram_spans_bcast": q_dup_ngram_spans_bcast,
     "block_dedup": q_block_dedup,
@@ -1043,6 +1208,8 @@ CURATION_ORACLES = {
     "source_cap": SQL_SOURCE_CAP,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "bigram_logprob": SQL_BIGRAM_LOGPROB,
+    "ccnet_buckets": SQL_CCNET_BUCKETS,
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "dup_ngram_spans_bcast": SQL_DUP_NGRAM_SPANS,
     "block_dedup": SQL_BLOCK_DEDUP,
