@@ -154,7 +154,7 @@ def get_word_info(text: str) -> list[tuple[str, str, int, int]]:
     return out
 
 
-@dataclass
+@dataclass(slots=True)
 class Span:
     """A merged output span (one 'text line' analog)."""
 
@@ -176,43 +176,38 @@ def ctc_collapse_blocks(blocks) -> list[Span]:
       like blank removal follows repeat removal in the reference
       (selection order at rec_postprocess.py:150-152).
 
+    Implemented as a maximal-run scan (value-identical to the
+    flush-per-boundary form it replaced; most runs have length 1 and
+    take the copy-free branch — the collapse was ~8% of single-thread
+    extract CPU on heavy pages).
+
     ``blocks`` elements need: block_id, start, end, text, score, parent_id.
     """
     spans: list[Span] = []
-    run: list = []
-
-    def flush():
-        if not run:
-            return
-        first = run[0]
-        if first.text == "":  # blank token: dropped, like ignored_tokens
-            run.clear()
-            return
-        total = 0.0
-        end = first.end
-        for b in run:
-            total += b.score
-            if b.end > end:
-                end = b.end
-        spans.append(
-            Span(
-                block_id=first.block_id,
-                start=first.start,
-                end=end,
-                score=total / len(run),
-                text=first.text,
-                parent_id=first.parent_id,
-            )
-        )
-        run.clear()
-
-    prev_text = None
-    for b in blocks:
-        if prev_text is not None and b.text == prev_text:
-            run.append(b)
-        else:
-            flush()
-            run.append(b)
-        prev_text = b.text
-    flush()
+    n = len(blocks)
+    i = 0
+    while i < n:
+        first = blocks[i]
+        t = first.text
+        j = i + 1
+        while j < n and blocks[j].text == t:
+            j += 1
+        if t != "":  # blank token run: dropped, like ignored_tokens
+            if j == i + 1:
+                spans.append(
+                    Span(first.block_id, first.start, first.end,
+                         first.score, t, first.parent_id)
+                )
+            else:
+                total = 0.0
+                end = first.end
+                for b in blocks[i:j]:
+                    total += b.score
+                    if b.end > end:
+                        end = b.end
+                spans.append(
+                    Span(first.block_id, first.start, end,
+                         total / (j - i), t, first.parent_id)
+                )
+        i = j
     return spans
