@@ -177,12 +177,15 @@ def tokenize_page(html: bytes, cfg: PipelineConfig = DEFAULT) -> list[Block]:
     out: list[Block] = []
     layout_pages = 0
 
+    pad = cfg.unclip_pad
+    doc_len = len(doc)
+
     def emit(tag, depth, start, end, text, text_len, link_len, branch,
              layout="", own_text_len=None, own_link_len=None):
-        if cfg.unclip_pad:
+        if pad:
             # unclip/expand analog: widen the span, clip to the doc
-            start = max(0, start - cfg.unclip_pad)
-            end = min(len(doc), end + cfg.unclip_pad)
+            start = max(0, start - pad)
+            end = min(doc_len, end + pad)
         bid = len(out)
         out.append(
             Block(
@@ -194,8 +197,10 @@ def tokenize_page(html: bytes, cfg: PipelineConfig = DEFAULT) -> list[Block]:
         )
         return bid
 
+    slow_score = cfg.score_mode == "slow"
+    chunk_limit = cfg.chunk_limit
     for m in _TOP_RE.finditer(doc):
-        tag, attrs, inner = m.group(1), m.group(2), m.group(3)
+        tag, attrs, inner = m.group(1, 2, 3)
         start, end = m.start(), m.end()
 
         if tag == "div" and "layout" in attrs:
@@ -262,7 +267,7 @@ def tokenize_page(html: bytes, cfg: PipelineConfig = DEFAULT) -> list[Block]:
 
         raw_vis = _visible(inner)
         link_len = _link_len(inner)
-        if len(raw_vis) > cfg.chunk_limit and link_len == 0:
+        if len(raw_vis) > chunk_limit and link_len == 0:
             parent = len(out)
             for ci, (cs, ce) in enumerate(_chunk_cuts(raw_vis, cfg)):
                 bid = emit(
@@ -277,7 +282,7 @@ def tokenize_page(html: bytes, cfg: PipelineConfig = DEFAULT) -> list[Block]:
         # when slow scoring asks for them (~13% of tokenizer CPU on
         # heavy pages); fast mode uses the subtree counters, so the
         # own_* fields just mirror them there.
-        if cfg.score_mode == "slow":
+        if slow_score:
             own_inner = _NESTED_BLOCK_RE.sub("", inner)
             own_text_len = len(_visible(own_inner))
             own_link_len = _link_len(own_inner)
