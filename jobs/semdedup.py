@@ -14,6 +14,14 @@ Usage:
         --input <embeddings.parquet> --output <dir> \
         [--target-cluster-size 4096] [--tau 0.4] [--refine-iters 2] \
         [--k N]  (explicit k overrides the corpus-size pick)
+
+Steady-state (daily) surface — the semantic twin of jobs/dedup.py
+--store: pass ``--store <dir>``. The first run seeds the store (batch
+SemDeDup + persist the frozen quantizer and kept-vector signatures);
+later runs admit the batch incrementally in O(batch + collisions) —
+new vectors are assigned to the STORED centroids, compared only
+against bucket-colliding kept vectors, then batch-internally deduped
+with the same keep-min-id rule. Re-running an admitted batch admits 0.
 """
 
 from __future__ import annotations
@@ -77,10 +85,52 @@ def run_semdedup(
     )
 
 
+def run_semdedup_store(
+    spark,
+    input_path: str,
+    output_dir: str,
+    store_dir: str,
+    target_cluster_size: int = 4096,
+    k: int | None = None,
+    tau: float = 0.4,
+    refine_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Steady-state path: seed on first run, admit incrementally after."""
+    from paddleocr_spark.functions import semdedup_store as S
+
+    df = spark.read.parquet(input_path)
+    if not S.store_exists(store_dir):
+        stats = S.seed_semantic_store(
+            df,
+            store_dir,
+            target_cluster_size=target_cluster_size,
+            k=k,
+            tau=tau,
+            refine_iters=refine_iters,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    else:
+        admitted, stats = S.admit_against_semantic_store(
+            spark, store_dir, df, id_col=id_col, vec_col=vec_col
+        )
+        adm_path = os.path.join(output_dir, "admitted")
+        admitted.select(id_col, "cluster").write.mode("overwrite").parquet(adm_path)
+        S.append_admitted(admitted, store_dir, vec_col=vec_col, id_col=id_col)
+        stats["admitted_path"] = adm_path
+    stats["store_total"] = S.read_store_vectors(spark, store_dir).count()
+    stats["store_dir"] = store_dir
+    return stats
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
+    ap.add_argument("--store", default=None,
+                    help="signature-store dir: seed on first run, admit after")
     ap.add_argument("--target-cluster-size", type=int, default=4096)
     ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--tau", type=float, default=0.4)
@@ -93,17 +143,31 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("paddleocr-spark-semdedup").getOrCreate()
     t0 = time.time()
-    stats = run_semdedup(
-        spark,
-        args.input,
-        args.output,
-        target_cluster_size=args.target_cluster_size,
-        k=args.k,
-        tau=args.tau,
-        refine_iters=args.refine_iters,
-        id_col=args.id_col,
-        vec_col=args.vec_col,
-    )
+    if args.store:
+        stats = run_semdedup_store(
+            spark,
+            args.input,
+            args.output,
+            args.store,
+            target_cluster_size=args.target_cluster_size,
+            k=args.k,
+            tau=args.tau,
+            refine_iters=args.refine_iters,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
+    else:
+        stats = run_semdedup(
+            spark,
+            args.input,
+            args.output,
+            target_cluster_size=args.target_cluster_size,
+            k=args.k,
+            tau=args.tau,
+            refine_iters=args.refine_iters,
+            id_col=args.id_col,
+            vec_col=args.vec_col,
+        )
     stats["wall_sec"] = round(time.time() - t0, 3)
     print(json.dumps(stats))
     spark.stop()

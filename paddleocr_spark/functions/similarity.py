@@ -861,6 +861,7 @@ def semantic_dedup_scaled(
     coarse_k: int | None = None,
     nprobe: int = 2,
     two_level_threshold: int = 2048,
+    model_out: dict | None = None,
 ) -> DataFrame:
     """SemDeDup at corpus scale — the production parameterization of
     `semantic_dedup`, which that function's docstring promises: k is
@@ -969,6 +970,11 @@ def semantic_dedup_scaled(
         assigned = e.select(
             id_col, vec_col, "__nrm", (-best["nc"]).cast("bigint").alias("cluster")
         )
+    if model_out is not None:
+        # expose the trained quantizer + assignment for callers that
+        # persist the model (functions/semdedup_store.seed_semantic_store)
+        model_out["cents"] = cents
+        model_out["assigned"] = assigned
     sigs = _with_band_buckets(assigned, vec_col, n_planes, n_tables)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
