@@ -353,6 +353,56 @@ def _bigram_stream(df: DataFrame) -> DataFrame:
     )
 
 
+def bigram_lm_tables(train: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train a stupid-backoff bigram LM: -> (uni counts over hw, bigram
+    counts over hb, 1-row total). All three are map-side-partial
+    groupBys over 8-byte hashed keys — vocab-sized tables, never the
+    corpus."""
+    ttoks = train.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).select(F.xxhash64("w").alias("hw"))
+    uni = ttoks.groupBy("hw").agg(F.count("*").alias("c"))
+    total = ttoks.agg(F.count("*").alias("t_tokens"))
+    bi = _bigram_stream(train).groupBy("hb").agg(F.count("*").alias("n_b"))
+    return uni, bi, total
+
+
+def score_against_bigram_lm(
+    docs: DataFrame, uni: DataFrame, bi: DataFrame, total: DataFrame
+) -> DataFrame:
+    """Score documents under a TRAINED stupid-backoff bigram LM ->
+    (doc_id, mean_nll, n_bigrams). The LM tables arrive as inputs so
+    the batch query, the streaming twin, and a real
+    trained-model-table deployment all share this one plan. ``docs``
+    may be a streaming frame: every join here is stream-static and a
+    document's bigrams never leave its micro-batch."""
+    u1 = uni.select(F.col("hw").alias("h1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("hw").alias("h2"), F.col("c").alias("c2"))
+    prob = (
+        F.when(
+            F.col("n_b").isNotNull(),
+            F.col("n_b").cast("double") / F.col("c1").cast("double"),
+        )
+        .otherwise(
+            F.lit(0.4)
+            * F.coalesce(F.col("c2"), F.lit(1)).cast("double")
+            / F.col("t_tokens").cast("double")
+        )
+    )
+    return (
+        _bigram_stream(docs)
+        .join(bi, "hb", "left")
+        .join(u1, "h1", "left")
+        .join(u2, "h2", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.avg(-F.log(prob)), 6).alias("mean_nll"),
+            F.count("*").alias("n_bigrams"),
+        )
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean surprise under a STUPID-BACKOFF bigram LM
     (Brants et al. 2007, "Large Language Models in Machine Translation"
@@ -375,42 +425,13 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables join back to the scoring stream (vocab-sized — AQE
     broadcasts at test SF, shuffle-joins at corpus scale), T by a
     1-row broadcast cross join, one final doc_id aggregation. No UDFs,
-    no driver actions; gram text never shuffles.
+    no driver actions; gram text never shuffles. Streaming twin:
+    `streaming/lm_gate.py` scores a document stream against the same
+    tables (parity-tested).
     """
     d = _t(spark, sf_dir, "documents")
-    train = d.filter(F.col("doc_id") % 2 == 0)
-    ttoks = train.select(
-        F.explode(F.split("text", " ")).alias("w")
-    ).select(F.xxhash64("w").alias("hw"))
-    uni = ttoks.groupBy("hw").agg(F.count("*").alias("c"))
-    total = ttoks.agg(F.count("*").alias("t_tokens"))
-    bi = _bigram_stream(train).groupBy("hb").agg(F.count("*").alias("n_b"))
-
-    u1 = uni.select(F.col("hw").alias("h1"), F.col("c").alias("c1"))
-    u2 = uni.select(F.col("hw").alias("h2"), F.col("c").alias("c2"))
-    prob = (
-        F.when(
-            F.col("n_b").isNotNull(),
-            F.col("n_b").cast("double") / F.col("c1").cast("double"),
-        )
-        .otherwise(
-            F.lit(0.4)
-            * F.coalesce(F.col("c2"), F.lit(1)).cast("double")
-            / F.col("t_tokens").cast("double")
-        )
-    )
-    return (
-        _bigram_stream(d)
-        .join(bi, "hb", "left")
-        .join(u1, "h1", "left")
-        .join(u2, "h2", "left")
-        .crossJoin(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.avg(-F.log(prob)), 6).alias("mean_nll"),
-            F.count("*").alias("n_bigrams"),
-        )
-    )
+    uni, bi, total = bigram_lm_tables(d.filter(F.col("doc_id") % 2 == 0))
+    return score_against_bigram_lm(d, uni, bi, total)
 
 
 SQL_BIGRAM_LOGPROB = """
