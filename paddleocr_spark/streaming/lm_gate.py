@@ -1,0 +1,72 @@
+"""Streaming LM quality gate: score documents against a FROZEN bigram
+LM as they are ingested.
+
+The streaming twin of `queries_curation.q_bigram_logprob`: the LM
+tables (unigram counts, bigram counts, total) are trained ONCE on a
+reference corpus and arrive as static batch frames; each micro-batch
+of incoming documents runs the SAME scoring plan
+(`score_against_bigram_lm` — stream-static joins + a per-doc mean) and
+appends its scores to the sink. Because a document's bigrams are
+derived from its own single input row, the per-doc aggregation never
+spans micro-batches — so the job runs under ``foreachBatch`` with ZERO
+cross-batch state (no watermark, no state store), the honest
+unbounded-stream shape: per-day cost is O(day's documents), memory is
+O(micro-batch).
+
+This is the admission-time deployment of the CCNet-style perplexity
+gate: the batch query computes corpus tertiles after the fact; the
+stream scores each arriving document immediately (the head/middle/tail
+cut is then a threshold lookup against the published tertile bounds —
+thresholds are data, not state).
+
+Reference analog: none — the reference has no streaming surface
+(SURVEY.md §2.10); this extends the same LM-gate semantics the batch
+driver query pins against DuckDB.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from paddleocr_spark.queries_curation import score_against_bigram_lm
+from paddleocr_spark.streaming.events import await_drain
+
+
+def run_lm_gate_stream(
+    spark: SparkSession,
+    input_dir: str,
+    uni: DataFrame,
+    bi: DataFrame,
+    total: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source document stream -> per-micro-batch LM scoring ->
+    append-mode parquet sink. The LM frames must be static (batch)
+    DataFrames; scores are written exactly once per doc per batch
+    (foreachBatch + checkpoint gives the standard replay guard).
+    Returns the accumulated scores after the stream drains.
+    `max_files_per_trigger=1` forces multi-batch execution so tests
+    exercise the batch-boundary independence claim."""
+    schema = spark.read.parquet(input_dir).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.parquet(input_dir)
+
+    def commit(batch: DataFrame, batch_id: int) -> None:
+        score_against_bigram_lm(batch, uni, bi, total).write.mode(
+            "append"
+        ).parquet(os.path.join(out_dir, "scores"))
+
+    q = (
+        src.writeStream.foreachBatch(commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_drain(q, 180)
+    return spark.read.parquet(os.path.join(out_dir, "scores"))

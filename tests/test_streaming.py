@@ -536,3 +536,37 @@ def test_recrawl_stream_upserts_exactly_once(spark, smoke_dir, tmp_path):
     assert old.count() == 40
     assert old.filter(F.col("lang") == "xx").count() == 0
     base.unpersist()
+
+
+def test_lm_gate_stream_matches_batch_multibatch(spark, tmp_path):
+    """Streaming bigram-LM scoring == the batch oracle-checked query:
+    the LM is trained once (static side), the document stream drains
+    one file per micro-batch over 4 files, and the appended scores are
+    value-identical to q_bigram_logprob — demonstrating the
+    zero-cross-batch-state claim (per-doc scores are batch-local)."""
+    import paddleocr_spark.queries as Q
+    from paddleocr_spark.queries_curation import bigram_lm_tables
+    from paddleocr_spark.streaming.lm_gate import run_lm_gate_stream
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = str(tmp_path / "docs_in")
+    docs.repartition(4).write.parquet(src)
+
+    uni, bi, total = bigram_lm_tables(docs.filter(F.col("doc_id") % 2 == 0))
+    got_df = run_lm_gate_stream(
+        spark,
+        src,
+        uni,
+        bi,
+        total,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    got = {r["doc_id"]: (r["mean_nll"], r["n_bigrams"]) for r in got_df.collect()}
+    want = {
+        r["doc_id"]: (r["mean_nll"], r["n_bigrams"])
+        for r in Q.QUERIES["bigram_logprob"](spark, SF_DIR).collect()
+    }
+    assert got == want and len(want) > 0
