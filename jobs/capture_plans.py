@@ -355,6 +355,21 @@ def main():
         formatted(q_line_confidence(spark, SF)),
     ))
 
+    from paddleocr_spark.queries_curation import q_bigram_logprob
+
+    sections.append((
+        "Stupid-backoff bigram LM scoring (bigram_logprob)",
+        "Pair arrays are built IN-EXPRESSION (transform over a slice of "
+        "the split array — no window, no positional self-join) and gram "
+        "text never shuffles: everything past the Generate carries "
+        "multi-arg xxhash64 keys. The uni/bigram count tables are "
+        "map-side-partial groupBys that join back to the scoring stream "
+        "(AQE broadcasts them at this SF; at corpus vocab they "
+        "shuffle-join), T rides a 1-row broadcast cross join, and the "
+        "only per-doc exchange is the final mean aggregation.",
+        formatted(q_bigram_logprob(spark, SF)),
+    ))
+
     out = ["# PLANS — captured physical plans (regenerate: `python jobs/capture_plans.py`)\n"]
     for title, note, plan in sections:
         plan = re.sub(r"file:[^\s,\]]*", "file:<elided>", plan)

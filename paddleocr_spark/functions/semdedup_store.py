@@ -152,7 +152,9 @@ def seed_semantic_store(
         model_out=model,
     )
     kept_ids = decisions.filter(F.col("kept") == 1).select(id_col)
-    kept = model["assigned"].join(F.broadcast(kept_ids), id_col, "left_semi")
+    # kept is O(corpus) — a plain semi-join (shuffle at scale), never a
+    # broadcast of the kept-id set
+    kept = model["assigned"].join(kept_ids, id_col, "left_semi")
     vecs = kept.select(
         F.col(id_col).cast("bigint").alias("vec_id"),
         F.col("cluster").cast("bigint").alias("cluster"),
@@ -226,9 +228,13 @@ def admit_against_semantic_store(
         F.col(vec_col).alias("__nv"),
         F.col("__nrm").alias("__nn"),
     )
+    # (pairs ⋈ hit_vecs) is collision-bounded — the small side of the
+    # verify join. new_vecs carries the batch's embeddings (batch × dim
+    # floats — broadcastable for a daily batch only when small), so the
+    # hint goes on the collision side and AQE keeps the batch streaming.
     rejected = (
-        pairs.join(hit_vecs, "vec_id")
-        .join(F.broadcast(new_vecs), "new_id")
+        F.broadcast(pairs.join(hit_vecs, "vec_id"))
+        .join(new_vecs, "new_id")
         .withColumn(
             "cos",
             F.round(dot(F.col("embedding"), F.col("__nv")) / (F.col("nrm") * F.col("__nn")), 6),
