@@ -312,3 +312,80 @@ def test_link_len_fast_path_is_exact(parts):
     )
     want = sum(len(_TAG_RE.sub("", m)) for m in _A_RE.findall(inner))
     assert _link_len(inner) == want
+
+
+# ---------------------------------------------------------------------------
+# ctc_collapse_blocks: the run-scan rewrite must equal the original
+# flush-per-boundary algorithm on ALL block sequences (the same
+# equivalence-locking discipline as the tokenizer fast paths above).
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dc
+
+from paddleocr_spark.core.text import Span, ctc_collapse_blocks
+
+
+@_dc
+class _Blk:
+    block_id: int
+    start: int
+    end: int
+    text: str
+    score: float
+    parent_id: int
+
+
+def _ctc_collapse_reference(blocks):
+    """The pre-rewrite flush-based implementation, verbatim semantics
+    (kept here as the property-test oracle)."""
+    spans, run = [], []
+
+    def flush():
+        if not run:
+            return
+        first = run[0]
+        if first.text == "":
+            run.clear()
+            return
+        total = 0.0
+        end = first.end
+        for b in run:
+            total += b.score
+            if b.end > end:
+                end = b.end
+        spans.append(Span(first.block_id, first.start, end,
+                          total / len(run), first.text, first.parent_id))
+        run.clear()
+
+    prev_text = None
+    for b in blocks:
+        if prev_text is not None and b.text == prev_text:
+            run.append(b)
+        else:
+            flush()
+            run.append(b)
+        prev_text = b.text
+    flush()
+    return spans
+
+
+_blk_st = st.lists(
+    st.builds(
+        _Blk,
+        block_id=st.integers(0, 50),
+        start=st.integers(0, 1000),
+        end=st.integers(0, 1000),
+        # tiny alphabet + '' so adjacent repeats and blank runs are common
+        text=st.sampled_from(["", "a", "b", "ab", "c"]),
+        score=st.floats(min_value=0.0, max_value=1.0,
+                        allow_nan=False, allow_infinity=False),
+        parent_id=st.integers(0, 50),
+    ),
+    max_size=40,
+)
+
+
+@given(_blk_st)
+@settings(max_examples=300, deadline=None)
+def test_ctc_collapse_rewrite_equals_flush_original(blocks):
+    assert ctc_collapse_blocks(blocks) == _ctc_collapse_reference(blocks)
