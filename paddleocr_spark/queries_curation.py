@@ -333,14 +333,13 @@ def _bigram_stream(df: DataFrame) -> DataFrame:
     pairs (slice length 0) and drop out of the scored output.
     """
     return (
-        df.select(
+        df.select("doc_id", F.split("text", " ").alias("__ws"))
+        .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(slice(split(text, ' '), 1, "
-                    "greatest(size(split(text, ' ')) - 1, 0)), "
-                    "(w, i) -> struct(w as w1, "
-                    "element_at(split(text, ' '), i + 2) as w2))"
+                    "transform(slice(__ws, 1, greatest(size(__ws) - 1, 0)), "
+                    "(w, i) -> struct(w as w1, element_at(__ws, i + 2) as w2))"
                 )
             ).alias("bg"),
         )
@@ -479,8 +478,10 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile threshold, so the bucket assignment is value-identical
     across engines (no float-boundary flips) and across reruns. One
     extra single-column shuffle over the scorer's output; at corpus
-    scale the same cut runs as a 2-pass approx-quantile gate, but the
-    exact form IS the published semantics and is what the oracle pins.
+    scale the same cut runs threshold-style via `ccnet_buckets_scaled`
+    (approx_percentile sketch + broadcast comparisons — no global
+    window), but the exact form IS the published semantics and is what
+    the oracle pins.
     """
     scored = q_bigram_logprob(spark, sf_dir)
     w = Window.orderBy("mean_nll", "doc_id")
@@ -499,6 +500,32 @@ select doc_id, mean_nll,
        (['head', 'middle', 'tail'])[ntile(3) over (order by mean_nll, doc_id)] bucket
 from scored
 """
+
+
+def ccnet_buckets_scaled(scored: DataFrame, rel_err: float = 0.001) -> DataFrame:
+    """The 100 TB form of the tertile cut: two tiny threshold values
+    from a mergeable `approx_percentile` sketch (one pass, fixed-size
+    per-partition state) broadcast back over the scored frame — no
+    global window, no single-partition sort. This is how CCNet itself
+    cuts (thresholds computed once on a sample, then applied as plain
+    comparisons). Bucket sizes deviate from exact tertiles only within
+    the sketch's rank error (asserted in tests/test_approx.py's
+    discipline by test_ccnet_buckets_scaled_near_tertiles)."""
+    thr = scored.agg(
+        F.expr(
+            f"approx_percentile(mean_nll, array(1.0d/3, 2.0d/3), {int(1/rel_err)})"
+        ).alias("t")
+    ).select(
+        F.element_at("t", 1).alias("t1"), F.element_at("t", 2).alias("t2")
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id",
+        "mean_nll",
+        F.when(F.col("mean_nll") <= F.col("t1"), F.lit("head"))
+        .when(F.col("mean_nll") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
 
 
 # ---------------------------------------------------------------------------

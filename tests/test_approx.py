@@ -42,3 +42,30 @@ def test_approx_percentile_close_to_exact(spark):
     ).collect()[0]
     for ex, ap in zip(row["ex"], row["ap"]):
         assert abs(ap - ex) / ex <= 0.02, (ex, ap)
+
+
+def test_ccnet_buckets_scaled_near_tertiles(spark):
+    """The threshold-style bucket cut (approx_percentile sketch +
+    broadcast comparisons — the no-global-window 100 TB form) must
+    agree with the exact ntile tertiles everywhere except a thin band
+    around the two thresholds: bucket sizes within 2% of n/3, and
+    per-doc agreement with the oracle-checked exact cut >= 99%."""
+    from paddleocr_spark.queries_curation import (
+        ccnet_buckets_scaled,
+        q_bigram_logprob,
+        q_ccnet_buckets,
+    )
+
+    sf = SF_DIR.replace("sf0.001", "sf0.01")
+    scored = q_bigram_logprob(spark, sf)
+    got = {r["doc_id"]: r["bucket"] for r in ccnet_buckets_scaled(scored).collect()}
+    exact = {r["doc_id"]: r["bucket"] for r in q_ccnet_buckets(spark, sf).collect()}
+    n = len(exact)
+    assert n > 0 and len(got) == n
+    from collections import Counter
+
+    sizes = Counter(got.values())
+    for b in ("head", "middle", "tail"):
+        assert abs(sizes[b] - n / 3) <= max(2, 0.02 * n), sizes
+    agree = sum(1 for k in exact if got[k] == exact[k])
+    assert agree / n >= 0.99, (agree, n)
