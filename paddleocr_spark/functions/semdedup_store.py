@@ -283,6 +283,39 @@ def admit_against_semantic_store(
     return admitted, stats
 
 
+def reseed_semantic_store(
+    corpus: DataFrame,
+    store_dir: str,
+    **seed_kwargs,
+) -> dict:
+    """Periodic retrain against quantizer drift: as the corpus
+    distribution shifts, the day-0 centroids describe it less well and
+    cluster populations skew (admission stays CORRECT — collisions are
+    verified by exact cosine — but the banding does less work per
+    probe). The production cadence is to rebuild the store from the
+    CURRENT kept corpus every N days: build into ``<store>.next``, then
+    swap directories (build-then-swap, so readers never see a
+    half-built store; a crash leaves either the old store intact or a
+    completed ``.next`` a rerun promotes). Admissions between the
+    snapshot and the swap replay into the new store by rerunning the
+    day's batches — the same catch-up discipline as jobs/daily.py."""
+    import shutil
+
+    nxt = store_dir.rstrip("/") + ".next"
+    if os.path.exists(nxt):
+        shutil.rmtree(nxt)
+    stats = seed_semantic_store(corpus, nxt, **seed_kwargs)
+    old = store_dir.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(store_dir):
+        os.rename(store_dir, old)
+    os.rename(nxt, store_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    stats["mode"] = "reseed"
+    return stats
+
+
 def append_admitted(
     admitted: DataFrame, store_dir: str, vec_col: str = "embedding",
     id_col: str = "vec_id",

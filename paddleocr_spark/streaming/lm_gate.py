@@ -45,10 +45,11 @@ def run_lm_gate_stream(
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """File-source document stream -> per-micro-batch LM scoring ->
-    append-mode parquet sink. The LM frames must be static (batch)
-    DataFrames; scores are written exactly once per doc per batch
-    (foreachBatch + checkpoint gives the standard replay guard).
-    Returns the accumulated scores after the stream drains.
+    batch-id-keyed parquet sink. The LM frames must be static (batch)
+    DataFrames. foreachBatch replays are possible after a mid-batch
+    crash, so each batch overwrites its own ``batch=<id>`` directory —
+    idempotent under replay (exactly-once OUTPUT, at-least-once
+    execution). Returns the accumulated scores after the stream drains.
     `max_files_per_trigger=1` forces multi-batch execution so tests
     exercise the batch-boundary independence claim."""
     schema = spark.read.parquet(input_dir).schema
@@ -58,9 +59,12 @@ def run_lm_gate_stream(
     src = reader.parquet(input_dir)
 
     def commit(batch: DataFrame, batch_id: int) -> None:
+        # foreachBatch is at-least-once on crash replay; overwriting the
+        # batch's OWN partition directory makes the replay idempotent
+        # (the standard batch-id-keyed sink recipe, streaming/ingest.py).
         score_against_bigram_lm(batch, uni, bi, total).write.mode(
-            "append"
-        ).parquet(os.path.join(out_dir, "scores"))
+            "overwrite"
+        ).parquet(os.path.join(out_dir, "scores", f"batch={batch_id}"))
 
     q = (
         src.writeStream.foreachBatch(commit)

@@ -122,3 +122,31 @@ def test_job_surface_seed_then_admit(spark, tmp_path):
     assert (
         spark.read.parquet(s2["admitted_path"]).count() == 0
     )
+
+
+def test_reseed_swaps_in_a_working_store(spark, seeded_store, tmp_path):
+    store, seed_stats = seeded_store
+    # grow the store a bit first
+    batch = _frame(spark, [(4_000 + i, _vec(555_000 + i)) for i in range(6)])
+    admitted, _ = S.admit_against_semantic_store(spark, store, batch)
+    S.append_admitted(admitted, store)
+
+    # reseed from a NEW corpus: old signatures must be gone, the new
+    # store must admit against the new corpus only
+    corpus2 = _frame(spark, [(9_000 + i, _vec(111_000 + i)) for i in range(60)])
+    stats = S.reseed_semantic_store(
+        corpus2, store, target_cluster_size=16, tau=TAU, refine_iters=1
+    )
+    assert stats["mode"] == "reseed"
+    total = S.read_store_vectors(spark, store).count()
+    assert total == stats["admitted"] <= 60
+    ids = {r["vec_id"] for r in S.read_store_vectors(spark, store).collect()}
+    assert ids <= set(range(9_000, 9_060))  # nothing from the old store
+    # a dup of the NEW corpus is rejected; the old corpus' vector is novel now
+    stored = S.read_store_vectors(spark, store).orderBy("vec_id").first()
+    probe = _frame(
+        spark,
+        [(5_000, [float(x) for x in stored["embedding"]]), (5_001, _vec(0))],
+    )
+    _, st2 = S.admit_against_semantic_store(spark, store, probe)
+    assert st2["rejected_corpus"] == 1 and st2["admitted"] == 1
