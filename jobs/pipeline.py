@@ -25,6 +25,13 @@ as one resumable Spark job):
                  upstream model embeddings: k from corpus size,
                  LSH-bounded within-cluster scan
                  (functions/similarity.semantic_dedup_scaled)
+  3.8 LM gate  (opt-in, --lm-ref) — CCNet-style perplexity cut: a
+                 stupid-backoff bigram LM trains on the reference
+                 corpus (the target-domain side, e.g. a Wikipedia
+                 slice), every surviving doc is scored, and the worst
+                 (tail) tertile is dropped via approx-quantile
+                 thresholds — no global window; scores + buckets are
+                 persisted for audit
   4. split     — deterministic content-hash train/val/test assignment
                  (pure function of url: stable across runs, reshards
                  and cluster sizes), written partitioned by split
@@ -90,6 +97,7 @@ def run_pipeline(
     semdedup_embeddings: str | None = None,
     semdedup_tau: float = 0.95,
     semdedup_cluster_size: int = 4096,
+    lm_ref_path: str | None = None,
 ) -> dict:
     from pyspark.sql import functions as F
 
@@ -218,6 +226,46 @@ def run_pipeline(
         n_corpus = n_sem
         timings["semdedup_s"] = round(time.monotonic() - t0, 3)
 
+    # -- 3.8 LM perplexity gate (optional, vs a reference corpus) -----
+    # CCNet's cut: train the stupid-backoff bigram LM on the TARGET-
+    # DOMAIN reference (not the corpus itself — that would score
+    # everything fluent), score every surviving doc, drop the tail
+    # tertile via the threshold-style cut (approx_percentile sketch +
+    # broadcast comparisons; no global window). Scores and buckets are
+    # persisted under lm_scores/ so the cut is auditable.
+    n_lm_dropped = 0
+    if lm_ref_path:
+        t0 = time.monotonic()
+        from paddleocr_spark.queries_curation import (
+            bigram_lm_tables,
+            ccnet_buckets_scaled,
+            score_against_bigram_lm,
+        )
+
+        ref = (
+            spark.read.parquet(lm_ref_path)
+            .select("text")
+            .withColumn("doc_id", F.xxhash64("text"))
+        )
+        uni, bi, total = bigram_lm_tables(ref)
+        scored = score_against_bigram_lm(
+            corpus.select("doc_id", "text"), uni, bi, total
+        )
+        buckets = ccnet_buckets_scaled(scored)
+        scores_path = os.path.join(output_dir, "lm_scores")
+        buckets.write.mode("overwrite").parquet(scores_path)
+        buckets = spark.read.parquet(scores_path)
+        keep_ids = buckets.filter(F.col("bucket") != "tail").select("doc_id")
+        gated_path = os.path.join(output_dir, "lm_gated")
+        corpus.join(keep_ids, "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(gated_path)
+        corpus = spark.read.parquet(gated_path)
+        n_gated = corpus.count()
+        n_lm_dropped = n_corpus - n_gated
+        n_corpus = n_gated
+        timings["lm_gate_s"] = round(time.monotonic() - t0, 3)
+
     # -- 4. split (deterministic, content-derived) --------------------
     t0 = time.monotonic()
     dataset = corpus.withColumn("split", split_col("doc_id"))
@@ -239,6 +287,7 @@ def run_pipeline(
         n_corpus=n_corpus,
         n_contaminated=n_contaminated,
         n_semantic_dropped=n_semantic_dropped,
+        n_lm_dropped=n_lm_dropped,
         curate_retention=round(n_curated / n_extracted, 4) if n_extracted else None,
         dedup_retention=round((n_corpus + n_contaminated) / n_curated, 4) if n_curated else None,
         splits=split_counts,
@@ -280,6 +329,10 @@ def main(argv=None) -> int:
                          "corpus (k picked from corpus size)")
     ap.add_argument("--semdedup-tau", type=float, default=0.95)
     ap.add_argument("--semdedup-cluster-size", type=int, default=4096)
+    ap.add_argument("--lm-ref", default=None,
+                    help="parquet of reference (target-domain) texts; "
+                         "trains the bigram LM and drops the worst "
+                         "perplexity tertile of the corpus (CCNet cut)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -305,6 +358,7 @@ def main(argv=None) -> int:
         semdedup_embeddings=args.semdedup_embeddings,
         semdedup_tau=args.semdedup_tau,
         semdedup_cluster_size=args.semdedup_cluster_size,
+        lm_ref_path=args.lm_ref,
     )
     manifest["wall_sec"] = round(time.time() - t0, 3)
     print(json.dumps(manifest))

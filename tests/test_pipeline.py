@@ -174,3 +174,57 @@ def test_pipeline_semdedup_stage_drops_planted_semantic_dups(spark, smoke_dir, t
     # exactly one of the planted pair survives (the min id, a < b)
     assert a in survivors and b not in survivors
     assert sum(m["splits"].values()) == m["n_corpus"]
+
+
+def test_pipeline_lm_gate_drops_worst_tertile(spark, smoke_dir, tmp_path):
+    """Opt-in LM gate (CCNet cut): the bigram LM trains on a reference
+    slice of the corpus's own texts, every doc is scored, and the tail
+    tertile is dropped via approx-quantile thresholds. Assertions: the
+    retention is ~2/3, the cut is threshold-separable (every dropped
+    doc scores >= every kept doc's mean_nll up to the two-threshold
+    band), scores are persisted for audit, and accounting stays
+    closed through the split."""
+    out = str(tmp_path / "pipe_lm_base")
+    base = run_pipeline(
+        spark,
+        input_path=os.path.join(smoke_dir, "pages.parquet"),
+        output_dir=out,
+        n_partitions=8,
+        salt=2,
+    )
+    # reference = a deterministic half of the corpus texts (the
+    # target-domain LM side)
+    ref = (
+        spark.read.parquet(os.path.join(out, "corpus"))
+        .filter(F.abs(F.xxhash64("doc_id")) % 2 == 0)
+        .select("text")
+    )
+    ref_path = str(tmp_path / "lm_ref.parquet")
+    ref.write.parquet(ref_path)
+
+    out2 = str(tmp_path / "pipe_lm")
+    m = run_pipeline(
+        spark,
+        input_path=os.path.join(smoke_dir, "pages.parquet"),
+        output_dir=out2,
+        n_partitions=8,
+        salt=2,
+        lm_ref_path=ref_path,
+    )
+    n0 = base["n_corpus"]
+    assert m["n_lm_dropped"] > 0
+    assert m["n_corpus"] == n0 - m["n_lm_dropped"]
+    assert abs(m["n_corpus"] - 2 * n0 / 3) <= max(2, 0.05 * n0)
+    assert sum(m["splits"].values()) == m["n_corpus"]
+
+    scores = spark.read.parquet(os.path.join(out2, "lm_scores"))
+    kept = spark.read.parquet(os.path.join(out2, "lm_gated")).select("doc_id")
+    j = scores.join(kept.withColumn("k", F.lit(1)), "doc_id", "left")
+    max_kept = j.filter("k = 1").agg(F.max("mean_nll")).first()[0]
+    min_dropped = j.filter("k is null").agg(F.min("mean_nll")).first()[0]
+    # threshold cut => strictly separable by mean_nll
+    assert min_dropped >= max_kept
+    # dropped docs are exactly the tail bucket
+    tails = {r["doc_id"] for r in scores.filter("bucket = 'tail'").collect()}
+    dropped = {r["doc_id"] for r in j.filter("k is null").select("doc_id").collect()}
+    assert tails == dropped
