@@ -255,9 +255,13 @@ def run_pipeline(
         scores_path = os.path.join(output_dir, "lm_scores")
         buckets.write.mode("overwrite").parquet(scores_path)
         buckets = spark.read.parquet(scores_path)
-        keep_ids = buckets.filter(F.col("bucket") != "tail").select("doc_id")
+        # anti-join on the TAIL set, not semi-join on the kept set:
+        # docs with < 2 tokens produce no bigrams, are absent from the
+        # scores frame, and must be KEPT (unscorable != low quality) —
+        # a semi-join would silently drop them outside the audit trail.
+        tail_ids = buckets.filter(F.col("bucket") == "tail").select("doc_id")
         gated_path = os.path.join(output_dir, "lm_gated")
-        corpus.join(keep_ids, "doc_id", "left_semi").write.mode(
+        corpus.join(tail_ids, "doc_id", "left_anti").write.mode(
             "overwrite"
         ).parquet(gated_path)
         corpus = spark.read.parquet(gated_path)

@@ -98,9 +98,12 @@ def run_semdedup_store(
     vec_col: str = "embedding",
 ) -> dict:
     """Steady-state path: seed on first run, admit incrementally after."""
+    from pyspark.sql import functions as F
+
     from paddleocr_spark.functions import semdedup_store as S
 
     df = spark.read.parquet(input_path)
+    adm_path = os.path.join(output_dir, "admitted")
     if not S.store_exists(store_dir):
         stats = S.seed_semantic_store(
             df,
@@ -112,14 +115,27 @@ def run_semdedup_store(
             id_col=id_col,
             vec_col=vec_col,
         )
+        # day-0 honors the --output contract too: the admitted set is
+        # the store's kept vectors (ids + clusters, cheap column scan)
+        S.read_store_vectors(spark, store_dir).select(
+            F.col("vec_id").alias(id_col), "cluster"
+        ).write.mode("overwrite").parquet(adm_path)
+        stats["admitted_path"] = adm_path
     else:
         admitted, stats = S.admit_against_semantic_store(
             spark, store_dir, df, id_col=id_col, vec_col=vec_col
         )
-        adm_path = os.path.join(output_dir, "admitted")
         admitted.select(id_col, "cluster").write.mode("overwrite").parquet(adm_path)
         S.append_admitted(admitted, store_dir, vec_col=vec_col, id_col=id_col)
+        admitted.unpersist()
         stats["admitted_path"] = adm_path
+        # admission REUSES the frozen model's parameters; surface them
+        # (and any differing CLI value) instead of silently ignoring
+        m = S._read_model(store_dir)
+        stats["params_from_store"] = dict(tau=m["tau"], n_planes=m["n_planes"],
+                                          n_tables=m["n_tables"])
+        if tau != m["tau"]:
+            stats["ignored_args"] = dict(tau=tau)
     stats["store_total"] = S.read_store_vectors(spark, store_dir).count()
     stats["store_dir"] = store_dir
     return stats

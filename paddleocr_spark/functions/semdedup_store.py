@@ -66,7 +66,28 @@ def _model_path(store_dir: str) -> str:
     return os.path.join(store_dir, "centroids.json")
 
 
+def recover_store(store_dir: str) -> None:
+    """Complete an interrupted `reseed_semantic_store` swap: if the
+    store is missing but a COMPLETED ``.next`` (centroids.json present)
+    exists, promote it; a stale ``.old`` left after a completed swap is
+    removed. Idempotent; called by `store_exists` so every entry point
+    self-heals before dispatching."""
+    import shutil
+
+    nxt = store_dir.rstrip("/") + ".next"
+    old = store_dir.rstrip("/") + ".old"
+    if not os.path.exists(_model_path(store_dir)) and os.path.exists(
+        _model_path(nxt)
+    ):
+        if os.path.exists(store_dir):
+            shutil.rmtree(store_dir)
+        os.rename(nxt, store_dir)
+    if os.path.exists(_model_path(store_dir)):
+        shutil.rmtree(old, ignore_errors=True)
+
+
 def store_exists(store_dir: str) -> bool:
+    recover_store(store_dir)
     return os.path.exists(_model_path(store_dir))
 
 
@@ -94,12 +115,16 @@ def read_store_sigs(spark: SparkSession, store_dir: str) -> DataFrame:
 
 def _assign_to_cents(
     e: DataFrame, cents: list, vec_col: str, id_col: str,
-    two_level_threshold: int, nprobe: int,
+    two_level: bool, nprobe: int,
 ) -> DataFrame:
-    """(id, vec, __nrm, cluster) under the FROZEN centroid set — flat
-    literal argmax below the plan-size threshold, two-level IVF above
-    it (the same dispatch `semantic_dedup_scaled` uses)."""
-    if len(cents) > two_level_threshold:
+    """(id, vec, __nrm, cluster) under the FROZEN centroid set. The
+    flat-vs-two-level dispatch is the one RECORDED at seed time, not
+    re-derived from len(cents): refinement can drop empty clusters
+    below the threshold, and replaying a different (exact) assignment
+    path than the (approximate IVF) one that placed the stored vectors
+    would let an exact duplicate land in a different cluster and skip
+    the collision check entirely."""
+    if two_level:
         return _assign_two_level(e, cents, vec_col, id_col, nprobe=nprobe)
     cents3 = [
         (c, v, math.sqrt(sum(float(x) * float(x) for x in v))) for c, v in cents
@@ -161,24 +186,33 @@ def seed_semantic_store(
         F.col(vec_col).cast("array<float>").alias("embedding"),
         F.col("__nrm").cast("double").alias("nrm"),
     )
-    _append(vecs, store_dir, "vectors")
-    sigs = _with_band_buckets(kept, vec_col, n_planes, n_tables).select(
-        F.col(id_col).cast("bigint").alias("vec_id"),
-        F.col("cluster").cast("bigint").alias("cluster"),
+    # OVERWRITE, not append: a crashed seed (centroids.json is written
+    # LAST, so the store doesn't exist yet) reruns from scratch without
+    # duplicating rows on top of the orphaned first attempt. The write
+    # is also the ONE execution of the expensive dedup plan — sigs and
+    # counts derive from the parquet read-back, never a recompute.
+    vecs.write.mode("overwrite").parquet(os.path.join(store_dir, "vectors"))
+    spark = df.sparkSession
+    vread = read_store_vectors(spark, store_dir)
+    sigs = _with_band_buckets(
+        vread.withColumnRenamed("nrm", "__nrm"), "embedding", n_planes, n_tables
+    ).select(
+        "vec_id", "cluster",
         F.col("__t").cast("int").alias("t"),
         F.col("__b").cast("int").alias("b"),
     )
-    _append(sigs, store_dir, "sigs")
+    sigs.write.mode("overwrite").parquet(os.path.join(store_dir, "sigs"))
     _write_model(
         store_dir,
         model["cents"],
         dict(
             tau=tau, n_planes=n_planes, n_tables=n_tables,
             two_level_threshold=two_level_threshold, nprobe=nprobe,
+            two_level=model["two_level"],
         ),
     )
     n = df.count()
-    n_kept = kept_ids.count()
+    n_kept = vread.count()
     return dict(mode="seed", n_input=n, admitted=n_kept,
                 rejected_corpus=0, rejected_batch=n - n_kept)
 
@@ -201,8 +235,10 @@ def admit_against_semantic_store(
     tau, n_planes, n_tables = m["tau"], m["n_planes"], m["n_tables"]
 
     e = _with_nrm(new, id_col, vec_col)
+    # legacy stores (pre two_level marker) fall back to the threshold rule
+    two_level = m.get("two_level", len(cents) > m["two_level_threshold"])
     assigned = _assign_to_cents(
-        e, cents, vec_col, id_col, m["two_level_threshold"], m["nprobe"]
+        e, cents, vec_col, id_col, two_level, m["nprobe"]
     ).cache()
     new_sigs = _with_band_buckets(assigned, vec_col, n_planes, n_tables).select(
         F.col(id_col).alias("new_id"),
@@ -268,11 +304,18 @@ def admit_against_semantic_store(
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
-    admitted = survivors.join(F.broadcast(batch_dropped), id_col, "left_anti")
+    admitted = survivors.join(
+        F.broadcast(batch_dropped), id_col, "left_anti"
+    ).cache()
 
     n_in = assigned.count()
     n_rej_corpus = rejected.count()
     n_adm = admitted.count()
+    # the batch-sized assignment cache served the three counts above;
+    # the caller only touches the (already-cached, admission-sized)
+    # admitted frame, so release the big one now — a long-lived daily
+    # driver must not accumulate one batch cache per admission call
+    assigned.unpersist()
     stats = dict(
         mode="admit",
         n_input=n_in,
@@ -295,10 +338,14 @@ def reseed_semantic_store(
     probe). The production cadence is to rebuild the store from the
     CURRENT kept corpus every N days: build into ``<store>.next``, then
     swap directories (build-then-swap, so readers never see a
-    half-built store; a crash leaves either the old store intact or a
-    completed ``.next`` a rerun promotes). Admissions between the
-    snapshot and the swap replay into the new store by rerunning the
-    day's batches — the same catch-up discipline as jobs/daily.py."""
+    half-built store). Crash windows: before the swap, the old store is
+    intact (a rerun rebuilds ``.next``); between the two renames, the
+    store is briefly absent but ``.next`` is COMPLETE — `recover_store`
+    (invoked by every `store_exists` dispatch) promotes it, so the next
+    entry point self-heals instead of silently re-seeding from a daily
+    batch. Admissions between the snapshot and the swap replay into the
+    new store by rerunning the day's batches — the same catch-up
+    discipline as jobs/daily.py."""
     import shutil
 
     nxt = store_dir.rstrip("/") + ".next"

@@ -972,9 +972,12 @@ def semantic_dedup_scaled(
         )
     if model_out is not None:
         # expose the trained quantizer + assignment for callers that
-        # persist the model (functions/semdedup_store.seed_semantic_store)
+        # persist the model (functions/semdedup_store.seed_semantic_store);
+        # two_level records the dispatch ACTUALLY used, so admission
+        # against the persisted model replays the identical path
         model_out["cents"] = cents
         model_out["assigned"] = assigned
+        model_out["two_level"] = bool(two_level)
     sigs = _with_band_buckets(assigned, vec_col, n_planes, n_tables)
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (

@@ -228,3 +228,26 @@ def test_pipeline_lm_gate_drops_worst_tertile(spark, smoke_dir, tmp_path):
     tails = {r["doc_id"] for r in scores.filter("bucket = 'tail'").collect()}
     dropped = {r["doc_id"] for r in j.filter("k is null").select("doc_id").collect()}
     assert tails == dropped
+
+
+def test_pipeline_lm_gate_keeps_unscorable_docs(spark, smoke_dir, tmp_path):
+    """A doc with a single token yields no bigrams, is absent from the
+    scores frame, and must be KEPT by the gate (anti-join on the tail
+    set) — never silently dropped outside the lm_scores/ audit trail."""
+    from paddleocr_spark.queries_curation import (
+        bigram_lm_tables,
+        ccnet_buckets_scaled,
+        score_against_bigram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"common words repeat here number {i % 7}") for i in range(60)]
+        + [(999, "solo")],
+        "doc_id bigint, text string",
+    )
+    uni, bi, total = bigram_lm_tables(docs.filter("doc_id % 2 = 0"))
+    scored = score_against_bigram_lm(docs, uni, bi, total)
+    assert scored.filter("doc_id = 999").count() == 0  # unscorable
+    tail = ccnet_buckets_scaled(scored).filter("bucket = 'tail'").select("doc_id")
+    kept = docs.join(tail, "doc_id", "left_anti")
+    assert kept.filter("doc_id = 999").count() == 1

@@ -150,3 +150,27 @@ def test_reseed_swaps_in_a_working_store(spark, seeded_store, tmp_path):
     )
     _, st2 = S.admit_against_semantic_store(spark, store, probe)
     assert st2["rejected_corpus"] == 1 and st2["admitted"] == 1
+
+
+def test_recover_promotes_completed_next_after_crashed_swap(spark, seeded_store, tmp_path):
+    """Simulate the reseed crash window BETWEEN the two renames: the
+    store dir is gone, a completed .next exists. Any entry point's
+    store_exists() must promote .next instead of letting the next
+    daily run silently re-seed from its own batch."""
+    import os
+    import shutil
+
+    store, _ = seeded_store
+    before_ids = {r["vec_id"] for r in S.read_store_vectors(spark, store).collect()}
+    # the "new" store that a crashed reseed had fully built
+    nxt = store.rstrip("/") + ".next"
+    corpus2 = _frame(spark, [(9_500 + i, _vec(222_000 + i)) for i in range(40)])
+    S.seed_semantic_store(corpus2, nxt, target_cluster_size=16, tau=TAU,
+                          refine_iters=1)
+    os.rename(store, store.rstrip("/") + ".old")  # crash: store missing
+
+    assert S.store_exists(store)  # promotion happened
+    assert not os.path.exists(nxt)
+    assert not os.path.exists(store.rstrip("/") + ".old")
+    ids = {r["vec_id"] for r in S.read_store_vectors(spark, store).collect()}
+    assert ids and ids.isdisjoint(before_ids)  # it IS the new store
