@@ -407,12 +407,19 @@ def find_lmdb_envs(data_dir: str) -> list[tuple[str, int]]:
     return out
 
 
-def read_lmdb_dataset(spark, data_dir: str, num_partitions: int = 32):
+def read_lmdb_dataset(
+    spark, data_dir: str, num_partitions: int = 32, sample_ratio: float = 1.0
+):
     """LMDB recognition dataset -> DataFrame(dirpath, idx, image
     binary, label string). 1-based ``label-%09d``/``image-%09d`` keys;
     rows whose label key is missing are skipped (lmdb_dataset.py:
     126-134). The driver reads one key per env; executors mmap the
-    file and point-read only their own index range."""
+    file and point-read only their own index range.
+
+    ``sample_ratio`` is the ``ratio_list`` analog (lmdb_dataset.py:46):
+    the reference randomly subsamples each source; ours gates on a
+    hash of (dirpath, idx) — same expected fraction, deterministic
+    across runs and partitionings (the engine's sampling idiom)."""
     import pandas as pd
     from pyspark.sql import functions as F
 
@@ -437,6 +444,9 @@ def read_lmdb_dataset(spark, data_dir: str, num_partitions: int = 32):
         )
         .select("dirpath", (F.col("id") - F.col("beg") + 1).alias("idx"))
     )
+    if sample_ratio < 1.0:
+        gate = F.pmod(F.xxhash64("dirpath", "idx"), F.lit(1_000_000))
+        idx = idx.filter(gate < int(sample_ratio * 1_000_000))
 
     def fetch(batches):
         readers: dict[str, MdbReader] = {}
@@ -462,3 +472,160 @@ def read_lmdb_dataset(spark, data_dir: str, num_partitions: int = 32):
     return idx.mapInPandas(
         fetch, "dirpath string, idx bigint, image binary, label string"
     )
+
+
+# -- variant datasets (lmdb_dataset.py:158-303) ------------------------------
+
+_SR_VOCABS = {
+    # str_filt alphabets, lmdb_dataset.py:167-179
+    "digit": "0123456789",
+    "lower": "0123456789abcdefghijklmnopqrstuvwxyz",
+    "upper": "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ",
+    "all": (
+        "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~"
+    ),
+}
+
+
+def str_filt(s: str, voc_type: str = "upper") -> str:
+    """`LMDBDataSetSR.str_filt` (lmdb_dataset.py:167-179): lowercase
+    for voc_type='lower', then REMOVE every char outside the vocab
+    (the reference's replace-with-empty loop)."""
+    if voc_type == "lower":
+        s = s.lower()
+    voc = _SR_VOCABS[voc_type]
+    return "".join(c for c in s if c in voc)
+
+
+def read_lmdb_dataset_sr(
+    spark, data_dir: str, num_partitions: int = 32, voc_type: str = "upper",
+    max_len: int = 100,
+):
+    """LMDBDataSetSR analog (super-resolution pairs, lmdb_dataset.py:
+    158-212) -> DataFrame(dirpath, idx, image_hr, image_lr, label).
+    1-based ``label-%09d`` + ``image_hr-%09d``/``image_lr-%09d`` keys;
+    the label passes `str_filt`; rows with a missing key or a label
+    longer than ``max_len`` are skipped (the reference falls through to
+    the next sample — a skip in set semantics). Image bytes stay
+    opaque binary: the PIL decode is environment-blocked, exactly like
+    functions/multimodal's decode boundary."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    envs = find_lmdb_envs(data_dir)
+    total = sum(n for _, n in envs)
+    schema = (
+        "dirpath string, idx bigint, image_hr binary, image_lr binary, "
+        "label string"
+    )
+    if total == 0:
+        return spark.createDataFrame([], schema)
+    rows, beg = [], 0
+    for dirpath, n in envs:
+        rows.append((dirpath, beg, n))
+        beg += n
+    offsets = spark.createDataFrame(rows, "dirpath string, beg bigint, n bigint")
+    idx = (
+        spark.range(0, total, 1, num_partitions)
+        .join(
+            F.broadcast(offsets),
+            (F.col("id") >= F.col("beg")) & (F.col("id") < F.col("beg") + F.col("n")),
+        )
+        .select("dirpath", (F.col("id") - F.col("beg") + 1).alias("idx"))
+    )
+
+    def fetch(batches):
+        readers: dict[str, MdbReader] = {}
+        try:
+            for pdf in batches:
+                out = {"dirpath": [], "idx": [], "image_hr": [],
+                       "image_lr": [], "label": []}
+                for dirpath, i in zip(pdf["dirpath"], pdf["idx"]):
+                    r = readers.get(dirpath)
+                    if r is None:
+                        r = readers[dirpath] = MdbReader(dirpath)
+                    label = r.get(b"label-%09d" % i)
+                    hr = r.get(b"image_hr-%09d" % i)
+                    lr = r.get(b"image_lr-%09d" % i)
+                    if label is None or hr is None or lr is None:
+                        continue
+                    word = label.decode("utf-8")
+                    if len(word) > max_len:
+                        continue
+                    out["dirpath"].append(dirpath)
+                    out["idx"].append(i)
+                    out["image_hr"].append(hr)
+                    out["image_lr"].append(lr)
+                    out["label"].append(str_filt(word, voc_type))
+                yield pd.DataFrame(out)
+        finally:
+            for r in readers.values():
+                r.close()
+
+    return idx.mapInPandas(fetch, schema)
+
+
+def read_lmdb_dataset_tablemaster(spark, data_dir: str, num_partitions: int = 32):
+    """LMDBDataSetTableMaster analog (lmdb_dataset.py:214-303) ->
+    DataFrame(idx, file_name, structure array<string>, bboxes
+    array<array<int>>, image binary). SINGLE env (no hierarchical
+    walk), ``__len__`` key holds the pickled count, sample ``str(i)``
+    keys hold pickled (file_name, image_bytes, info_lines); info_lines
+    parse into structure tokens (line 2, comma-split) + one bbox per
+    remaining line — the same annotation-file split the reference
+    performs. Un-picklable/missing rows are skipped (the reference
+    resamples). Pickle here parses OUR fixture writer's output and the
+    reference's own tool output — the store format is pickled by spec."""
+    import pickle
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    with MdbReader(data_dir) as r:
+        raw = r.get(b"__len__")
+        total = int(pickle.loads(raw)) if raw is not None else 0
+    schema = (
+        "idx bigint, file_name string, structure array<string>, "
+        "bboxes array<array<int>>, image binary"
+    )
+    if total == 0:
+        return spark.createDataFrame([], schema)
+    idx = spark.range(1, total + 1, 1, num_partitions).select(
+        F.col("id").alias("idx")
+    )
+
+    def fetch(batches):
+        r = MdbReader(data_dir)
+        try:
+            for pdf in batches:
+                out = {"idx": [], "file_name": [], "structure": [],
+                       "bboxes": [], "image": []}
+                for i in pdf["idx"]:
+                    raw = r.get(str(int(i)).encode("utf-8"))
+                    if raw is None:
+                        continue
+                    try:
+                        file_name, img, info_lines = pickle.loads(raw)
+                        lines = info_lines.strip().split("\n")
+                        structure = lines[1].split(",")
+                        bboxes = [
+                            [int(x) for x in ln.strip().split(",")]
+                            for ln in lines[2:]
+                        ]
+                    except Exception:
+                        continue
+                    out["idx"].append(int(i))
+                    out["file_name"].append(file_name)
+                    out["structure"].append(structure)
+                    out["bboxes"].append(bboxes)
+                    out["image"].append(img)
+                # an all-skipped batch would materialize the list
+                # columns as empty float64 ndarrays, which Arrow cannot
+                # map to list<string> — yield nothing instead
+                if out["idx"]:
+                    yield pd.DataFrame(out)
+        finally:
+            r.close()
+
+    return idx.mapInPandas(fetch, schema)

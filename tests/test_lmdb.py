@@ -128,3 +128,75 @@ def test_spark_lmdb_dataset(spark, tmp_path):
     assert r["label"] == "text_12"
     assert bytes(r["image"]) == (b"\x89IMG" + (12).to_bytes(4, "big")) * 50
     assert by_key[("set_b", 20)]["label"] == "text_20"
+
+
+def test_spark_lmdb_dataset_sample_ratio(spark, tmp_path):
+    """ratio_list analog: deterministic hash-gated subsampling — same
+    rows on every run and partitioning, fraction near the target."""
+    root = str(tmp_path / "data_r")
+    _make_rec_env(os.path.join(root, "set_a"), 200, missing=set())
+    a = read_lmdb_dataset(spark, root, num_partitions=8, sample_ratio=0.5)
+    b = read_lmdb_dataset(spark, root, num_partitions=3, sample_ratio=0.5)
+    ra = sorted(r["idx"] for r in a.collect())
+    rb = sorted(r["idx"] for r in b.collect())
+    assert ra == rb                       # partitioning-invariant
+    assert 70 <= len(ra) <= 130           # ~0.5 of 200
+
+
+def test_spark_lmdb_dataset_sr(spark, tmp_path):
+    """LMDBDataSetSR keys + str_filt semantics: hr/lr pairs, vocab
+    filtering, over-max_len and missing-key rows skipped."""
+    from paddleocr_spark.sources.lmdb_store import (
+        read_lmdb_dataset_sr,
+        str_filt,
+        write_mdb,
+    )
+
+    assert str_filt("Ab-1 c!", "upper") == "Ab1c"
+    assert str_filt("Ab-1 c!", "lower") == "ab1c"
+    assert str_filt("Ab-1 c!", "all") == "Ab-1c!"
+
+    env = str(tmp_path / "sr" / "env0")
+    items = {b"num-samples": b"4"}
+    labels = {1: "Word One", 2: "x" * 200, 3: "ok3!"}  # 4 has no keys
+    for i, w in labels.items():
+        items[b"label-%09d" % i] = w.encode()
+        items[b"image_hr-%09d" % i] = b"HR" * 64 + i.to_bytes(2, "big")
+        items[b"image_lr-%09d" % i] = b"lr" * 16 + i.to_bytes(2, "big")
+    write_mdb(env, items)
+
+    rows = {r["idx"]: r for r in
+            read_lmdb_dataset_sr(spark, str(tmp_path / "sr")).collect()}
+    assert set(rows) == {1, 3}            # 2 over max_len, 4 missing
+    assert rows[1]["label"] == "WordOne"  # space stripped by str_filt
+    assert rows[3]["label"] == "ok3"      # '!' stripped under 'upper'
+    assert bytes(rows[1]["image_hr"]).startswith(b"HR")
+    assert bytes(rows[1]["image_lr"]).startswith(b"lr")
+
+
+def test_spark_lmdb_dataset_tablemaster(spark, tmp_path):
+    """TableMaster layout: single env, pickled __len__, str(i) keys
+    holding (file_name, image, info_lines); structure tokens + bboxes
+    parsed like the reference's annotation split; bad rows skipped."""
+    import pickle
+
+    from paddleocr_spark.sources.lmdb_store import (
+        read_lmdb_dataset_tablemaster,
+        write_mdb,
+    )
+
+    env = str(tmp_path / "tm")
+    items = {b"__len__": pickle.dumps(3)}
+    info = "img_1.png\n<td>,<td>,</tr>\n1,2,3,4\n5,6,7,8"
+    items[b"1"] = pickle.dumps(("img_1.png", b"\xffIMG1", info))
+    items[b"2"] = b"not a pickle"          # skipped
+    items[b"3"] = pickle.dumps(("img_3.png", b"\xffIMG3",
+                                "img_3.png\n<td>\n9,10,11,12"))
+    write_mdb(env, items)
+
+    rows = {r["idx"]: r for r in
+            read_lmdb_dataset_tablemaster(spark, env).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["structure"] == ["<td>", "<td>", "</tr>"]
+    assert [list(b) for b in rows[1]["bboxes"]] == [[1, 2, 3, 4], [5, 6, 7, 8]]
+    assert bytes(rows[3]["image"]) == b"\xffIMG3"
