@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "sim_ann_lsh",
     "embed_near_dup",
     "rec_metric",
+    "rtl_reverse",
     "multimodal_meta",
     "events_asof_purchase",
     "dup_clusters",

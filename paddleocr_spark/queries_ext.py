@@ -1306,3 +1306,47 @@ QUERIES_EXT["kie_links"] = q_kie_links
 ORACLES_EXT["kie_links"] = SQL_KIE_LINKS
 _queries.QUERIES["kie_links"] = q_kie_links
 _queries.ORACLES["kie_links"] = SQL_KIE_LINKS
+
+
+# ---------------------------------------------------------------------------
+# pred_reverse (RTL flip) as a standalone driver query — the flip-gated
+# run-reversal the fused extractor applies (SURVEY §2.8 row 57)
+# ---------------------------------------------------------------------------
+
+def q_rtl_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`pred_reverse` (rec_postprocess.py:51-65) + the cls flip gate as
+    one relational pass over the documents table: docs whose lang
+    classifies RTL ('ar' — the deterministic cls analog, p180=0.95 >
+    thresh) get their text split into maximal latin-ish runs / single
+    other chars and the RUN LIST reversed; everything else passes
+    through. Pure codegen (regexp_extract_all + reverse + array_join —
+    the exact expression the fused extractor applies per span,
+    operators/extract.rtl_reverse_expr); no shuffle at all beyond the
+    scan."""
+    from paddleocr_spark.operators.extract import rtl_reverse_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("lang") == "ar", rtl_reverse_expr(F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("out_text"),
+    )
+
+
+SQL_RTL_REVERSE = """
+select doc_id, lang,
+       case when lang = 'ar' then
+         list_aggregate(
+           list_reverse(regexp_extract_all(text,
+             '[a-zA-Z0-9 :*./%+-]+|[^a-zA-Z0-9 :*./%+-]')),
+           'string_agg', '')
+       else text end out_text
+from documents
+"""
+
+QUERIES_EXT["rtl_reverse"] = q_rtl_reverse
+ORACLES_EXT["rtl_reverse"] = SQL_RTL_REVERSE
+_queries.QUERIES["rtl_reverse"] = q_rtl_reverse
+_queries.ORACLES["rtl_reverse"] = SQL_RTL_REVERSE
