@@ -200,3 +200,23 @@ def test_spark_lmdb_dataset_tablemaster(spark, tmp_path):
     assert rows[1]["structure"] == ["<td>", "<td>", "</tr>"]
     assert [list(b) for b in rows[1]["bboxes"]] == [[1, 2, 3, 4], [5, 6, 7, 8]]
     assert bytes(rows[3]["image"]) == b"\xffIMG3"
+
+
+def test_reader_rejects_garbage_and_truncation(tmp_path):
+    """Corrupt inputs fail fast with MdbError at construction (the
+    meta-arbitration gate), never a hang or a raw unpack crash."""
+    import pytest
+
+    from paddleocr_spark.sources.lmdb_store import MdbError, MdbReader
+
+    g = tmp_path / "garbage"
+    g.mkdir()
+    (g / "data.mdb").write_bytes(b"\x00" * 8192)
+    with pytest.raises(MdbError):
+        MdbReader(str(g))
+
+    t = tmp_path / "trunc"
+    t.mkdir()
+    (t / "data.mdb").write_bytes(b"\x13\x37" * 100)  # < one page
+    with pytest.raises(MdbError):
+        MdbReader(str(t))
