@@ -127,3 +127,40 @@ def test_spread_width_probe_is_rdd_free_and_correct(spark):
         and "NOT ``df.rdd" not in line
     ]
     assert code_hits == [], code_hits
+
+
+def test_bigram_lm_plan_is_udf_free_and_hash_keyed(spark):
+    """The LM scorer must stay whole-stage JVM (zero Python stages) and
+    never shuffle gram TEXT — the exchanges carry only the 8-byte
+    xxhash64 keys and doc_id."""
+    from paddleocr_spark.queries_curation import q_bigram_logprob
+
+    plan = _plan(q_bigram_logprob(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert exchanges, plan
+    for l in exchanges:
+        # partition keys are hashes/doc ids, never w1/w2 gram strings
+        assert "w1#" not in l and "w2#" not in l, l
+
+
+def test_ccnet_scaled_plan_has_no_global_window(spark):
+    """The production bucket cut must be threshold-style: no Window
+    operator (the exact ntile form is the oracle's job, not the 100 TB
+    plan's)."""
+    from paddleocr_spark.queries_curation import (
+        ccnet_buckets_scaled,
+        q_bigram_logprob,
+    )
+
+    plan = _plan(ccnet_buckets_scaled(q_bigram_logprob(spark, SF_DIR)))
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan  # the 2-value threshold row
+
+
+def test_rtl_reverse_plan_is_pure_projection(spark):
+    """Flip-gated run reversal is a single codegen projection over the
+    scan: no exchange, no Python."""
+    plan = _plan(Q.QUERIES["rtl_reverse"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
