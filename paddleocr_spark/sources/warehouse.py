@@ -42,9 +42,12 @@ opaque listing hash:
   sort-order rewrite: after it, a point predicate on the column reads
   a strict subset of files (asserted in tests).
 
-Deliberately out of scope (what a real Iceberg deployment adds):
-atomic metadata-pointer CAS for concurrent writers and schema
-evolution. Single-writer append-only is the contract here, which is
+Schema evolution is implemented Iceberg-style (id-based column
+mapping: add/rename/drop are metadata-only commits; reads map each
+file's schema version onto the current one by field id — see the
+Schema evolution section at the bottom). Deliberately out of scope
+(what a real Iceberg deployment adds): atomic metadata-pointer CAS
+for concurrent writers. Single-writer is the contract here, which is
 exactly how the extraction job uses its tables.
 """
 
@@ -399,6 +402,7 @@ def append(
         batch_id=batch_id,
         committed_ms=int(time.time() * 1000),
     )
+    _carry_schema(pm if parent is not None else None, entry, added)
     _commit(table_dir, entry, log_extra=("batch_id",))
     return snap_id
 
@@ -454,6 +458,7 @@ def delete_where(
         delete_files=pm["delete_files"] + [dict(path=rel, seq=seq, key=url_col)],
         committed_ms=int(time.time() * 1000),
     )
+    _carry_schema(pm, entry, [])
     _commit(table_dir, entry, log_extra=("operation",))
     return snap_id
 
@@ -528,6 +533,7 @@ def upsert(
         batch_id=batch_id,
         committed_ms=int(time.time() * 1000),
     )
+    _carry_schema(pm, entry, added)
     _commit(table_dir, entry, log_extra=("operation", "batch_id"))
     return snap_id
 
@@ -587,25 +593,48 @@ def read_table(
         row_filter = F.col(col).between(lo, hi)
         if not files:
             # every file skipped: an empty frame with the table schema
-            return _scan_schema_only(spark, data, m["files"], row_filter)
+            return _scan_schema_only(
+                spark, data, m["files"], row_filter, schema_info=_registry(m)
+            )
 
     return _scan_merge_on_read(
-        spark, table_dir, files, file_seq, m["delete_files"], row_filter
+        spark, table_dir, files, file_seq, m["delete_files"], row_filter,
+        schema_info=_registry(m),
     )
 
 
 def _scan_merge_on_read(
-    spark, table_dir, files, file_seq, delete_files, row_filter=None
+    spark, table_dir, files, file_seq, delete_files, row_filter=None,
+    schema_info=None,
 ) -> DataFrame:
     """Merge-on-read scan core shared by snapshot and incremental reads:
     scan ``files``, anti-joining each against the equality deletes that
-    apply to it (delete.seq > file's seq)."""
+    apply to it (delete.seq > file's seq). ``schema_info`` (the
+    manifest's (schemas, current_id, file_schema) registry, None for
+    never-evolved tables) groups files by the schema version they were
+    written under and maps each group onto the current schema by field
+    id — see the Schema evolution section."""
     data = _data_dir(table_dir)
 
     def _scan(fs: list[str]) -> DataFrame:
-        return spark.read.option("basePath", data).parquet(
-            *[os.path.join(data, f) for f in fs]
-        )
+        if schema_info is None:
+            return spark.read.option("basePath", data).parquet(
+                *[os.path.join(data, f) for f in fs]
+            )
+        schemas, cur, file_schema = schema_info
+        by_sid: dict[int, list[str]] = {}
+        for f in fs:
+            by_sid.setdefault(int(file_schema.get(f, 0)), []).append(f)
+        out = None
+        for sid, group in sorted(by_sid.items()):
+            part = spark.read.option("basePath", data).parquet(
+                *[os.path.join(data, f) for f in group]
+            )
+            # map even the current-version group: projecting to schema
+            # order keeps every group's columns aligned for the union
+            part = _map_to_current(part, schemas[str(sid)], schemas[str(cur)])
+            out = part if out is None else out.unionByName(part)
+        return out
 
     deletes = sorted(delete_files, key=lambda d: d["seq"])
     if not deletes:
@@ -643,12 +672,16 @@ def _scan_merge_on_read(
     return out.filter(row_filter) if row_filter is not None else out
 
 
-def _scan_schema_only(spark, data, all_files, row_filter):
+def _scan_schema_only(spark, data, all_files, row_filter, schema_info=None):
     """All files skipped by stats: a schema-correct empty frame (one
     footer read, plan-time false predicate, no data IO)."""
     df = spark.read.option("basePath", data).parquet(
         os.path.join(data, all_files[0])
     )
+    if schema_info is not None:
+        schemas, cur, file_schema = schema_info
+        sid = int(file_schema.get(all_files[0], 0))
+        df = _map_to_current(df, schemas[str(sid)], schemas[str(cur)])
     return df.filter(F.lit(False))
 
 
@@ -721,19 +754,25 @@ def read_incremental(
             if d["path"] not in seen_deletes:
                 seen_deletes.add(d["path"])
                 delete_files.append(d)
+    to_m = _load_manifest(
+        table_dir, to_snapshot or current_snapshot_id(table_dir)
+    )
     if not files:
-        cur = _load_manifest(
-            table_dir, to_snapshot or current_snapshot_id(table_dir)
-        )
         return _scan_schema_only(
-            spark, _data_dir(table_dir), cur["files"], F.lit(False)
+            spark, _data_dir(table_dir), to_m["files"], F.lit(False),
+            schema_info=_registry(to_m),
         )
     # deletes committed at-or-before `from` have seq <= every window
     # file's seq, so they never match the seq rule; keeping them in the
     # list is harmless, but dropping them avoids pointless anti-joins
     min_seq = min(file_seq.values())
     delete_files = [d for d in delete_files if d["seq"] > min_seq]
-    return _scan_merge_on_read(spark, table_dir, sorted(files), file_seq, delete_files)
+    # the delta reads under the WINDOW-END schema (Iceberg's rule: an
+    # incremental consumer sees the table as of `to`)
+    return _scan_merge_on_read(
+        spark, table_dir, sorted(files), file_seq, delete_files,
+        schema_info=_registry(to_m),
+    )
 
 
 def read_changes(
@@ -763,11 +802,23 @@ def read_changes(
     at ``from`` (inserted and deleted inside the window) does not
     produce a delete row — consumers never saw it."""
     window = snapshots_between(table_dir, from_snapshot, to_snapshot)
+    from_m = _load_manifest(table_dir, from_snapshot)
+    to_m = _load_manifest(
+        table_dir, to_snapshot or current_snapshot_id(table_dir)
+    )
+    # inserts read under the `to` schema, deletes under `from`'s — a
+    # schema change inside the window would union mismatched shapes
+    if (_registry(from_m) or (None, None, None))[1] != (
+        _registry(to_m) or (None, None, None)
+    )[1]:
+        raise ValueError(
+            "read_changes across a schema-evolution commit is not "
+            "supported; split the window at the evolve snapshot"
+        )
     ins = read_incremental(
         spark, table_dir, from_snapshot, to_snapshot
     ).withColumn("_change_type", F.lit("insert"))
 
-    from_m = _load_manifest(table_dir, from_snapshot)
     from_seq = from_m["seq"]
     ddir = _delete_dir(table_dir)
     # only deletes COMMITTED in the window retract rows a `from` reader
@@ -866,6 +917,10 @@ def compact(
         delete_files=[],  # materialized by the rewrite: no delete baggage
         committed_ms=int(time.time() * 1000),
     )
+    # compact reads mapped-to-current frames, so its files ARE current
+    _carry_schema(
+        _load_manifest(table_dir, parent) if parent else None, entry, added
+    )
     with open(os.path.join(_snap_dir(table_dir), f"{snap_id}.json"), "w") as fh:
         json.dump(entry, fh)
     with open(os.path.join(_snap_dir(table_dir), "log.jsonl"), "a") as fh:
@@ -924,3 +979,182 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
             fh.write(json.dumps(s) + "\n")
     return dict(expired_snapshots=len(expired), deleted_files=len(dead),
                 kept_files=len(live))
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (Iceberg id-based column mapping)
+# ---------------------------------------------------------------------------
+# Iceberg's evolution guarantee is that columns are tracked by FIELD ID,
+# not by name: a rename is a metadata edit, an added column reads as
+# NULL from pre-evolution files, and a drop projects the column away
+# from every file without rewriting bytes. The manifest grows three
+# keys the first time a table evolves (legacy tables that never call an
+# evolution op keep their manifests and their exact read path — zero
+# overhead):
+#   schemas:        {schema_id: [[field_id, name, spark_sql_type], ...]}
+#   current_schema: the id appends write under
+#   file_schema:    {relpath: schema_id} (absent -> the initial schema)
+# Reads group files by schema id and map each group to the CURRENT
+# schema by field id — at most n_schema_versions unions of metadata
+# cost, never a data rewrite.
+
+
+def _registry(m: dict):
+    """(schemas, current_schema_id, file_schema) or None for tables
+    that never evolved."""
+    if "schemas" not in m:
+        return None
+    return m["schemas"], m["current_schema"], m.get("file_schema", {})
+
+
+def _footer_fields(spark: SparkSession, table_dir: str, relpath: str) -> list:
+    """Initial field-id assignment from one live file's footer, in
+    column order (Iceberg's fresh-assignment rule). Data columns only —
+    day/bucket are directory-encoded."""
+    sch = spark.read.parquet(os.path.join(_data_dir(table_dir), relpath)).schema
+    return [
+        [i + 1, f.name, f.dataType.simpleString()]
+        for i, f in enumerate(sch.fields)
+    ]
+
+
+def _carry_schema(pm: dict | None, entry: dict, added: list[str]) -> None:
+    """Propagate the schema registry through a data commit, tagging the
+    commit's new files with the current schema id. No-op for tables
+    that never evolved."""
+    if not pm or "schemas" not in pm:
+        return
+    entry["schemas"] = pm["schemas"]
+    entry["current_schema"] = pm["current_schema"]
+    fs = dict(pm.get("file_schema", {}))
+    for f in added:
+        fs[f] = pm["current_schema"]
+    entry["file_schema"] = fs
+
+
+_LAYOUT_COLS = ("url", "warc_ts")
+
+
+def _evolve(spark: SparkSession, table_dir: str, op: str, transform) -> str:
+    """Commit a metadata-only schema change: same files, same seq (no
+    data changed, so delete applicability is untouched), new current
+    schema."""
+    parent = current_snapshot_id(table_dir)
+    if parent is None:
+        raise ValueError(f"no snapshots committed in {table_dir}")
+    pm = _load_manifest(table_dir, parent)
+    reg = _registry(pm)
+    if reg is None:
+        if not pm["files"]:
+            raise ValueError("schema evolution needs at least one data file")
+        schemas = {"0": _footer_fields(spark, table_dir, pm["files"][0])}
+        cur, file_schema = 0, {f: 0 for f in pm["files"]}
+    else:
+        schemas = {k: [list(f) for f in v] for k, v in reg[0].items()}
+        cur, file_schema = reg[1], dict(reg[2])
+    new_fields = transform([list(f) for f in schemas[str(cur)]], pm, schemas)
+    new_id = max(int(k) for k in schemas) + 1
+    schemas[str(new_id)] = new_fields
+    h = hashlib.md5()
+    h.update(parent.encode())
+    h.update(op.encode())
+    h.update(json.dumps(new_fields).encode())
+    snap_id = h.hexdigest()[:16]
+    entry = dict(
+        snapshot_id=snap_id,
+        parent=parent,
+        seq=pm["seq"],
+        operation="evolve",
+        n_files=len(pm["files"]),
+        added=[],
+        files=pm["files"],
+        file_seq=pm["file_seq"],
+        file_stats=pm["file_stats"],
+        delete_files=pm["delete_files"],
+        schemas=schemas,
+        current_schema=new_id,
+        file_schema=file_schema,
+        committed_ms=int(time.time() * 1000),
+    )
+    _commit(table_dir, entry, log_extra=("operation",))
+    return snap_id
+
+
+def add_column(spark: SparkSession, table_dir: str, name: str, dtype: str) -> str:
+    """ALTER TABLE ADD COLUMN: metadata-only; pre-evolution files read
+    the column as NULL of ``dtype`` (a Spark SQL type string)."""
+
+    def t(fields, pm, schemas):
+        if any(f[1] == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        # field ids are NEVER reused (Iceberg rule): max over every
+        # schema version ever, not just the current one — re-adding a
+        # dropped name must not resurrect the dropped column's data
+        next_fid = 1 + max(f[0] for fs in schemas.values() for f in fs)
+        return fields + [[next_fid, name, dtype]]
+
+    return _evolve(spark, table_dir, f"add:{name}", t)
+
+
+def rename_column(spark: SparkSession, table_dir: str, old: str, new: str) -> str:
+    """ALTER TABLE RENAME COLUMN: metadata-only; every file's data —
+    old and new — reads under the new name (field-id mapping). Refused
+    for the layout columns (bucket/day derive from them at append time)
+    and for columns a LIVE equality-delete file keys on (the anti-join
+    would look for the old name; compact first to materialize)."""
+
+    def t(fields, pm, schemas):
+        if old in _LAYOUT_COLS:
+            raise ValueError(f"{old!r} is a partition-layout column")
+        if any(d.get("key", "url") == old for d in pm["delete_files"]):
+            raise ValueError(
+                f"live equality-delete files key on {old!r}; compact first"
+            )
+        if any(f[1] == new for f in fields):
+            raise ValueError(f"column {new!r} already exists")
+        out = [list(f) for f in fields]
+        hit = [f for f in out if f[1] == old]
+        if not hit:
+            raise ValueError(f"no column {old!r}")
+        hit[0][1] = new
+        return out
+
+    return _evolve(spark, table_dir, f"rename:{old}:{new}", t)
+
+
+def drop_column(spark: SparkSession, table_dir: str, name: str) -> str:
+    """ALTER TABLE DROP COLUMN: metadata-only; the column is projected
+    away from every file at read time (bytes stay until compaction
+    rewrites them). Same refusals as rename."""
+
+    def t(fields, pm, schemas):
+        if name in _LAYOUT_COLS:
+            raise ValueError(f"{name!r} is a partition-layout column")
+        if any(d.get("key", "url") == name for d in pm["delete_files"]):
+            raise ValueError(
+                f"live equality-delete files key on {name!r}; compact first"
+            )
+        out = [f for f in fields if f[1] != name]
+        if len(out) == len(fields):
+            raise ValueError(f"no column {name!r}")
+        return out
+
+    return _evolve(spark, table_dir, f"drop:{name}", t)
+
+
+def _map_to_current(df: DataFrame, from_fields: list, to_fields: list) -> DataFrame:
+    """Project a frame read under one schema version onto the current
+    schema BY FIELD ID: renamed fields alias, added fields materialize
+    as typed NULLs, dropped fields disappear. Partition columns pass
+    through untouched."""
+    old = {f[0]: f for f in from_fields}
+    cols = []
+    for fid, name, dtype in to_fields:
+        if fid in old:
+            cols.append(F.col(old[fid][1]).alias(name))
+        else:
+            cols.append(F.lit(None).cast(dtype).alias(name))
+    for pc in ("day", "bucket"):
+        if pc in df.columns:
+            cols.append(F.col(pc))
+    return df.select(*cols)
