@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "rec_metric",
     "rtl_reverse",
     "multimodal_meta",
+    "media_meta_av",
     "events_asof_purchase",
     "dup_clusters",
     "containment_suppress",

@@ -139,6 +139,156 @@ def decode_image_header(b: bytes) -> tuple[int, int, int, str] | None:
     return None
 
 
+AV_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("kind", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("format", StringType()),
+    ]
+)
+
+_MAX_RATE = 1_000_000  # sanity bound on declared audio sample rates
+
+
+def _bmff_find(b: bytes, lo: int, hi: int, box: bytes) -> tuple[int, int] | None:
+    """Walk ISO-BMFF boxes in b[lo:hi]; return (payload_lo, payload_hi)
+    of the first box with the given 4-byte type. Handles 64-bit
+    largesize (size==1) and to-end boxes (size==0); refuses to loop on
+    corrupt sizes."""
+    i = hi if hi <= len(b) else len(b)
+    hi = i
+    i = lo
+    while i + 8 <= hi:
+        size = int.from_bytes(b[i : i + 4], "big")
+        typ = b[i + 4 : i + 8]
+        payload = i + 8
+        if size == 1:
+            if i + 16 > hi:
+                return None
+            size = int.from_bytes(b[i + 8 : i + 16], "big")
+            payload = i + 16
+        elif size == 0:
+            size = hi - i
+        if size < payload - i or i + size > hi:
+            return None  # corrupt: box under-sized or overruns parent
+        if typ == box:
+            return (payload, i + size)
+        i += size
+    return None
+
+
+def decode_av_header(
+    b: bytes,
+) -> tuple[str, int | None, int | None, int | None, int | None, str] | None:
+    """Parse (kind, width, height, channels, sample_rate, format) from
+    an audio/video/extended-image container header — WAV (RIFF fmt
+    chunk), MP4 (ISO-BMFF moov/trak/tkhd), WebP (VP8X extended header)
+    — dependency-free, None for anything unrecognized or corrupt.
+    The audio/video twin of `decode_image_header`: same
+    sniff-the-container, read-the-header, sanity-bound-the-values
+    discipline as the reference's img_decode/check_and_read
+    (ppocr/utils/utility.py:108-140), extended to the container kinds a
+    training-data pipeline carries as opaque binary columns."""
+    try:
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            i, n = 12, len(b)
+            while i + 8 <= n:
+                cid = b[i : i + 4]
+                sz = int.from_bytes(b[i + 4 : i + 8], "little")
+                if cid == b"fmt " and sz >= 16 and i + 8 + 16 <= n:
+                    ch = int.from_bytes(b[i + 10 : i + 12], "little")
+                    rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                    if 0 < ch <= 64 and 0 < rate <= _MAX_RATE:
+                        return ("audio", None, None, ch, rate, "wav")
+                    return None
+                i += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+                if sz == 0 and cid != b"data":
+                    return None  # corrupt: zero-size chunk would loop
+            return None
+        if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+            if b[12:16] == b"VP8X" and len(b) >= 30:
+                sz = int.from_bytes(b[16:20], "little")
+                if sz < 10:
+                    return None
+                flags = b[20]
+                w = 1 + int.from_bytes(b[24:27], "little")
+                h = 1 + int.from_bytes(b[27:30], "little")
+                if w < _MAX_DIM and h < _MAX_DIM:
+                    ch = 4 if flags & 0x10 else 3
+                    return ("image", w, h, ch, None, "webp")
+            return None
+        if len(b) >= 16 and b[4:8] == b"ftyp":
+            moov = _bmff_find(b, 0, len(b), b"moov")
+            if not moov:
+                return None
+            trak = _bmff_find(b, moov[0], moov[1], b"trak")
+            if not trak:
+                return None
+            tkhd = _bmff_find(b, trak[0], trak[1], b"tkhd")
+            if not tkhd:
+                return None
+            p, q = tkhd
+            if q - p < 84:
+                return None
+            version = b[p]
+            # v0 lays out 20 bytes of times/ids, v1 widens them to 32
+            off = p + 4 + (32 if version == 1 else 20) + 8 + 8 + 36
+            if off + 8 > q:
+                return None
+            w = int.from_bytes(b[off : off + 4], "big") >> 16  # 16.16 fixed
+            h = int.from_bytes(b[off + 4 : off + 8], "big") >> 16
+            if 0 < w < _MAX_DIM and 0 < h < _MAX_DIM:
+                return ("video", w, h, None, None, "mp4")
+            return None
+    except (IndexError, TypeError):
+        return None
+    return None
+
+
+def _decode_av_batch(doc_id: pd.Series, payload: pd.Series) -> pd.DataFrame:
+    """Per-batch AV metadata decode: real container parse where
+    recognized, explicit 'unknown' row (null fields) otherwise — the
+    unknown branch is honest here rather than stubbed because kind is
+    part of the answer."""
+    raw = payload.map(lambda v: bytes(v))
+    parsed = raw.map(decode_av_header)
+
+    def _field(j):
+        return parsed.map(lambda t: t[j] if t is not None else None)
+
+    out = pd.DataFrame(
+        {
+            "doc_id": doc_id.astype("int64"),
+            "n_bytes": raw.map(len).astype("int32"),
+            "kind": parsed.map(lambda t: t[0] if t is not None else "unknown"),
+            "width": _field(1).astype("Int32"),
+            "height": _field(2).astype("Int32"),
+            "channels": _field(3).astype("Int32"),
+            "sample_rate": _field(4).astype("Int32"),
+            "format": _field(5),
+        }
+    )
+    return out
+
+
+def extract_av_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """binary payload -> audio/video/extended-image metadata rows via
+    Arrow-batched mapInPandas; the AV twin of `extract_media_meta`,
+    same column-pruning discipline (payload consumed here, never
+    carried further)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield _decode_av_batch(pdf["doc_id"], pdf[payload_col])
+
+    return df.select("doc_id", payload_col).mapInPandas(batches, AV_META_SCHEMA)
+
+
 def _decode_batch(payload: pd.Series) -> pd.DataFrame:
     """Per-batch metadata decode: real header parse where the container
     is recognized, byte-count stub otherwise. One pass, stub computed

@@ -925,6 +925,95 @@ from p
 """
 
 
+def q_media_meta_av(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video/extended-image twin of q_multimodal_meta: payloads
+    carry REAL container headers — WAV (RIFF fmt chunk with channels +
+    sample rate), MP4 (ftyp + moov/trak/tkhd with 16.16-fixed dims),
+    WebP (VP8X with 24-bit canvas dims + alpha flag) — built per doc_id
+    with known values, plus one unrecognized branch; `extract_av_meta`
+    must parse them back (decode_av_header). The oracle recomputes the
+    constructed values directly, so it verifies the parser recovered
+    exactly what was encoded."""
+    from paddleocr_spark.functions.multimodal import extract_av_meta
+
+    def be(v: str, nb: int) -> str:
+        return f"unhex(lpad(hex({v}), {nb * 2}, '0'))"
+
+    def le(v: str, nb: int) -> str:
+        w = nb * 2
+        hx = f"lpad(hex({v}), {w}, '0')"
+        parts = ", ".join(f"substring({hx}, {i}, 2)" for i in range(w - 1, 0, -2))
+        return f"unhex(concat({parts}))"
+
+    tn = "octet_length(text)"
+    ch = "(1 + doc_id % 2)"
+    rate = "(8000 + 1000 * (doc_id % 5))"
+    wav = (
+        f"concat(unhex('52494646'), {le(f'36 + {tn}', 4)}, unhex('57415645'),"
+        f" unhex('666D7420'), unhex('10000000'), unhex('0100'),"
+        f" {le(ch, 2)}, {le(rate, 4)}, {le(f'{rate} * {ch} * 2', 4)},"
+        f" {le(f'{ch} * 2', 2)}, unhex('1000'),"
+        f" unhex('64617461'), {le(tn, 4)}, encode(text, 'UTF-8'))"
+    )
+    vw, vh = "(1 + doc_id % 1280)", "(1 + doc_id % 720)"
+    # ftyp(16) + moov(108 = trak(100 = tkhd(92))) + mdat(8 + text):
+    # tkhd v0 = 8 hdr + 4 ver/flags + 20 times/ids + 8 + 8 + 36 matrix
+    # + 4 width(16.16) + 4 height(16.16) — width be4(w<<16) == be2(w)+0000
+    mp4 = (
+        "concat(unhex('000000106674797069736F6D00000200'),"
+        " unhex('0000006C6D6F6F76'), unhex('000000647472616B'),"
+        " unhex('0000005C746B6864'), unhex('00000000'),"
+        f" unhex('{'00' * 28}'),"
+        " unhex('0000000001000000'),"
+        " unhex('000100000000000000000000000000000001000000000000"
+        "000000000000000040000000'),"
+        f" {be(vw, 2)}, unhex('0000'), {be(vh, 2)}, unhex('0000'),"
+        f" {be(f'8 + {tn}', 4)}, unhex('6D646174'), encode(text, 'UTF-8'))"
+    )
+    ww, wh = "(1 + doc_id % 333)", "(1 + doc_id % 222)"
+    webp = (
+        f"concat(unhex('52494646'), {le(f'22 + {tn}', 4)},"
+        " unhex('57454250'), unhex('56503858'), unhex('0A000000'),"
+        " case when doc_id % 2 = 0 then unhex('10') else unhex('00') end,"
+        f" unhex('000000'), {le(f'{ww} - 1', 3)}, {le(f'{wh} - 1', 3)},"
+        " encode(text, 'UTF-8'))"
+    )
+    raw = "concat(unhex('00'), encode(text, 'UTF-8'))"
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            f"case cast(doc_id % 4 as int) when 0 then {wav}"
+            f" when 1 then {mp4} when 2 then {webp} else {raw} end"
+        ).alias("payload"),
+    )
+    return extract_av_meta(d)
+
+
+SQL_MEDIA_META_AV = """
+with p as (
+  select doc_id, cast(doc_id % 4 as int) fmt,
+         octet_length(encode(text)) tn
+  from documents
+)
+select doc_id,
+       (case fmt when 0 then 44 when 1 then 132 when 2 then 30 else 1 end
+        + tn)::int n_bytes,
+       case fmt when 0 then 'audio' when 1 then 'video' when 2 then 'image'
+            else 'unknown' end kind,
+       (case fmt when 1 then 1 + doc_id % 1280
+                 when 2 then 1 + doc_id % 333 end)::int width,
+       (case fmt when 1 then 1 + doc_id % 720
+                 when 2 then 1 + doc_id % 222 end)::int height,
+       (case fmt when 0 then 1 + doc_id % 2
+                 when 2 then case when doc_id % 2 = 0 then 4 else 3 end
+        end)::int channels,
+       (case fmt when 0 then 8000 + 1000 * (doc_id % 5) end)::int sample_rate,
+       case fmt when 0 then 'wav' when 1 then 'mp4' when 2 then 'webp'
+            end format
+from p
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -957,6 +1046,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ann_lsh": q_sim_ann_lsh,
     "embed_near_dup": q_embed_near_dup,
     "multimodal_meta": q_multimodal_meta,
+    "media_meta_av": q_media_meta_av,
     "rec_metric": q_rec_metric,
 }
 
@@ -988,6 +1078,7 @@ ORACLES: dict[str, str] = {
     "sim_ann_lsh": SQL_SIM_ANN_LSH,
     "embed_near_dup": SQL_EMBED_NEAR_DUP,
     "multimodal_meta": SQL_MULTIMODAL_META,
+    "media_meta_av": SQL_MEDIA_META_AV,
     "rec_metric": SQL_REC_METRIC,
 }
 

@@ -354,3 +354,108 @@ def test_resize_media_uses_real_dims(spark):
     )
     r = resize_media(df, max_side=100).collect()[0]
     assert (r["width"], r["height"]) == (100, 20)
+
+
+def _wav_bytes(ch=2, rate=44100, junk_first=False, data=b"abc"):
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    chunks = b""
+    if junk_first:  # odd-sized chunk exercises RIFF word-alignment
+        chunks += b"JUNK" + struct.pack("<I", 5) + b"12345\x00"
+    chunks += b"fmt " + struct.pack("<I", 16) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _mp4_bytes(w=640, h=360, version=0, free_first=False, text=b"xyz"):
+    import struct
+
+    body = (
+        bytes([version, 0, 0, 0])
+        + b"\x00" * (32 if version == 1 else 20)
+        + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+        + struct.pack(">II", w << 16, h << 16)
+    )
+    tkhd = struct.pack(">I", 8 + len(body)) + b"tkhd" + body
+    trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+    inner = trak
+    if free_first:
+        inner = struct.pack(">I", 12) + b"free" + b"\x00" * 4 + trak
+    moov = struct.pack(">I", 8 + len(inner)) + b"moov" + inner
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    mdat = struct.pack(">I", 8 + len(text)) + b"mdat" + text
+    return ftyp + moov + mdat
+
+
+def _webp_bytes(w=100, h=50, alpha=True, text=b"q"):
+    import struct
+
+    hdr = (
+        b"VP8X" + struct.pack("<I", 10)
+        + bytes([0x10 if alpha else 0]) + b"\x00" * 3
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        + text
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(hdr)) + b"WEBP" + hdr
+
+
+def test_decode_av_header_real_containers():
+    """AV twin of decode_image_header: WAV RIFF fmt chunk (channels +
+    sample rate, skipping leading chunks with word-aligned advance),
+    MP4 ISO-BMFF box walk to moov/trak/tkhd (v0 and v1 layouts, 16.16
+    fixed dims, non-tkhd siblings skipped), WebP VP8X canvas dims +
+    alpha flag. Corrupt/truncated/hostile bytes parse to None, never
+    raise, never loop."""
+    import struct
+
+    from paddleocr_spark.functions.multimodal import decode_av_header as d
+
+    assert d(_wav_bytes()) == ("audio", None, None, 2, 44100, "wav")
+    assert d(_wav_bytes(1, 8000, junk_first=True)) == (
+        "audio", None, None, 1, 8000, "wav")
+    assert d(_mp4_bytes()) == ("video", 640, 360, None, None, "mp4")
+    assert d(_mp4_bytes(1920, 1080, version=1)) == (
+        "video", 1920, 1080, None, None, "mp4")
+    assert d(_mp4_bytes(12, 34, free_first=True)) == (
+        "video", 12, 34, None, None, "mp4")
+    assert d(_webp_bytes()) == ("image", 100, 50, 4, None, "webp")
+    assert d(_webp_bytes(333, 222, alpha=False)) == (
+        "image", 333, 222, 3, None, "webp")
+    # corrupt / hostile
+    assert d(b"") is None
+    assert d(_wav_bytes(rate=99_999_999)) is None           # absurd rate
+    assert d(_wav_bytes()[:20]) is None                     # truncated
+    assert d(_mp4_bytes()[:40]) is None                     # truncated
+    assert d(b"RIFFxxxxWAVE") is None                       # no fmt chunk
+    # moov child box declares size 3 (< header): must stop, not loop
+    bad = (struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
+           + struct.pack(">I", 16) + b"moov" + struct.pack(">I", 3) + b"trak")
+    assert d(bad) is None
+    assert d("not bytes") is None
+
+
+def test_extract_av_meta_mixed(spark):
+    """mapInPandas end-to-end over a batch mixing WAV/MP4/WebP and an
+    unknown payload: recognized containers decode to their encoded
+    values, unknown rows are explicit kind='unknown' with null fields."""
+    from paddleocr_spark.functions.multimodal import extract_av_meta
+
+    rows = [
+        (1, _wav_bytes(2, 22050)),
+        (2, _mp4_bytes(320, 240)),
+        (3, _webp_bytes(64, 32, alpha=False)),
+        (4, b"\x00plain text payload"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in extract_av_meta(df).collect()}
+    assert (got[1]["kind"], got[1]["channels"], got[1]["sample_rate"],
+            got[1]["format"]) == ("audio", 2, 22050, "wav")
+    assert got[1]["width"] is None and got[1]["height"] is None
+    assert (got[2]["kind"], got[2]["width"], got[2]["height"],
+            got[2]["format"]) == ("video", 320, 240, "mp4")
+    assert got[2]["sample_rate"] is None
+    assert (got[3]["kind"], got[3]["width"], got[3]["height"],
+            got[3]["channels"], got[3]["format"]) == ("image", 64, 32, 3, "webp")
+    assert got[4]["kind"] == "unknown" and got[4]["format"] is None
+    assert all(got[i]["n_bytes"] == len(p) for i, p in rows)
