@@ -182,13 +182,40 @@ def _bmff_find(b: bytes, lo: int, hi: int, box: bytes) -> tuple[int, int] | None
     return None
 
 
+# MPEG audio sample rates by version bits (frame header b1>>3 & 3)
+_MP3_RATES = {
+    3: (44100, 48000, 32000),  # MPEG1
+    2: (22050, 24000, 16000),  # MPEG2
+    0: (11025, 12000, 8000),   # MPEG2.5
+}
+
+
+def _decode_mp3_frame(b: bytes):
+    """Parse one MPEG audio frame header (4 bytes): layer III, valid
+    version/sample-rate/bitrate fields required — random bytes that
+    happen to start 0xFF do not pass."""
+    if len(b) < 4 or b[0] != 0xFF or b[1] & 0xE0 != 0xE0:
+        return None
+    version = (b[1] >> 3) & 3
+    layer = (b[1] >> 1) & 3
+    if version == 1 or layer != 1:  # reserved version / not layer III
+        return None
+    bitrate_idx = b[2] >> 4
+    sr_idx = (b[2] >> 2) & 3
+    if sr_idx == 3 or bitrate_idx in (0, 15):  # reserved / free-form
+        return None
+    ch = 1 if (b[3] >> 6) == 3 else 2
+    return ("audio", None, None, ch, _MP3_RATES[version][sr_idx], "mp3")
+
+
 def decode_av_header(
     b: bytes,
 ) -> tuple[str, int | None, int | None, int | None, int | None, str] | None:
     """Parse (kind, width, height, channels, sample_rate, format) from
     an audio/video/extended-image container header — WAV (RIFF fmt
-    chunk), MP4 (ISO-BMFF moov/trak/tkhd), WebP (VP8X extended header)
-    — dependency-free, None for anything unrecognized or corrupt.
+    chunk), FLAC (STREAMINFO), MP3 (ID3v2 skip + MPEG frame header),
+    MP4 (ISO-BMFF moov/trak/tkhd), WebP (VP8X extended header) —
+    dependency-free, None for anything unrecognized or corrupt.
     The audio/video twin of `decode_image_header`: same
     sniff-the-container, read-the-header, sanity-bound-the-values
     discipline as the reference's img_decode/check_and_read
@@ -222,6 +249,27 @@ def decode_av_header(
                     ch = 4 if flags & 0x10 else 3
                     return ("image", w, h, ch, None, "webp")
             return None
+        if b[:4] == b"fLaC" and len(b) >= 21:
+            # first metadata block must be STREAMINFO (type 0, 34 bytes)
+            if b[4] & 0x7F != 0 or int.from_bytes(b[5:8], "big") < 34:
+                return None
+            rate = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
+            ch = ((b[20] >> 1) & 7) + 1
+            if 0 < rate <= _MAX_RATE:
+                return ("audio", None, None, ch, rate, "flac")
+            return None
+        if b[:3] == b"ID3" and len(b) >= 10:
+            # ID3v2 tag: 4-byte syncsafe size, frame header follows it
+            if any(x & 0x80 for x in b[6:10]):
+                return None
+            skip = 10 + int.from_bytes(bytes(x & 0x7F for x in b[6:10]), "big")
+            return _decode_mp3_frame(b[skip : skip + 4])
+        if (
+            len(b) >= 2
+            and b[0] == 0xFF
+            and b[1] & 0xE6 == 0xE2  # sync + layer III (any MPEG version)
+        ):
+            return _decode_mp3_frame(b[:4])
         if len(b) >= 16 and b[4:8] == b"ftyp":
             moov = _bmff_find(b, 0, len(b), b"moov")
             if not moov:

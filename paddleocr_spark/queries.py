@@ -929,11 +929,13 @@ def q_media_meta_av(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio/video/extended-image twin of q_multimodal_meta: payloads
     carry REAL container headers — WAV (RIFF fmt chunk with channels +
     sample rate), MP4 (ftyp + moov/trak/tkhd with 16.16-fixed dims),
-    WebP (VP8X with 24-bit canvas dims + alpha flag) — built per doc_id
-    with known values, plus one unrecognized branch; `extract_av_meta`
-    must parse them back (decode_av_header). The oracle recomputes the
-    constructed values directly, so it verifies the parser recovered
-    exactly what was encoded."""
+    WebP (VP8X with 24-bit canvas dims + alpha flag), FLAC (STREAMINFO
+    20-bit rate + 3-bit channels), MP3 (ID3v2 tag + MPEG1 layer-III
+    frame header) — built per doc_id with known values, plus one
+    unrecognized branch; `extract_av_meta` must parse them back
+    (decode_av_header). The oracle recomputes the constructed values
+    directly, so it verifies the parser recovered exactly what was
+    encoded."""
     from paddleocr_spark.functions.multimodal import extract_av_meta
 
     def be(v: str, nb: int) -> str:
@@ -978,12 +980,33 @@ def q_media_meta_av(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" unhex('000000'), {le(f'{ww} - 1', 3)}, {le(f'{wh} - 1', 3)},"
         " encode(text, 'UTF-8'))"
     )
+    frate = "(32000 + 4000 * (doc_id % 4))"
+    # fLaC + last-block STREAMINFO(34): blocksizes, zero framesizes,
+    # 20-bit rate | 3-bit (ch-1) | bps=16, zero total-samples, zero md5
+    flac = (
+        "concat(unhex('664C614380000022'),"
+        " unhex('10001000000000000000'),"
+        f" {be(f'{frate} div 4096', 1)},"
+        f" {be(f'({frate} div 16) % 256', 1)},"
+        f" {be(f'({frate} % 16) * 16 + (doc_id % 2) * 2', 1)},"
+        " unhex('F000000000'),"
+        f" unhex('{'00' * 16}'), encode(text, 'UTF-8'))"
+    )
+    # empty ID3v2 tag, then MPEG1 layer-III frame header: bitrate idx 9,
+    # sample-rate idx doc_id%3, mono when doc_id even
+    mp3 = (
+        "concat(unhex('494433040000'), unhex('00000000'), unhex('FFFB'),"
+        f" {be('144 + (doc_id % 3) * 4', 1)},"
+        " case when doc_id % 2 = 0 then unhex('C0') else unhex('00') end,"
+        " encode(text, 'UTF-8'))"
+    )
     raw = "concat(unhex('00'), encode(text, 'UTF-8'))"
     d = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(
-            f"case cast(doc_id % 4 as int) when 0 then {wav}"
-            f" when 1 then {mp4} when 2 then {webp} else {raw} end"
+            f"case cast(doc_id % 6 as int) when 0 then {wav}"
+            f" when 1 then {mp4} when 2 then {webp}"
+            f" when 3 then {flac} when 4 then {mp3} else {raw} end"
         ).alias("payload"),
     )
     return extract_av_meta(d)
@@ -991,25 +1014,32 @@ def q_media_meta_av(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_MEDIA_META_AV = """
 with p as (
-  select doc_id, cast(doc_id % 4 as int) fmt,
+  select doc_id, cast(doc_id % 6 as int) fmt,
          octet_length(encode(text)) tn
   from documents
 )
 select doc_id,
-       (case fmt when 0 then 44 when 1 then 132 when 2 then 30 else 1 end
-        + tn)::int n_bytes,
-       case fmt when 0 then 'audio' when 1 then 'video' when 2 then 'image'
-            else 'unknown' end kind,
+       (case fmt when 0 then 44 when 1 then 132 when 2 then 30
+                 when 3 then 42 when 4 then 14 else 1 end + tn)::int n_bytes,
+       case fmt when 1 then 'video' when 2 then 'image'
+            when 5 then 'unknown' else 'audio' end kind,
        (case fmt when 1 then 1 + doc_id % 1280
                  when 2 then 1 + doc_id % 333 end)::int width,
        (case fmt when 1 then 1 + doc_id % 720
                  when 2 then 1 + doc_id % 222 end)::int height,
        (case fmt when 0 then 1 + doc_id % 2
                  when 2 then case when doc_id % 2 = 0 then 4 else 3 end
+                 when 3 then 1 + doc_id % 2
+                 when 4 then case when doc_id % 2 = 0 then 1 else 2 end
         end)::int channels,
-       (case fmt when 0 then 8000 + 1000 * (doc_id % 5) end)::int sample_rate,
+       (case fmt when 0 then 8000 + 1000 * (doc_id % 5)
+                 when 3 then 32000 + 4000 * (doc_id % 4)
+                 when 4 then case cast(doc_id % 3 as int)
+                             when 0 then 44100 when 1 then 48000
+                             else 32000 end
+        end)::int sample_rate,
        case fmt when 0 then 'wav' when 1 then 'mp4' when 2 then 'webp'
-            end format
+            when 3 then 'flac' when 4 then 'mp3' end format
 from p
 """
 

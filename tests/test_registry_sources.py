@@ -400,6 +400,23 @@ def _webp_bytes(w=100, h=50, alpha=True, text=b"q"):
     return b"RIFF" + struct.pack("<I", 4 + len(hdr)) + b"WEBP" + hdr
 
 
+def _flac_bytes(rate=44100, ch=2):
+    b18 = rate >> 12
+    b19 = (rate >> 4) & 0xFF
+    b20 = ((rate & 0xF) << 4) | ((ch - 1) << 1)
+    si = (
+        bytes([16, 0, 16, 0]) + b"\x00" * 6
+        + bytes([b18, b19, b20, 0xF0]) + b"\x00" * 4 + b"\x00" * 16
+    )
+    return b"fLaC" + bytes([0x80]) + (34).to_bytes(3, "big") + si
+
+
+def _mp3_bytes(sr_idx=0, mono=False, id3=True, text=b"frames"):
+    frame = bytes([0xFF, 0xFB, (9 << 4) | (sr_idx << 2), 0xC0 if mono else 0])
+    tag = b"ID3" + bytes([4, 0, 0]) + b"\x00\x00\x00\x00" if id3 else b""
+    return tag + frame + text
+
+
 def test_decode_av_header_real_containers():
     """AV twin of decode_image_header: WAV RIFF fmt chunk (channels +
     sample rate, skipping leading chunks with word-aligned advance),
@@ -422,12 +439,24 @@ def test_decode_av_header_real_containers():
     assert d(_webp_bytes()) == ("image", 100, 50, 4, None, "webp")
     assert d(_webp_bytes(333, 222, alpha=False)) == (
         "image", 333, 222, 3, None, "webp")
+    assert d(_flac_bytes()) == ("audio", None, None, 2, 44100, "flac")
+    assert d(_flac_bytes(192000, 8)) == ("audio", None, None, 8, 192000, "flac")
+    assert d(_mp3_bytes()) == ("audio", None, None, 2, 44100, "mp3")
+    assert d(_mp3_bytes(2, mono=True, id3=False)) == (
+        "audio", None, None, 1, 32000, "mp3")
+    assert d(bytes([0xFF, 0xF3, 9 << 4, 0])) == (  # MPEG2 rate table
+        "audio", None, None, 2, 22050, "mp3")
     # corrupt / hostile
     assert d(b"") is None
     assert d(_wav_bytes(rate=99_999_999)) is None           # absurd rate
     assert d(_wav_bytes()[:20]) is None                     # truncated
     assert d(_mp4_bytes()[:40]) is None                     # truncated
     assert d(b"RIFFxxxxWAVE") is None                       # no fmt chunk
+    assert d(_flac_bytes()[:15]) is None                    # truncated
+    assert d(bytes([0xFF, 0xFB, (9 << 4) | (3 << 2), 0])) is None  # rsvd rate
+    assert d(bytes([0xFF, 0xFB, 0x00, 0x00])) is None       # free bitrate
+    assert d(b"ID3\x04\x00\x00\xff\x00\x00\x00x") is None   # bad syncsafe
+    assert d(bytes([0xFF, 0xEE, 0, 0])) is None             # not layer III
     # moov child box declares size 3 (< header): must stop, not loop
     bad = (struct.pack(">I", 16) + b"ftypisom" + b"\x00" * 4
            + struct.pack(">I", 16) + b"moov" + struct.pack(">I", 3) + b"trak")
