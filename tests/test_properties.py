@@ -389,3 +389,41 @@ _blk_st = st.lists(
 @settings(max_examples=300, deadline=None)
 def test_ctc_collapse_rewrite_equals_flush_original(blocks):
     assert ctc_collapse_blocks(blocks) == _ctc_collapse_reference(blocks)
+
+
+# --- media header parsers: total functions over arbitrary bytes -----------
+#
+# At corpus scale the decode stage sees arbitrary hostile web bytes; the
+# parsers must be total — return a well-formed tuple or None, never raise,
+# never hang — including on bytes that start with a valid magic number and
+# then lie about sizes/offsets.
+
+_raw_bytes_st = st.binary(max_size=512)
+_magic_st = st.sampled_from(
+    [b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8", b"BM",
+     b"RIFF", b"fLaC", b"ID3", b"\xff\xfb",
+     b"\x00\x00\x00\x10ftyp", b"RIFFxxxxWAVE", b"RIFFxxxxWEBP"]
+).flatmap(lambda m: st.binary(max_size=256).map(lambda t: m + t))
+
+
+@given(st.one_of(_raw_bytes_st, _magic_st))
+@settings(max_examples=300, deadline=None)
+def test_media_header_parsers_are_total(b):
+    from paddleocr_spark.functions.multimodal import (
+        decode_av_header,
+        decode_image_header,
+    )
+
+    img = decode_image_header(b)
+    assert img is None or (
+        len(img) == 4 and img[0] > 0 and img[1] > 0 and 1 <= img[2] <= 4
+    )
+    av = decode_av_header(b)
+    if av is not None:
+        kind, w, h, ch, rate, fmt = av
+        assert kind in ("audio", "video", "image")
+        assert fmt in ("wav", "flac", "mp3", "mp4", "webp")
+        if kind == "audio":
+            assert w is None and h is None and rate and rate > 0
+        else:
+            assert w and w > 0 and h and h > 0 and rate is None
