@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "url_filter",
     "quality_linear",
     "block_dedup",
+    "line_dedup_rewrite",
     "seq_packing",
     "semantic_dedup",
     "dsir_weights",

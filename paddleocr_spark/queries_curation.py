@@ -745,6 +745,80 @@ from ranked group by 1
 """
 
 
+def q_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level dedup with document REWRITE (RefinedWeb-style exact
+    line dedup, Penedo et al. 2023 §4.2): segments whose exact content
+    repeats >= 3 times corpus-wide are boilerplate and dropped from
+    EVERY document (unlike block_dedup's keep-first-occurrence), and
+    each document's surviving text is reassembled in original order —
+    the curation-scale form of the reference's ordered recovery
+    assembly (ppstructure/recovery/recovery_to_doc.py: region order
+    preserved through reassembly). Fixed 8-word segments stand in for
+    lines on the newline-free synthetic corpus; the split expression is
+    the only thing a real deployment changes.
+
+    Scale shape: segments shuffle once keyed by xxhash64(segment) — an
+    8-byte key, the text itself never exchanges for the frequency count
+    — then once by doc_id for the rebuild; reassembly is
+    array_sort(collect_list(struct(idx, line))), a pure per-doc
+    aggregate with an explicit order (no collect_list ordering
+    assumption), so the rebuilt text is deterministic under any
+    partitioning. Per-doc state is O(doc length), never O(corpus).
+    """
+    return line_dedup_rewrite_over(_t(spark, sf_dir, "documents"))
+
+
+def line_dedup_rewrite_over(d: DataFrame, min_count: int = 3) -> DataFrame:
+    lines = (
+        d.select("doc_id", F.split("text", " ").alias("__w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(__w) / 8.0) as int) - 1),"
+                    " i -> array_join(slice(__w, i * 8 + 1, 8), ' '))"
+                )
+            ).alias("idx", "line"),
+        )
+    )
+    cw = Window.partitionBy(F.xxhash64("line"))
+    flagged = lines.withColumn("__kept", F.count("*").over(cw) < min_count)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("__kept").cast("int")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "case when __kept then struct(idx, line) end)),"
+                        " s -> s.line)"
+                    ),
+                    " ",
+                )
+            ).alias("new_md5"),
+        )
+    )
+
+
+SQL_LINE_DEDUP_REWRITE = """
+with tok as (select doc_id, str_split(text, ' ') w from documents),
+lines as (
+  select doc_id, i idx, array_to_string(w[i*8+1 : i*8+8], ' ') line
+  from tok, unnest(range(cast(ceil(len(w) / 8.0) as bigint))) t(i)
+),
+cnt as (
+  select *, count(*) over (partition by line) c from lines
+)
+select doc_id, count(*) n_lines,
+       cast(sum(case when c < 3 then 1 else 0 end) as bigint) n_kept,
+       md5(coalesce(string_agg(case when c < 3 then line end, ' ' order by idx),
+                    '')) new_md5
+from cnt group by 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Sequence packing: concat-and-chunk into fixed-size training contexts
 # ---------------------------------------------------------------------------
@@ -1242,6 +1316,7 @@ CURATION_QUERIES = {
     "dup_ngram_spans": q_dup_ngram_spans,
     "dup_ngram_spans_bcast": q_dup_ngram_spans_bcast,
     "block_dedup": q_block_dedup,
+    "line_dedup_rewrite": q_line_dedup_rewrite,
     "seq_packing": q_seq_packing,
     "url_filter": q_url_filter,
     "quality_linear": q_quality_linear,
@@ -1261,6 +1336,7 @@ CURATION_ORACLES = {
     "dup_ngram_spans": SQL_DUP_NGRAM_SPANS,
     "dup_ngram_spans_bcast": SQL_DUP_NGRAM_SPANS,
     "block_dedup": SQL_BLOCK_DEDUP,
+    "line_dedup_rewrite": SQL_LINE_DEDUP_REWRITE,
     "seq_packing": SQL_SEQ_PACKING,
     "url_filter": SQL_URL_FILTER,
     "quality_linear": SQL_QUALITY_LINEAR,

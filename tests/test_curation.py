@@ -332,3 +332,45 @@ def test_tfidf_rank_contract(spark):
         assert len(rows) <= 3
         scores = [r["score"] for r in rows]
         assert scores == sorted(scores, reverse=True), doc
+
+
+def test_line_dedup_rewrite_drops_boilerplate_everywhere(spark):
+    """RefinedWeb exact line dedup: a segment repeated >= min_count
+    times corpus-wide is dropped from EVERY doc (no first-occurrence
+    winner), and the rebuilt text preserves original segment order."""
+    import hashlib
+
+    from paddleocr_spark.queries_curation import line_dedup_rewrite_over
+
+    boiler = " ".join(f"b{i}" for i in range(8))
+    uniq = {d: " ".join(f"u{d}_{i}" for i in range(8)) for d in (1, 2, 3)}
+    # boilerplate sits FIRST in doc 1, LAST in docs 2/3: order must survive
+    rows = [
+        (1, boiler + " " + uniq[1]),
+        (2, uniq[2] + " " + boiler),
+        (3, uniq[3] + " " + boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in line_dedup_rewrite_over(df).collect()}
+    for d in (1, 2, 3):
+        assert (got[d]["n_lines"], got[d]["n_kept"]) == (2, 1)
+        assert got[d]["new_md5"] == hashlib.md5(uniq[d].encode()).hexdigest()
+
+    # below the threshold nothing is dropped and the rebuild is identity
+    got4 = {r["doc_id"]: r for r in line_dedup_rewrite_over(df, min_count=4).collect()}
+    assert all(got4[d]["n_kept"] == 2 for d in (1, 2, 3))
+    assert got4[1]["new_md5"] == hashlib.md5(rows[0][1].encode()).hexdigest()
+
+
+def test_line_dedup_rewrite_plan_shape(spark):
+    """Two hash-keyed exchanges only (xxhash64(segment) for the
+    frequency count, doc_id for the rebuild): no single-partition
+    window, no Python, no join."""
+    from paddleocr_spark.queries_curation import line_dedup_rewrite_over
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(line_dedup_rewrite_over(docs))
+    assert "SinglePartition" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") >= 2
