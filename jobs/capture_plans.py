@@ -174,6 +174,28 @@ def main():
     ))
 
     sections.append((
+        "Line-level dedup with rewrite (line_dedup_rewrite)",
+        "Exactly two hash-keyed exchanges: segments shuffle once keyed "
+        "by xxhash64(segment) for the corpus frequency window (8-byte "
+        "keys — segment text never exchanges for the count), then once "
+        "by doc_id for the order-preserving rebuild "
+        "(array_sort(collect_list(struct(idx, line)))). No global "
+        "window, no join, no Python; the rebuilt text is a pure "
+        "function of the data under any partitioning.",
+        formatted(Q.QUERIES["line_dedup_rewrite"](spark, SF)),
+    ))
+
+    sections.append((
+        "AV container metadata decode (media_meta_av)",
+        "One ArrowEvalPython/MapInPandas stage directly over the scan "
+        "projection — the payload column is consumed by the decode and "
+        "never survives it (column-pruning discipline for binary "
+        "columns at corpus scale); no exchange at all, the decode is "
+        "embarrassingly parallel.",
+        formatted(Q.QUERIES["media_meta_av"](spark, SF)),
+    ))
+
+    sections.append((
         "Source skew audit (source_skew)",
         "The corpus total joins back as a 1-row BroadcastExchange — no "
         "whole-table window, so no single-partition funnel; the only "
