@@ -1305,6 +1305,198 @@ def q_dup_ngram_spans_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Gopher document-level quality rules (Rae et al. 2021, appendix A1.1)
+# ---------------------------------------------------------------------------
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText document-level quality gate (Rae et al. 2021
+    A1.1): word-count bounds, mean-word-length bounds, short-word
+    fraction, and the required-stopword rule, evaluated per document
+    with an overall pass flag. Complements `repetition_stats` (the
+    Gopher repetition signals) — together they are the full
+    MassiveText quality filter. Thresholds are recast onto the
+    synthetic corpus's distribution (words 10..99, so the 50..100k
+    word-count window becomes 25..80; the stopword set becomes the two
+    corpus function words {'the','a'} standing in for Gopher's
+    8-word English list) — a real deployment only changes the
+    constants.
+
+    Scale shape: every signal is a pure column expression over the
+    one split of `text` (mean word length never re-scans words: with
+    single-space joining, sum(len(word)) == len(text) - (n_words-1),
+    an O(1) arithmetic identity), and the gate compares
+    integer-cross-multiplied bounds (sum_len between 3*n and 10*n, not
+    float ratios) so both engines decide identically with no float
+    boundary. Whole-stage codegen, zero shuffles, zero joins — the
+    cheapest possible corpus pass, which is the point of running it
+    first in the pipeline.
+
+    Reference analog: the cheap-predicate-first discipline of
+    db_postprocess.py:136-141 (box-score gate ordered before unclip),
+    lifted to corpus curation.
+    """
+    return gopher_rules_over(_t(spark, sf_dir, "documents"))
+
+
+def gopher_rules_over(d: DataFrame) -> DataFrame:
+    w = F.split("text", " ")
+    n = F.size(w).cast("bigint")
+    # single-space joined words: sum of word lengths is len(text)-(n-1)
+    sum_len = (F.length("text") - (n - F.lit(1))).cast("bigint")
+    n_short = F.size(F.filter(w, lambda x: F.length(x) < 3)).cast("bigint")
+    stop_hits = (
+        F.array_contains(w, "the").cast("int") + F.array_contains(w, "a").cast("int")
+    )
+    gate = (
+        n.between(25, 80)
+        & (sum_len >= 3 * n)
+        & (sum_len <= 10 * n)
+        & (10 * n_short <= 3 * n)
+        & (stop_hits >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_words"),
+        F.round(sum_len / n, 6).alias("mean_word_len"),
+        F.round(n_short / n, 6).alias("frac_short"),
+        stop_hits.alias("stop_hits"),
+        gate.cast("int").alias("pass_gopher"),
+    )
+
+
+SQL_GOPHER_RULES = """
+with sig as (
+  select doc_id,
+         cast(len(str_split(text, ' ')) as bigint) n,
+         cast(len(text) - (len(str_split(text, ' ')) - 1) as bigint) sum_len,
+         cast(len(list_filter(str_split(text, ' '), x -> len(x) < 3)) as bigint) n_short,
+         (case when list_contains(str_split(text, ' '), 'the') then 1 else 0 end
+          + case when list_contains(str_split(text, ' '), 'a') then 1 else 0 end) stop_hits
+  from documents
+)
+select doc_id, n n_words,
+       round(sum_len / n::double, 6) mean_word_len,
+       round(n_short / n::double, 6) frac_short,
+       stop_hits,
+       case when n between 25 and 80
+             and sum_len >= 3 * n and sum_len <= 10 * n
+             and 10 * n_short <= 3 * n
+             and stop_hits >= 2 then 1 else 0 end pass_gopher
+from sig
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4 line-level cleaning with document rewrite (Raffel et al. 2020 §2.2)
+# ---------------------------------------------------------------------------
+
+def q_c4_line_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep
+    only lines that end in terminal punctuation AND have >= 5 words,
+    then drop documents left with < 3 lines, reassembling survivors in
+    original order. Lines are the fixed 8-word segments of
+    `line_dedup_rewrite`; the punctuation flag is derived
+    deterministically from md5(doc_id, idx) (the corpus carries no
+    punctuation — same independent-derivation convention as the host
+    link graph, where both engines predict the flag arithmetically),
+    so ~70% of lines count as sentence-terminated. A real deployment
+    swaps the derived flag for `text rlike '[.!?]$'` — one expression.
+
+    Scale shape: unlike `line_dedup_rewrite` (whose rule needs a
+    corpus-wide frequency), every C4 line rule is LOCAL — a pure
+    codegen projection on the exploded lines with no join, no window,
+    no corpus-wide state — so the only shuffle is the per-doc rebuild
+    groupBy, and the rebuild is the same explicitly-ordered
+    array_sort(collect_list(struct(idx, line))) aggregate (O(doc)
+    state, deterministic under any partitioning). At 100 TB this is a
+    single-exchange pass, which is why C4 runs it before every
+    corpus-frequency stage.
+
+    Reference analog: filter_tag_det_res's per-box local gates
+    (db_postprocess.py) — cheap local rules first, corpus passes after
+    — plus ordered reassembly (recovery_to_doc.py).
+    """
+    return c4_line_clean_over(_t(spark, sf_dir, "documents"))
+
+
+def c4_line_clean_over(d: DataFrame, min_lines: int = 3) -> DataFrame:
+    lines = (
+        d.select("doc_id", F.split("text", " ").alias("__w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(__w) / 8.0) as int) - 1),"
+                    " i -> array_join(slice(__w, i * 8 + 1, 8), ' '))"
+                )
+            ).alias("idx", "line"),
+        )
+    )
+    punct = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("c4:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("idx").cast("string"),
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+        < 7
+    )
+    kept = punct & (F.size(F.split("line", " ")) >= 5)
+    flagged = lines.withColumn("__kept", kept)
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("__kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "case when __kept then struct(idx, line) end)),"
+                    " s -> s.line)"
+                ),
+                " ",
+            )
+        ).alias("new_md5"),
+    )
+    return per_doc.withColumn(
+        "doc_pass", (F.col("n_kept") >= min_lines).cast("int")
+    )
+
+
+SQL_C4_LINE_CLEAN = """
+with tok as (select doc_id, str_split(text, ' ') w from documents),
+lines as (
+  select doc_id, i idx, array_to_string(w[i*8+1 : i*8+8], ' ') line
+  from tok, unnest(range(cast(ceil(len(w) / 8.0) as bigint))) t(i)
+),
+flagged as (
+  select doc_id, idx, line,
+         (('0x' || substr(md5('c4:' || cast(doc_id as varchar) || ':'
+                              || cast(idx as varchar)), 1, 4))::bigint % 10 < 7
+          and len(str_split(line, ' ')) >= 5) kept
+  from lines
+)
+select doc_id, count(*) n_lines,
+       cast(sum(case when kept then 1 else 0 end) as bigint) n_kept,
+       md5(coalesce(string_agg(case when kept then line end, ' ' order by idx),
+                    '')) new_md5,
+       case when cast(sum(case when kept then 1 else 0 end) as bigint) >= 3
+            then 1 else 0 end doc_pass
+from flagged group by 1
+"""
+
+
 CURATION_QUERIES = {
     "decontaminate": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
@@ -1317,6 +1509,8 @@ CURATION_QUERIES = {
     "dup_ngram_spans_bcast": q_dup_ngram_spans_bcast,
     "block_dedup": q_block_dedup,
     "line_dedup_rewrite": q_line_dedup_rewrite,
+    "gopher_rules": q_gopher_rules,
+    "c4_line_clean": q_c4_line_clean,
     "seq_packing": q_seq_packing,
     "url_filter": q_url_filter,
     "quality_linear": q_quality_linear,
@@ -1337,6 +1531,8 @@ CURATION_ORACLES = {
     "dup_ngram_spans_bcast": SQL_DUP_NGRAM_SPANS,
     "block_dedup": SQL_BLOCK_DEDUP,
     "line_dedup_rewrite": SQL_LINE_DEDUP_REWRITE,
+    "gopher_rules": SQL_GOPHER_RULES,
+    "c4_line_clean": SQL_C4_LINE_CLEAN,
     "seq_packing": SQL_SEQ_PACKING,
     "url_filter": SQL_URL_FILTER,
     "quality_linear": SQL_QUALITY_LINEAR,

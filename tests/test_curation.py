@@ -374,3 +374,84 @@ def test_line_dedup_rewrite_plan_shape(spark):
     assert "EvalPython" not in plan, plan
     assert "Join" not in plan, plan
     assert plan.count("Exchange hashpartitioning") >= 2
+
+
+def test_gopher_rules_gate_semantics(spark):
+    """Each Gopher rule flips the gate independently: a doc inside
+    every bound passes; too-short, stopword-free, and short-word-heavy
+    docs each fail on exactly the intended signal."""
+    from paddleocr_spark.queries_curation import gopher_rules_over
+
+    good = "the a " + " ".join(f"word{i:02d}" for i in range(28))  # 30 words
+    short = "the a word one two"                                   # 5 words
+    nostop = " ".join(f"word{i:02d}" for i in range(30))           # no the/a
+    shorty = "the a " + " ".join("ab" for _ in range(28))          # 28/30 short
+    rows = [(1, good), (2, short), (3, nostop), (4, shorty)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in gopher_rules_over(df).collect()}
+
+    assert got[1]["pass_gopher"] == 1
+    assert got[1]["n_words"] == 30 and got[1]["stop_hits"] == 2
+    assert got[2]["pass_gopher"] == 0 and got[2]["n_words"] == 5
+    assert got[3]["pass_gopher"] == 0 and got[3]["stop_hits"] == 0
+    assert got[4]["pass_gopher"] == 0 and got[4]["frac_short"] > 0.3
+    # mean word length is the O(1) arithmetic identity, not a re-scan:
+    # 30 words, 3 + 1 + 28*6 chars (round(...,6) in the query)
+    assert abs(got[1]["mean_word_len"] - round((3 + 1 + 28 * 6) / 30, 6)) < 1e-9
+
+
+def test_gopher_rules_plan_is_shuffle_free(spark):
+    """The whole gate is one codegen projection: zero exchanges, zero
+    joins, zero Python — the property that makes it the first pass."""
+    from paddleocr_spark.queries_curation import gopher_rules_over
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(gopher_rules_over(docs))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_c4_line_clean_semantics(spark):
+    """Kept lines = (derived terminal punctuation) AND >= 5 words; the
+    rebuild preserves original order; docs below min_lines fail the
+    doc gate. Expectations computed independently from the same md5
+    derivation the query uses."""
+    import hashlib
+
+    from paddleocr_spark.queries_curation import c4_line_clean_over
+
+    def punct(doc_id: int, idx: int) -> bool:
+        h = hashlib.md5(f"c4:{doc_id}:{idx}".encode()).hexdigest()
+        return int(h[:4], 16) % 10 < 7
+
+    # doc 1: five 8-word lines + a 3-word tail (tail fails the >=5 rule)
+    lines1 = [" ".join(f"w{j}_{i}" for i in range(8)) for j in range(5)]
+    tail = "t0 t1 t2"
+    text1 = " ".join(lines1) + " " + tail
+    # doc 2: one 8-word line -- can never reach min_lines=3
+    text2 = " ".join(f"x{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, text1), (2, text2)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r for r in c4_line_clean_over(df).collect()}
+
+    exp_kept = [lines1[j] for j in range(5) if punct(1, j)]
+    assert got[1]["n_lines"] == 6
+    assert got[1]["n_kept"] == len(exp_kept)
+    assert got[1]["new_md5"] == hashlib.md5(" ".join(exp_kept).encode()).hexdigest()
+    assert got[1]["doc_pass"] == int(len(exp_kept) >= 3)
+    assert got[2]["n_kept"] <= 1 and got[2]["doc_pass"] == 0
+
+
+def test_c4_line_clean_plan_shape(spark):
+    """Every C4 rule is local: exactly the one rebuild exchange on
+    doc_id, no join, no corpus-wide window, no Python."""
+    from paddleocr_spark.queries_curation import c4_line_clean_over
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(c4_line_clean_over(docs))
+    assert "SinglePartition" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
