@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "quality_linear",
     "block_dedup",
     "line_dedup_rewrite",
+    "gopher_rules",
+    "c4_line_clean",
     "seq_packing",
     "semantic_dedup",
     "dsir_weights",

@@ -186,6 +186,26 @@ def main():
     ))
 
     sections.append((
+        "Gopher document-level quality rules (gopher_rules)",
+        "Zero exchanges, zero joins, zero Python: the entire "
+        "MassiveText quality gate is one whole-stage-codegen "
+        "projection over the scan (mean word length via the O(1) "
+        "len(text) identity, bounds as integer cross-products). The "
+        "cheapest pass in the pipeline, which is why it runs first.",
+        formatted(Q.QUERIES["gopher_rules"](spark, SF)),
+    ))
+
+    sections.append((
+        "C4 line cleaning with rewrite (c4_line_clean)",
+        "Every C4 line rule is LOCAL (codegen projection on the "
+        "exploded lines — no corpus-wide frequency, join, or window), "
+        "so the ONLY exchange is the per-doc rebuild groupBy with its "
+        "explicitly-ordered array_sort(collect_list(struct)) "
+        "aggregate. A single-shuffle corpus pass at any scale.",
+        formatted(Q.QUERIES["c4_line_clean"](spark, SF)),
+    ))
+
+    sections.append((
         "AV container metadata decode (media_meta_av)",
         "One ArrowEvalPython/MapInPandas stage directly over the scan "
         "projection — the payload column is consumed by the decode and "
