@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "line_confidence",
     "det_metric",
     "word_runs",
+    "inverted_index",
+    "pmi_bigrams",
 ]
 
 

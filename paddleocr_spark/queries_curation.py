@@ -1805,3 +1805,190 @@ select dst_host, term, n, rnk from (
 
 _queries.QUERIES["anchor_text_terms"] = q_anchor_text_terms
 _queries.ORACLES["anchor_text_terms"] = SQL_ANCHOR_TEXT_TERMS
+
+
+# ---------------------------------------------------------------------------
+# Inverted index with block-sharded postings (corpus search / audit)
+# ---------------------------------------------------------------------------
+
+INDEX_BLOCK_DOCS = 64  # docs per postings block (fixed-size shards)
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> postings, sharded into fixed-size
+    doc-id blocks — the audit/search structure a curation pipeline
+    keeps next to the corpus ("which documents contain this phrase /
+    contaminated string?").
+
+    Scale shape: postings for a Zipf-head term ("the") would be a
+    single monster reducer row if grouped by term alone; sharding by
+    ``block_id = doc_id div 64`` bounds every output row to <= 64 ids
+    (one storage block of the doc store) and spreads a hot term across
+    O(corpus/64) reducers. The (term, doc) distinct and the (term,
+    block) group share one hash-partitioning; per-term document
+    frequency is a second partial agg over the same keys, joined back
+    O(vocab). Postings serialize as a comma-joined string sorted
+    numerically (the delta-encodable on-disk form).
+
+    Reference analog: none — PaddleOCR has no corpus index; shape
+    follows the classic block-partitioned postings layout (BSBI,
+    Manning IR ch.4).
+    """
+    from paddleocr_spark.functions.dedup import _spread
+
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    td = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    blocks = td.groupBy(
+        "term", (F.col("doc_id") / INDEX_BLOCK_DOCS).cast("bigint").alias("block_id")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.expr(
+            "array_join(transform(sort_array(collect_list(doc_id)),"
+            " x -> cast(x as string)), ',')"
+        ).alias("postings"),
+    )
+    df_tbl = blocks.groupBy("term").agg(F.sum("n_docs").alias("df"))
+    return blocks.join(df_tbl, "term").select(
+        "term", "block_id", "n_docs", "df", "postings"
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+with td as (
+  select distinct doc_id, t term
+  from (select doc_id, unnest(str_split(text, ' ')) t from documents)
+  where t <> ''
+),
+blocks as (
+  select term, cast(doc_id // {INDEX_BLOCK_DOCS} as bigint) block_id,
+         count(*) n_docs,
+         string_agg(cast(doc_id as varchar), ',' order by doc_id) postings
+  from td group by 1, 2
+),
+dfq as (select term, sum(n_docs) df from blocks group by 1)
+select term, block_id, n_docs, df, postings
+from blocks join dfq using (term)
+"""
+
+_queries.QUERIES["inverted_index"] = q_inverted_index
+_queries.ORACLES["inverted_index"] = SQL_INVERTED_INDEX
+
+
+# ---------------------------------------------------------------------------
+# PMI collocation mining (phrase discovery)
+# ---------------------------------------------------------------------------
+
+PMI_MIN_COUNT = 5  # bigram support threshold (noise floor)
+
+
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations over adjacent word
+    pairs: PMI(w1,w2) = ln(p(w1,w2) / (p(w1)·p(w2))) — the standard
+    phrase-discovery pass (word2vec's phrase pre-join, Mikolov et al.
+    2013 §4) a tokenizer-training pipeline runs before BPE.
+
+    Scale shape: bigrams come out of the token array JVM-side
+    (``transform(sequence(...))`` over the split — no self-join, no
+    posexplode+join); both count tables are partial-agg'd before their
+    exchanges, so the shuffles carry O(vocab) and O(vocab²∩observed)
+    rows, not O(tokens). The two unigram joins are vocab-sized (AQE
+    picks broadcast when it fits); corpus totals ride a 1-row broadcast
+    cross join — the whole thing is ONE plan, no driver-side count().
+    The uni/big subtrees are referenced three times each (c1, c2,
+    totals) but tokenize the corpus only twice at runtime: their
+    exchanges are identical, so AQE's ReusedExchange collapses the
+    repeats (verified: 3 ReusedExchange nodes in the executed plan).
+    The double-precision PMI expression is association-mirrored in the
+    oracle so both engines produce bit-identical IEEE results.
+    """
+    from paddleocr_spark.functions.dedup import _spread
+
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id").select(
+        F.split("text", " ").alias("ts")
+    ).filter(F.size("ts") >= 2)
+    uni = (
+        d.select(F.explode("ts").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    big = (
+        d.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i-1] as w1, ts[i] as w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c12"))
+    )
+    totals = F.broadcast(
+        uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+            big.agg(F.sum("c12").alias("n_big"))
+        )
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        big.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            "c2",
+            F.round(
+                F.log(
+                    (
+                        F.col("c12").cast("double")
+                        * F.col("n_uni").cast("double")
+                        * F.col("n_uni").cast("double")
+                    )
+                    / (
+                        F.col("n_big").cast("double")
+                        * F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+SQL_PMI_BIGRAMS = f"""
+with l as (
+  select str_split(text, ' ') ts from documents where len(str_split(text, ' ')) >= 2
+),
+uni as (
+  select w, count(*) c from (select unnest(ts) w from l) group by 1
+),
+idx as (select ts, unnest(range(1, len(ts))) i from l),
+big as (
+  select ts[i] w1, ts[i+1] w2, count(*) c12 from idx group by 1, 2
+),
+totals as (
+  select (select sum(c) from uni) n_uni, (select sum(c12) from big) n_big
+)
+select w1, w2, c12, c1, c2,
+       round(ln((c12::double * n_uni::double * n_uni::double)
+                / (n_big::double * c1::double * c2::double)), 6) pmi
+from (select b.w1, b.w2, b.c12, u1.c c1, u2.c c2
+      from big b
+      join uni u1 on b.w1 = u1.w
+      join uni u2 on b.w2 = u2.w
+      where b.c12 >= {PMI_MIN_COUNT}) x
+cross join totals
+"""
+
+_queries.QUERIES["pmi_bigrams"] = q_pmi_bigrams
+_queries.ORACLES["pmi_bigrams"] = SQL_PMI_BIGRAMS
