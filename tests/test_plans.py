@@ -164,3 +164,30 @@ def test_rtl_reverse_plan_is_pure_projection(spark):
     plan = _plan(Q.QUERIES["rtl_reverse"](spark, SF_DIR))
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_inverted_index_distinct_rides_doc_partitioning(spark):
+    """The (term, doc) distinct must NOT add its own exchange: the scan
+    is already hash-partitioned on doc_id, which satisfies the
+    (doc_id, term) clustering. Data exchanges: the repartition plus the
+    (term, block) group — the df join-back side re-aggregates the
+    grouped output (vocab-sized), never the corpus. No Python stages."""
+    plan = _plan(Q.QUERIES["inverted_index"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    # doc_id repartitions (scan reused per subtree) + (term, block)
+    # groupings + the df (term) agg — but never an exchange keyed on
+    # (doc_id, term): the distinct rides the doc_id partitioning.
+    for l in ex:
+        assert not ("doc_id#" in l and "term#" in l), l
+
+
+def test_pmi_bigrams_shuffles_counts_not_tokens(spark):
+    """PMI plan gates: no Python stages; no self-join of the token
+    stream (bigrams come out of transform(sequence) in-expression, so
+    no SortMergeJoin anywhere — all joins are vocab-sized broadcasts
+    at this scale); totals ride broadcast, not a driver count()."""
+    plan = _plan(Q.QUERIES["pmi_bigrams"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "transform(sequence" in plan  # in-expression bigrams
+    assert "SortMergeJoin" not in plan, plan
