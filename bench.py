@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "word_runs",
     "inverted_index",
     "pmi_bigrams",
+    "bpe_merges",
 ]
 
 

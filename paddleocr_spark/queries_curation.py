@@ -1992,3 +1992,156 @@ cross join totals
 
 _queries.QUERIES["pmi_bigrams"] = q_pmi_bigrams
 _queries.ORACLES["pmi_bigrams"] = SQL_PMI_BIGRAMS
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (merge-rule learning) in relational form
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 6
+
+
+def _bpe_pairs(words: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol pair counts over a (sym, cnt) word
+    table. Pairs come out of the split array in-expression; a 1-symbol
+    word contributes none."""
+    ts = F.split("sym", " ")
+    return (
+        words.select(ts.alias("ts"), "cnt")
+        .filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 1),"
+                    " i -> struct(ts[i-1] as lft, ts[i] as rgt))"
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        .groupBy("p.lft", "p.rgt")
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def _bpe_apply(words: DataFrame, top1: DataFrame) -> DataFrame:
+    """Apply one merge rule to every word: greedy left-to-right
+    non-overlapping, exactly the reference algorithm's semantics.
+    Space-DOUBLING before the literal replace is what makes plain
+    ``replace`` equivalent to the token-walk: with single separators,
+    adjacent non-overlapping occurrences share a boundary space and the
+    scanner (which resumes after each match) misses every second one;
+    doubling leaves one boundary space behind per match so runs merge
+    like the reference (property-locked against the token-walk twin in
+    tests). All string ops are codegen'd builtins — the merge pair
+    arrives as columns via a 1-row broadcast, so each round is a pure
+    projection over the word table, no Python, no shuffle."""
+    return words.crossJoin(F.broadcast(top1)).select(
+        F.trim(
+            F.regexp_replace(
+                F.expr(
+                    "replace(' ' || replace(sym, ' ', '  ') || ' ',"
+                    " ' ' || lft || '  ' || rgt || ' ',"
+                    " ' ' || lft || rgt || ' ')"
+                ),
+                " +",
+                " ",
+            )
+        ).alias("sym"),
+        "cnt",
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding merge-rule learning (Sennrich et al. 2016 —
+    the tokenizer-training pass every LLM data pipeline runs): 6 rounds
+    of (count adjacent symbol pairs weighted by word frequency, merge
+    the argmax pair everywhere). Output is the learned merge table —
+    one row per round with the chosen pair and its count.
+
+    Scale shape: the corpus collapses to the unique-word frequency
+    table FIRST (one shuffle on the word — O(corpus) in, O(vocab) out),
+    and every merge round then touches only that table: a vocab-sized
+    pair aggregation, a 1-row broadcast argmax (count desc, pair asc
+    tie-break — deterministic across engines), and a codegen string
+    projection. This is exactly how production BPE trainers scale —
+    rounds cost O(unique words), never O(tokens). The argmax rides
+    ``orderBy().limit(1)`` (exact top-1, map-side partial top-k); the
+    whole 6-round unroll is ONE lazy plan (the host_pagerank pattern —
+    at real vocab sizes a trainer checkpoints the word table every few
+    rounds; plan depth here is 6 and bounded by test).
+
+    Reference analog: none — PaddleOCR's dictionaries are fixed
+    char lists (ppocr/utils/*_dict.txt); this is the pass that would
+    LEARN such a vocabulary from the extracted corpus.
+    """
+    from paddleocr_spark.functions.dedup import _spread
+
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "cnt"
+        )
+    )
+    out = None
+    for rnd in range(1, BPE_ROUNDS + 1):
+        top1 = (
+            _bpe_pairs(words)
+            .orderBy(F.desc("pair_count"), F.asc("lft"), F.asc("rgt"))
+            .limit(1)
+            .select(
+                "lft", "rgt", F.concat("lft", "rgt").alias("merged"),
+                "pair_count",
+            )
+        )
+        row = top1.select(F.lit(rnd).alias("round"), "*")
+        out = row if out is None else out.unionByName(row)
+        words = _bpe_apply(words, top1)
+    return out
+
+
+def _sql_bpe_merges(rounds: int = BPE_ROUNDS) -> str:
+    ctes = [
+        "w0 as (select trim(regexp_replace(w, '(.)', '\\1 ', 'g')) sym,"
+        " count(*) cnt from (select unnest(str_split(text, ' ')) w"
+        " from documents) where w <> '' group by 1)"
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes.append(
+            f"t{i} as (select str_split(sym, ' ') ts, cnt from w{p}"
+            " where len(str_split(sym, ' ')) >= 2)"
+        )
+        ctes.append(
+            f"x{i} as (select ts[j] lft, ts[j+1] rgt, cnt from t{i},"
+            f" unnest(range(1, len(ts))) r(j))"
+        )
+        ctes.append(
+            f"p{i} as (select lft, rgt, sum(cnt) pair_count from x{i}"
+            " group by 1, 2)"
+        )
+        ctes.append(
+            f"m{i} as (select lft, rgt, lft || rgt merged, pair_count"
+            f" from p{i} order by pair_count desc, lft, rgt limit 1)"
+        )
+        ctes.append(
+            f"w{i} as (select trim(regexp_replace(replace("
+            "' ' || replace(sym, ' ', '  ') || ' ',"
+            f" (select ' ' || lft || '  ' || rgt || ' ' from m{i}),"
+            f" (select ' ' || lft || rgt || ' ' from m{i})),"
+            f" ' +', ' ', 'g')) sym, cnt from w{p})"
+        )
+    union = "\nunion all ".join(
+        f"select {i} as round, lft, rgt, merged, pair_count from m{i}"
+        for i in range(1, rounds + 1)
+    )
+    return "with " + ",\n".join(ctes) + "\n" + union
+
+
+SQL_BPE_MERGES = _sql_bpe_merges()
+
+_queries.QUERIES["bpe_merges"] = q_bpe_merges
+_queries.ORACLES["bpe_merges"] = SQL_BPE_MERGES

@@ -191,3 +191,13 @@ def test_pmi_bigrams_shuffles_counts_not_tokens(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "transform(sequence" in plan  # in-expression bigrams
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bpe_merges_plan_no_python_exact_top1(spark):
+    """BPE training rounds are pure JVM: no Python stages anywhere, and
+    every per-round argmax is TakeOrderedAndProject (exact top-1 with
+    map-side partial top-k — never a global sort)."""
+    plan = _plan(Q.QUERIES["bpe_merges"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan or "TakeOrdered" in plan

@@ -427,3 +427,44 @@ def test_media_header_parsers_are_total(b):
             assert w is None and h is None and rate and rate > 0
         else:
             assert w and w > 0 and h and h > 0 and rate is None
+
+
+# --- BPE space-doubled string-replace merge vs the token-walk original ---
+
+def _bpe_merge_token_walk(sym: str, lft: str, rgt: str) -> str:
+    """Sennrich et al.'s merge step verbatim: walk the token list,
+    greedy left-to-right non-overlapping."""
+    toks = sym.split(" ")
+    out, i = [], 0
+    while i < len(toks):
+        if i + 1 < len(toks) and toks[i] == lft and toks[i + 1] == rgt:
+            out.append(lft + rgt)
+            i += 2
+        else:
+            out.append(toks[i])
+            i += 1
+    return " ".join(out)
+
+
+def _bpe_merge_string(sym: str, lft: str, rgt: str) -> str:
+    """The codegen form queries_curation._bpe_apply evaluates JVM-side,
+    replicated in Python: space-double, literal replace, collapse."""
+    import re
+
+    work = " " + sym.replace(" ", "  ") + " "
+    work = work.replace(f" {lft}  {rgt} ", f" {lft}{rgt} ")
+    return re.sub(" +", " ", work).strip()
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "ab", "ba", "aa"]), min_size=1, max_size=12),
+    st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+    st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+)
+@settings(max_examples=400, deadline=None)
+def test_bpe_string_merge_equals_token_walk(toks, lft, rgt):
+    """Adjacent runs, pairs sharing a boundary, symbols that are
+    substrings of each other — the string form must merge exactly the
+    occurrences the reference token walk merges."""
+    sym = " ".join(toks)
+    assert _bpe_merge_string(sym, lft, rgt) == _bpe_merge_token_walk(sym, lft, rgt)
