@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "inverted_index",
     "pmi_bigrams",
     "bpe_merges",
+    "bpe_encode",
 ]
 
 

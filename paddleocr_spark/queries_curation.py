@@ -2051,6 +2051,28 @@ def _bpe_apply(words: DataFrame, top1: DataFrame) -> DataFrame:
     )
 
 
+def _bpe_learn(words: DataFrame, rounds: int = BPE_ROUNDS):
+    """Run ``rounds`` merge-learning rounds over a (sym, cnt) word
+    table. Returns (merge_table, final_words): the learned rules (one
+    row per round) and the word table with every rule applied — the
+    trained tokenizer's vocabulary mapping."""
+    out = None
+    for rnd in range(1, rounds + 1):
+        top1 = (
+            _bpe_pairs(words)
+            .orderBy(F.desc("pair_count"), F.asc("lft"), F.asc("rgt"))
+            .limit(1)
+            .select(
+                "lft", "rgt", F.concat("lft", "rgt").alias("merged"),
+                "pair_count",
+            )
+        )
+        row = top1.select(F.lit(rnd).alias("round"), "*")
+        out = row if out is None else out.unionByName(row)
+        words = _bpe_apply(words, top1)
+    return out, words
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-pair-encoding merge-rule learning (Sennrich et al. 2016 —
     the tokenizer-training pass every LLM data pipeline runs): 6 rounds
@@ -2086,24 +2108,11 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "cnt"
         )
     )
-    out = None
-    for rnd in range(1, BPE_ROUNDS + 1):
-        top1 = (
-            _bpe_pairs(words)
-            .orderBy(F.desc("pair_count"), F.asc("lft"), F.asc("rgt"))
-            .limit(1)
-            .select(
-                "lft", "rgt", F.concat("lft", "rgt").alias("merged"),
-                "pair_count",
-            )
-        )
-        row = top1.select(F.lit(rnd).alias("round"), "*")
-        out = row if out is None else out.unionByName(row)
-        words = _bpe_apply(words, top1)
+    out, _ = _bpe_learn(words)
     return out
 
 
-def _sql_bpe_merges(rounds: int = BPE_ROUNDS) -> str:
+def _sql_bpe_ctes(rounds: int = BPE_ROUNDS) -> list:
     ctes = [
         "w0 as (select trim(regexp_replace(w, '(.)', '\\1 ', 'g')) sym,"
         " count(*) cnt from (select unnest(str_split(text, ' ')) w"
@@ -2134,14 +2143,87 @@ def _sql_bpe_merges(rounds: int = BPE_ROUNDS) -> str:
             f" (select ' ' || lft || rgt || ' ' from m{i})),"
             f" ' +', ' ', 'g')) sym, cnt from w{p})"
         )
+    return ctes
+
+
+def _sql_bpe_merges(rounds: int = BPE_ROUNDS) -> str:
     union = "\nunion all ".join(
         f"select {i} as round, lft, rgt, merged, pair_count from m{i}"
         for i in range(1, rounds + 1)
     )
-    return "with " + ",\n".join(ctes) + "\n" + union
+    return "with " + ",\n".join(_sql_bpe_ctes(rounds)) + "\n" + union
 
 
 SQL_BPE_MERGES = _sql_bpe_merges()
 
 _queries.QUERIES["bpe_merges"] = q_bpe_merges
 _queries.ORACLES["bpe_merges"] = SQL_BPE_MERGES
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE tokenizer to the corpus (the other half
+    of tokenizer training — ``bpe_merges`` learns the rules, this pass
+    MEASURES them): per document, the whitespace token count and the
+    BPE token count under the 6 learned merges.
+
+    Scale shape: encoding never re-walks documents through the merge
+    loop. The trained vocabulary IS the final word table — each unique
+    word mapped to its merged symbol sequence — so applying the
+    tokenizer is one equi-join: corpus words (O(corpus), streaming)
+    against the vocab mapping (O(unique words), broadcast at real
+    vocab sizes since trained vocabularies are ~10⁵ entries vs 10¹²
+    corpus tokens), then a per-doc sum. The original word is recovered
+    from the symbol sequence by deleting separators (merges never
+    change character content), so no extra key column rides through
+    the learning rounds.
+
+    Reference analog: `CTCLabelDecode.__call__`'s dict-lookup encode
+    (ppocr/postprocess/rec_postprocess.py) applies a FIXED vocabulary;
+    this applies the learned one at corpus scale.
+    """
+    from paddleocr_spark.functions.dedup import _spread
+
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id")
+    doc_words = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    words = (
+        doc_words.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.trim(F.regexp_replace("w", "(.)", "$1 ")).alias("sym"), "cnt"
+        )
+    )
+    _, vocab = _bpe_learn(words)
+    vocab = vocab.select(
+        F.replace(F.col("sym"), F.lit(" "), F.lit("")).alias("w"),
+        F.size(F.split("sym", " ")).alias("n_sym"),
+    )
+    return (
+        doc_words.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("ws_tokens"),
+            F.sum("n_sym").alias("bpe_tokens"),
+        )
+    )
+
+
+def _sql_bpe_encode(rounds: int = BPE_ROUNDS) -> str:
+    body = f"""
+select d.doc_id,
+       cast(count(*) as bigint) as ws_tokens,
+       cast(sum(len(str_split(v.sym, ' '))) as bigint) as bpe_tokens
+from (select doc_id, unnest(str_split(text, ' ')) w from documents) d
+join (select replace(sym, ' ', '') w, sym from w{rounds}) v on d.w = v.w
+where d.w <> ''
+group by 1
+"""
+    return "with " + ",\n".join(_sql_bpe_ctes(rounds)) + body
+
+
+SQL_BPE_ENCODE = _sql_bpe_encode()
+
+_queries.QUERIES["bpe_encode"] = q_bpe_encode
+_queries.ORACLES["bpe_encode"] = SQL_BPE_ENCODE

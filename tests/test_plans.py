@@ -201,3 +201,13 @@ def test_bpe_merges_plan_no_python_exact_top1(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Sort " not in plan or "TakeOrdered" in plan
+
+
+def test_bpe_encode_plan_no_python_single_vocab_join(spark):
+    """Encoding is one equi-join of corpus words against the trained
+    vocab mapping — pure JVM (no Python stages), and the per-word
+    symbol-count arithmetic stays in the projection (no extra shuffle
+    beyond the vocab build and the per-doc aggregate)."""
+    plan = _plan(Q.QUERIES["bpe_encode"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
