@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "pmi_bigrams",
     "bpe_merges",
     "bpe_encode",
+    "dedup_keep_best",
 ]
 
 

@@ -2227,3 +2227,68 @@ SQL_BPE_ENCODE = _sql_bpe_encode()
 
 _queries.QUERIES["bpe_encode"] = q_bpe_encode
 _queries.ORACLES["bpe_encode"] = SQL_BPE_ENCODE
+
+
+# ---------------------------------------------------------------------------
+# Near-dup winner selection: keep the best document per cluster
+# ---------------------------------------------------------------------------
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection — the step after near-dup
+    clustering where the pipeline KEEPS one document per cluster, and
+    not the arbitrary min-id one: the longest text wins (quality
+    proxy), doc_id ascending breaks ties. Singletons (documents in no
+    candidate pair) are their own cluster and always kept. Output is
+    one row per document: its cluster id and a kept flag — the form a
+    downstream filter or audit join consumes.
+
+    Scale shape: clusters come from the same MinHash-LSH candidate
+    pairs + connected-components as ``dup_clusters`` (pair table is
+    O(collisions), CC is O(log n) rounds over ids only); the corpus
+    then LEFT-joins the O(dups) cluster map (broadcast at real scale —
+    duplicates are a few percent of ids, ids only, no text), and the
+    winner is one hash-partitioned window per cluster keyed by the
+    cluster id — a single shuffle of (id, cluster, len) triples, never
+    of document bodies.
+
+    Reference analog: the priority rule in layout NMS
+    (picodet_postprocess.py keeps the higher-score box); here the
+    kept entity is a document and the score is its length.
+    """
+    from paddleocr_spark.functions import dedup as _dd
+    from paddleocr_spark.functions.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    cc = connected_components(_dd.lsh_candidate_pairs(d))
+    full = d.join(
+        cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return full.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).cast("bigint").alias("kept"),
+    )
+
+
+SQL_DEDUP_KEEP_BEST = f"""
+with cc as ({_queries.ORACLES["dup_clusters"]}),
+alldocs as (
+  select d.doc_id, coalesce(cc.cluster_id, d.doc_id) cluster_id, d.n_chars
+  from documents d left join cc on cc.doc_id = d.doc_id
+)
+select doc_id, cluster_id,
+       cast(case when row_number() over (
+         partition by cluster_id order by n_chars desc, doc_id) = 1
+         then 1 else 0 end as bigint) kept
+from alldocs
+"""
+
+_queries.QUERIES["dedup_keep_best"] = q_dedup_keep_best
+_queries.ORACLES["dedup_keep_best"] = SQL_DEDUP_KEEP_BEST

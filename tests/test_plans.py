@@ -211,3 +211,13 @@ def test_bpe_encode_plan_no_python_single_vocab_join(spark):
     plan = _plan(Q.QUERIES["bpe_encode"](spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dedup_keep_best_plan_bodies_never_shuffle(spark):
+    """Winner selection stays JVM-side with no cartesian anywhere:
+    signatures are computed map-side, the CC loop exchanges id pairs,
+    and the final window is one hash exchange on cluster_id."""
+    df = Q.QUERIES["dedup_keep_best"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
