@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "bpe_merges",
     "bpe_encode",
     "dedup_keep_best",
+    "span_dedup_keep_first",
+    "host_quality_gate",
 ]
 
 

@@ -2292,3 +2292,166 @@ from alldocs
 
 _queries.QUERIES["dedup_keep_best"] = q_dedup_keep_best
 _queries.ORACLES["dedup_keep_best"] = SQL_DEDUP_KEEP_BEST
+
+
+# ---------------------------------------------------------------------------
+# C4-style span dedup: first occurrence wins, every later copy dropped
+# ---------------------------------------------------------------------------
+
+def q_span_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup with a FIRST-OCCURRENCE winner (Raffel et al.
+    2020 §2.2 deduplicate three-sentence spans keeping one copy — the
+    other published flavor next to ``line_dedup_rewrite``'s RefinedWeb
+    drop-everywhere rule): the corpus-wide first occurrence of each
+    8-word segment (by (doc_id, idx) — crawl order) survives, every
+    later copy is cut from its document, and documents are reassembled
+    in order. Output is the rewrite audit row per document.
+
+    Scale shape: one shuffle keyed by the segment hash for the
+    row_number window (values are (hash, doc_id, idx, segment) — 
+    bounded-width rows, Zipf-head segments concentrate but the window
+    computes a streaming rank, not a collect), then the same
+    order-preserving reassembly groupBy as line_dedup_rewrite. The
+    winner rule is a total order ((doc_id, idx) is unique), so output
+    is partitioning-independent.
+    """
+    d = _t(spark, sf_dir, "documents")
+    lines = (
+        d.select("doc_id", F.split("text", " ").alias("__w"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, cast(ceil(size(__w) / 8.0) as int) - 1),"
+                    " i -> array_join(slice(__w, i * 8 + 1, 8), ' '))"
+                )
+            ).alias("idx", "line"),
+        )
+    )
+    cw = Window.partitionBy(F.xxhash64("line")).orderBy("doc_id", "idx")
+    flagged = lines.withColumn("__kept", F.row_number().over(cw) == 1)
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("__kept").cast("int")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.expr(
+                        "transform(array_sort(collect_list("
+                        "case when __kept then struct(idx, line) end)),"
+                        " s -> s.line)"
+                    ),
+                    " ",
+                )
+            ).alias("new_md5"),
+        )
+    )
+
+
+SQL_SPAN_DEDUP_KEEP_FIRST = """
+with tok as (select doc_id, str_split(text, ' ') w from documents),
+lines as (
+  select doc_id, i idx, array_to_string(w[i*8+1 : i*8+8], ' ') line
+  from tok, unnest(range(cast(ceil(len(w) / 8.0) as bigint))) t(i)
+),
+rn as (
+  select *, row_number() over (partition by line order by doc_id, idx) r
+  from lines
+)
+select doc_id, count(*) n_lines,
+       cast(sum(case when r = 1 then 1 else 0 end) as bigint) n_kept,
+       md5(coalesce(string_agg(case when r = 1 then line end, ' ' order by idx),
+                    '')) new_md5
+from rn group by 1
+"""
+
+_queries.QUERIES["span_dedup_keep_first"] = q_span_dedup_keep_first
+_queries.ORACLES["span_dedup_keep_first"] = SQL_SPAN_DEDUP_KEEP_FIRST
+
+
+# ---------------------------------------------------------------------------
+# Domain-level quality gate: aggregate the linear model per source
+# ---------------------------------------------------------------------------
+
+def q_host_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level filtering — the curation step that drops WHOLE
+    sources whose aggregate quality is bad (the blocklist-learning
+    side of FineWeb-style URL filtering, complementing the per-doc
+    ``quality_linear`` gate): the hashed linear model scores every
+    token, scores roll up doc → source, and a source survives iff its
+    mean centi-weight clears the threshold (mean > -5 centi-units,
+    compared as an integer cross-product — no float boundary).
+
+    Scale shape: the model forward pass is the same broadcast join +
+    codegen arithmetic as quality_linear; the rollup is two
+    map-side-combinable aggregations (token→doc partials already
+    combine on the scan side, doc→source is O(sources) rows). Nothing
+    but counters ever shuffles, so the gate runs at scan speed over
+    100 TB and its output (the per-source verdict table) is a few
+    thousand rows a human can audit before it anti-joins the corpus.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("term")), 1, 4), 16, 10).cast("bigint") % 64
+    )
+    weights = spark.range(64).select(
+        F.col("id").alias("bucket"),
+        ((F.col("id") * 37) % 101 - 50).alias("w100"),
+    )
+    per_doc = (
+        toks.select("doc_id", "source", bucket.alias("bucket"))
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_feats"), F.sum("w100").alias("sum_w100"))
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_feats").alias("n_feats"),
+            F.sum("sum_w100").alias("sum_w100"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_feats",
+            "sum_w100",
+            (F.col("sum_w100") * 100 > F.lit(-5) * F.col("n_feats"))
+            .cast("bigint")
+            .alias("kept"),
+        )
+    )
+
+
+SQL_HOST_QUALITY_GATE = """
+with toks as (
+  select doc_id, source, unnest(str_split(text, ' ')) term from documents
+),
+feats as (
+  select doc_id, source,
+         ('0x' || substr(md5(term), 1, 4))::bigint % 64 bucket
+  from toks
+),
+weights as (
+  select range bucket, (range * 37) % 101 - 50 w100 from range(64)
+),
+per_doc as (
+  select doc_id, source, count(*) n_feats, sum(w100) sum_w100
+  from feats join weights using (bucket)
+  group by 1, 2
+)
+select source,
+       cast(count(*) as bigint) n_docs,
+       cast(sum(n_feats) as bigint) n_feats,
+       cast(sum(sum_w100) as bigint) sum_w100,
+       cast(case when sum(sum_w100) * 100 > -5 * sum(n_feats)
+            then 1 else 0 end as bigint) kept
+from per_doc group by 1
+"""
+
+_queries.QUERIES["host_quality_gate"] = q_host_quality_gate
+_queries.ORACLES["host_quality_gate"] = SQL_HOST_QUALITY_GATE

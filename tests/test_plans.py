@@ -221,3 +221,23 @@ def test_dedup_keep_best_plan_bodies_never_shuffle(spark):
     plan = _plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_span_dedup_keep_first_plan_hash_keyed_window(spark):
+    """First-occurrence span dedup: the rank window's exchange is
+    keyed by the segment hash (hashpartitioning on xxhash64), no
+    Python stages, no join, no cartesian."""
+    plan = _plan(Q.QUERIES["span_dedup_keep_first"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_host_quality_gate_plan_broadcast_model_counters_only(spark):
+    """The model join is broadcast (never a shuffle join) and the gate
+    is pure JVM — no Python stages anywhere."""
+    plan = _plan(Q.QUERIES["host_quality_gate"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
