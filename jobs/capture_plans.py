@@ -412,6 +412,43 @@ def main():
         formatted(q_bigram_logprob(spark, SF)),
     ))
 
+    from paddleocr_spark.queries_curation import (
+        q_bpe_merges,
+        q_host_quality_gate,
+        q_span_dedup_keep_first,
+    )
+
+    sections.append((
+        "BPE merge-rule learning (bpe_merges)",
+        "Each round's argmax is a TakeOrderedAndProject (exact top-1 "
+        "with map-side partial top-k — never a global sort) feeding a "
+        "1-row BroadcastNestedLoopJoin into the next round's codegen "
+        "string-merge projection; the corpus collapsed to the "
+        "unique-word table before round 1, so every round is "
+        "O(vocab), never O(tokens).",
+        formatted(q_bpe_merges(spark, SF)),
+    ))
+
+    sections.append((
+        "C4 first-occurrence span dedup (span_dedup_keep_first)",
+        "The winner rank is ONE streaming row_number window whose "
+        "exchange is keyed by xxhash64(segment) — no join, no collect "
+        "— followed by the order-preserving per-document reassembly "
+        "groupBy. The winner rule is the total order (doc_id, idx), "
+        "so output is partitioning-independent.",
+        formatted(q_span_dedup_keep_first(spark, SF)),
+    ))
+
+    sections.append((
+        "Domain-level quality gate (host_quality_gate)",
+        "The model forward pass is a BroadcastHashJoin against the "
+        "O(model) weight table; token→doc and doc→source rollups are "
+        "both map-side-combinable HashAggregates, so nothing but "
+        "integer counters ever shuffles and the verdict table is "
+        "O(sources).",
+        formatted(q_host_quality_gate(spark, SF)),
+    ))
+
     out = ["# PLANS — captured physical plans (regenerate: `python jobs/capture_plans.py`)\n"]
     for title, note, plan in sections:
         plan = re.sub(r"file:[^\s,\]]*", "file:<elided>", plan)
