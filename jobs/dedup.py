@@ -3,7 +3,7 @@ for the training-data curation pass.
 
 Pipeline: exact dedup (md5 hash-groupBy) -> MinHash-LSH candidate
 pairs -> connected components -> keep one representative per near-dup
-cluster (min doc_id). Writes:
+cluster (min doc_id, or the longest text with --winner best). Writes:
 
 - <out>/corpus/    the deduplicated corpus (parquet)
 - <out>/clusters/  (doc_id, cluster_id) for every clustered doc
@@ -43,7 +43,8 @@ if _REPO not in sys.path:
 
 
 def build_dedup(spark, docs, algorithm: str = "propagation",
-                checkpoint_dir: str | None = None):
+                checkpoint_dir: str | None = None,
+                winner: str = "min_id"):
     """Assemble the dedup plan; returns (exact, clusters, corpus)
     DataFrames (nothing executed). Split out of main() so tests can
     inspect the physical plan — in particular that the corpus
@@ -78,11 +79,30 @@ def build_dedup(spark, docs, algorithm: str = "propagation",
         F.col("id").alias("doc_id"), "cluster_id"
     )
 
-    # 3) winners: cluster representative = min doc_id (== cluster_id);
-    #    docs not in any cluster pass through. The loser set is
-    #    unbounded (O(corpus) on a real crawl) — plain shuffle
+    # 3) winners: docs not in any cluster pass through. The loser set
+    #    is unbounded (O(corpus) on a real crawl) — plain shuffle
     #    anti-join on doc_id, no broadcast hint.
-    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    #    winner="min_id": representative = min doc_id (== cluster_id),
+    #    free — no extra pass. winner="best": keep the LONGEST text per
+    #    cluster (doc_id tie-break, the dedup_keep_best query's rule);
+    #    costs one window over (doc_id, cluster, len) triples — bodies
+    #    never shuffle (same shape as the driver query).
+    if winner == "best":
+        scored = clusters.join(
+            exact.select("doc_id", F.length("text").alias("__len")), "doc_id"
+        )
+        ww = Window.partitionBy("cluster_id").orderBy(
+            F.desc("__len"), F.asc("doc_id")
+        )
+        losers = (
+            scored.withColumn("__rn", F.row_number().over(ww))
+            .filter(F.col("__rn") != 1)
+            .select("doc_id")
+        )
+    else:
+        losers = clusters.filter(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select("doc_id")
     corpus = exact.join(losers, "doc_id", "left_anti")
     return exact, clusters, corpus
 
@@ -171,6 +191,12 @@ def main(argv=None) -> int:
         help="reliable checkpoint dir for the CC fixpoint (use on a real cluster)",
     )
     ap.add_argument(
+        "--winner", default="min_id", choices=["min_id", "best"],
+        help="near-dup cluster representative rule: min_id (free) or "
+             "best (longest text, doc_id tie-break — one extra window "
+             "over id/len triples, bodies never shuffle)",
+    )
+    ap.add_argument(
         "--base", default=None,
         help="existing deduplicated corpus parquet: run INCREMENTAL dedup "
              "(admit only new docs that duplicate neither the corpus nor an "
@@ -246,7 +272,8 @@ def main(argv=None) -> int:
         return 0
 
     exact, clusters, corpus = build_dedup(
-        spark, docs, args.algorithm, checkpoint_dir=args.checkpoint_dir
+        spark, docs, args.algorithm, checkpoint_dir=args.checkpoint_dir,
+        winner=args.winner,
     )
     n_exact = exact.count()
     clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")

@@ -129,3 +129,34 @@ def test_incremental_dedup_invariants(spark, tmp_path):
     assert again.count() == 0
     # sanity: the increment actually admitted something
     assert admitted.count() > 0
+
+
+def test_build_dedup_winner_best_keeps_longest(spark):
+    """winner='best' keeps the LONGEST doc per near-dup cluster (doc_id
+    tie-break) — cross-checked against the dedup_keep_best driver
+    query's rule on planted near-dups — while winner='min_id' keeps the
+    smallest id; singletons survive under both."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "jobs"))
+    from dedup import build_dedup
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, base + " one extra"),          # near-dup cluster {1,2,3}
+        (2, base + " two extra words here"),  # longest -> best winner
+        (3, base),
+        (7, "completely different singleton text with its own words"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    _, _, corpus_min = build_dedup(spark, docs)
+    _, _, corpus_best = build_dedup(spark, docs, winner="best")
+    ids_min = {r.doc_id for r in corpus_min.select("doc_id").collect()}
+    ids_best = {r.doc_id for r in corpus_best.select("doc_id").collect()}
+
+    assert 7 in ids_min and 7 in ids_best  # singleton always survives
+    # the cluster must collapse to exactly one representative each way
+    assert ids_min & {1, 2, 3} == {1}
+    assert ids_best & {1, 2, 3} == {2}
