@@ -93,6 +93,67 @@ group by 1
 """
 
 
+BLOOM_M = 1 << 18   # bloom width in bits (oracle miniature; production
+                    # sizes m = -n·ln(p)/ln(2)^2 from the eval-gram count)
+BLOOM_K = 3         # hash probes per gram
+
+
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — the scale path for when the
+    eval-gram hash set outgrows a comfortable broadcast. Two phases,
+    value-identical to `decontaminate` (same oracle SQL):
+
+      phase 1 (bloom): the benchmark grams set k=3 bit positions in an
+        m-bit filter; the filter ships as a distinct-positions table
+        (≤ min(k·|bench|, m) ints) and the corpus stream passes through
+        k successive BROADCAST LEFT-SEMI joins, one per probe — pure
+        map-side hash probes, corpus grams never shuffle.
+      phase 2 (exact verify): only bloom survivors (true hits + the
+        ~(bits/m)^k false-positive sliver) reach the exact join against
+        the benchmark hash set, which kills every false positive — so
+        the output is exactly the exact-path output, not approximate.
+
+    Why this matters at 100 TB: the exact path broadcasts 8·|bench|
+    bytes of gram hashes; a bloom at 1% FPR needs ~1.2 bits/gram·ln...
+    ~10 bits per gram — and, crucially, when even that exceeds the
+    broadcast budget, phase 2 degrades gracefully to a shuffle join of
+    the (tiny) survivor stream while phase 1 still prunes map-side.
+    Reference analog: the cheap-gate-before-heavy-op discipline of
+    db_postprocess.py:136-141, applied to membership testing.
+    """
+    from paddleocr_spark.functions.dedup import _spread
+
+    d = _spread(_t(spark, sf_dir, "documents"), "doc_id").filter(
+        F.size(F.split("text", " ")) >= 5
+    )
+    bench = (
+        gram_hashes(d.filter(F.col("doc_id") % 97 == 0)).select("h").distinct()
+    )
+    corpus = gram_hashes(d.filter(F.col("doc_id") % 97 != 0))
+
+    def probe(col, j):
+        # probe j's bit position: independent per-j keying via an extra
+        # literal hashed column (xxhash64 is a multi-column hash)
+        return F.pmod(F.xxhash64(col, F.lit(j)), F.lit(BLOOM_M)).cast("int")
+
+    bits = bench.select(
+        F.explode(
+            F.array(*[probe(F.col("h"), j) for j in range(BLOOM_K)])
+        ).alias("pos")
+    ).distinct()
+    survivors = corpus
+    for j in range(BLOOM_K):
+        bj = bits.select(F.col("pos").alias(f"__p{j}"))
+        survivors = survivors.join(
+            F.broadcast(bj), probe(F.col("h"), j) == F.col(f"__p{j}"), "leftsemi"
+        )
+    return (
+        survivors.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_shared"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF top terms per document
 # ---------------------------------------------------------------------------
@@ -1499,6 +1560,7 @@ from flagged group by 1
 
 CURATION_QUERIES = {
     "decontaminate": q_decontaminate,
+    "decontaminate_bloom": q_decontaminate_bloom,
     "tfidf_top_terms": q_tfidf_top_terms,
     "source_cap": q_source_cap,
     "stratified_sample": q_stratified_sample,
@@ -1521,6 +1583,7 @@ CURATION_QUERIES = {
 }
 CURATION_ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
+    "decontaminate_bloom": SQL_DECONTAMINATE,
     "tfidf_top_terms": SQL_TFIDF_TOP_TERMS,
     "source_cap": SQL_SOURCE_CAP,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

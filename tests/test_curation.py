@@ -455,3 +455,31 @@ def test_c4_line_clean_plan_shape(spark):
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_decontaminate_bloom_exact_parity(spark):
+    """The bloom-prefiltered path is value-identical to the exact path:
+    phase 2's exact verify kills every bloom false positive, so both
+    queries share one oracle."""
+    exact = {
+        (r["doc_id"], r["n_shared"])
+        for r in Q.QUERIES["decontaminate"](spark, SF_DIR).collect()
+    }
+    bloom = {
+        (r["doc_id"], r["n_shared"])
+        for r in Q.QUERIES["decontaminate_bloom"](spark, SF_DIR).collect()
+    }
+    assert exact == bloom and len(exact) > 0
+
+
+def test_decontaminate_bloom_plan_all_probes_broadcast(spark):
+    """Each of the k bloom probes is a broadcast left-semi hash join and
+    the exact verify is a broadcast join: corpus grams pass the whole
+    prefilter map-side — no shuffle of the corpus gram stream."""
+    from paddleocr_spark.queries_curation import BLOOM_K
+
+    plan = _plan(Q.QUERIES["decontaminate_bloom"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= BLOOM_K + 1, plan
+    assert plan.count("LeftSemi") >= BLOOM_K, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
