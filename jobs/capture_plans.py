@@ -115,6 +115,18 @@ def main():
     ))
 
     sections.append((
+        "Bloom-prefiltered decontamination (decontaminate_bloom)",
+        "The scale path for when the eval-gram hash set outgrows a "
+        "comfortable broadcast: each of the k=3 bloom probes is a "
+        "BroadcastHashJoin LeftSemi on a distinct-bit-positions table "
+        "(ints, <= min(k*|bench|, m) rows), so the corpus gram stream "
+        "passes the whole prefilter map-side; only bloom survivors reach "
+        "the exact verify join that kills false positives — the output is "
+        "value-identical to the exact path and shares its oracle.",
+        formatted(Q.QUERIES["decontaminate_bloom"](spark, SF)),
+    ))
+
+    sections.append((
         "Repeated n-gram span coverage (dup_ngram_spans)",
         "Join-free: the frequency gate is a count(*) window over "
         "xxhash64(gram) — ONE exchange of 8-byte keys for the whole gram "
