@@ -243,9 +243,151 @@ from cleaned group by 1
 """
 
 
+# ---------------------------------------------------------------------------
+# Recrawl change detection: diff the two latest captures per page
+# ---------------------------------------------------------------------------
+
+def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-url change detection between the two latest captures (the
+    recrawl-dedup decision: re-extract only pages whose content hash
+    moved since the previous crawl; Common Crawl pipelines skip
+    unchanged captures the same way the daily job's signature store
+    skips already-admitted docs). page_key stands in for the url-hash
+    and the monotone doc_id for warc_ts, as in q_latest_snapshot;
+    capture content is deterministically STABLE for doc_id % 4 < 2 so
+    both engines see the same mix of changed and unchanged pairs
+    (consecutive captures differ by 211 ≡ 3 (mod 4), so exactly the
+    (older≡1, newer≡0) pairs compare equal — the flag genuinely
+    exercises both branches).
+
+    Scale shape: content never crosses the wire — the window sees only
+    (page_key, doc_id, 16-byte md5); ONE window over page_key (the
+    pipeline's repartition key, jobs/extract.py), rn/lead/lag from the
+    same window spec, zero joins. At 10^12 rows this is the cheapest
+    possible diff: a sort within the already-bucketed url partition.
+    """
+    d = _t(spark, sf_dir, "documents")
+    cap = (
+        "case when doc_id % 4 < 2 then concat('STABLE-', cast(doc_id % 211 as string))"
+        " else text end"
+    )
+    rows = d.select(
+        (F.col("doc_id") % 211).alias("page_key"),
+        "doc_id",
+        F.md5(F.expr(cap)).alias("h"),
+    )
+    w = Window.partitionBy("page_key").orderBy(F.col("doc_id").desc())
+    return (
+        rows.withColumn("rn", F.row_number().over(w))
+        .withColumn("prev_doc", F.lead("doc_id").over(w))
+        .withColumn("prev_h", F.lead("h").over(w))
+        .filter((F.col("rn") == 1) & F.col("prev_doc").isNotNull())
+        .select(
+            "page_key",
+            F.col("doc_id").alias("latest_doc"),
+            "prev_doc",
+            (F.col("h") != F.col("prev_h")).cast("int").alias("changed"),
+        )
+    )
+
+
+SQL_CRAWL_DIFF = """
+with caps as (
+  select doc_id % 211 page_key, doc_id,
+         md5(case when doc_id % 4 < 2
+                  then 'STABLE-' || cast(doc_id % 211 as varchar)
+                  else text end) h
+  from documents
+), w as (
+  select page_key, doc_id, h,
+         row_number() over win rn,
+         lead(doc_id) over win prev_doc,
+         lead(h) over win prev_h
+  from caps window win as (partition by page_key order by doc_id desc)
+)
+select page_key, doc_id latest_doc, prev_doc,
+       cast(h <> prev_h as int) changed
+from w where rn = 1 and prev_doc is not null
+"""
+
+
+# ---------------------------------------------------------------------------
+# Head-field extraction (title / meta description / charset) at scan speed
+# ---------------------------------------------------------------------------
+
+def q_page_title_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<head> field extraction — title, meta description, declared
+    charset — the metadata pass every web corpus runs before (and
+    independently of) main-content extraction; the title/charset feed
+    langid priors and dedup keys. The page's head markup is derived
+    deterministically from the row (some pages lack a description,
+    charset alternates) so both engines parse identical input; a
+    missing field extracts as '' in Spark AND DuckDB (regexp_extract
+    no-match contract, same as the canonicalizer above).
+
+    Scale shape: a PURE projection — three whole-stage-codegen regex
+    extracts, zero shuffles, zero Python; the scan reads exactly
+    (doc_id, text, lang, source). This is the query shape where Spark
+    matches a native engine byte-for-byte on throughput: the work is
+    memory-bandwidth-bound regex over the scanned batch.
+    """
+    d = _t(spark, sf_dir, "documents")
+    head = (
+        "concat('<html><head><title>',"
+        " element_at(split(text, ' '), 1), ' - ', source,"
+        " '</title>',"
+        " case when doc_id % 5 = 0 then ''"
+        "      else concat('<meta name=\"description\" content=\"',"
+        "                  substring(text, 1, 40), '\">') end,"
+        " case when doc_id % 3 = 0 then '<meta charset=\"utf-8\">'"
+        "      else '<meta charset=\"iso-8859-1\">' end,"
+        " '</head>')"
+    )
+    rows = d.select("doc_id", F.expr(head).alias("head"))
+    return rows.select(
+        "doc_id",
+        F.regexp_extract("head", r"<title>([^<]*)</title>", 1).alias("title"),
+        F.regexp_extract(
+            "head", r'name="description" content="([^"]*)"', 1
+        ).alias("meta_desc"),
+        F.regexp_extract("head", r'charset="([^"]*)"', 1).alias("charset"),
+        (
+            F.regexp_extract("head", r'name="description" content="([^"]*)"', 1)
+            != ""
+        ).cast("int").alias("has_desc"),
+    )
+
+
+SQL_PAGE_TITLE_META = """
+with rows as (
+  select doc_id,
+         ('<html><head><title>' ||
+          list_extract(str_split(text, ' '), 1) || ' - ' || source ||
+          '</title>' ||
+          case when doc_id % 5 = 0 then ''
+               else '<meta name="description" content="' ||
+                    substr(text, 1, 40) || '">' end ||
+          case when doc_id % 3 = 0 then '<meta charset="utf-8">'
+               else '<meta charset="iso-8859-1">' end ||
+          '</head>') head
+  from documents
+)
+select doc_id,
+       regexp_extract(head, '<title>([^<]*)</title>', 1) title,
+       regexp_extract(head, 'name="description" content="([^"]*)"', 1) meta_desc,
+       regexp_extract(head, 'charset="([^"]*)"', 1) charset,
+       cast(regexp_extract(head, 'name="description" content="([^"]*)"', 1) <> '' as int) has_desc
+from rows
+"""
+
+
 _queries.QUERIES["url_canonical"] = q_url_canonical
 _queries.ORACLES["url_canonical"] = SQL_URL_CANONICAL
 _queries.QUERIES["latest_snapshot"] = q_latest_snapshot
 _queries.ORACLES["latest_snapshot"] = SQL_LATEST_SNAPSHOT
 _queries.QUERIES["sanitize_text"] = q_sanitize_text
 _queries.ORACLES["sanitize_text"] = SQL_SANITIZE_TEXT
+_queries.QUERIES["crawl_diff"] = q_crawl_diff
+_queries.ORACLES["crawl_diff"] = SQL_CRAWL_DIFF
+_queries.QUERIES["page_title_meta"] = q_page_title_meta
+_queries.ORACLES["page_title_meta"] = SQL_PAGE_TITLE_META
