@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "span_dedup_keep_first",
     "host_quality_gate",
+    "crawl_diff",
+    "page_title_meta",
 ]
 
 

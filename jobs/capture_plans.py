@@ -228,6 +228,23 @@ def main():
     ))
 
     sections.append((
+        "Recrawl change detection (crawl_diff)",
+        "Only (page_key, doc_id, md5) enter the Exchange — the capture "
+        "content is hashed in the scan-side Project and never shuffles; "
+        "ONE window over the url-hash partition key computes rn + lead "
+        "from the same WindowSpec (a single Window node), zero joins.",
+        formatted(Q.QUERIES["crawl_diff"](spark, SF)),
+    ))
+
+    sections.append((
+        "Head-field extraction (page_title_meta)",
+        "A pure projection: three whole-stage-codegen regexp_extracts "
+        "over the scanned batch, zero Exchanges, zero Python — the "
+        "query shape where Spark matches a native engine on throughput.",
+        formatted(Q.QUERIES["page_title_meta"](spark, SF)),
+    ))
+
+    sections.append((
         "Source skew audit (source_skew)",
         "The corpus total joins back as a 1-row BroadcastExchange — no "
         "whole-table window, so no single-partition funnel; the only "
