@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "host_quality_gate",
     "crawl_diff",
     "page_title_meta",
+    "robots_gate",
 ]
 
 

@@ -245,6 +245,16 @@ def main():
     ))
 
     sections.append((
+        "robots.txt gate (robots_gate)",
+        "The O(hosts) rule table broadcasts (one BroadcastHashJoin, one "
+        "small-side Exchange for the hosts distinct); the RFC 9309 "
+        "longest-match/allow-wins decision runs per document entirely "
+        "in-expression (filter + array_max over the rule struct array) "
+        "— zero per-doc shuffle, zero Python.",
+        formatted(Q.QUERIES["robots_gate"](spark, SF)),
+    ))
+
+    sections.append((
         "Source skew audit (source_skew)",
         "The corpus total joins back as a 1-row BroadcastExchange — no "
         "whole-table window, so no single-partition funnel; the only "

@@ -381,6 +381,114 @@ from rows
 """
 
 
+# ---------------------------------------------------------------------------
+# robots.txt gating: RFC 9309 longest-match with allow-wins-ties
+# ---------------------------------------------------------------------------
+
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt directive evaluation — the crawl-governance gate every
+    web corpus applies before a page may even enter the table: per host,
+    the MOST SPECIFIC (longest) matching allow/disallow prefix rule
+    decides, allow winning length ties (RFC 9309 §2.2.2, the
+    google/robotstxt matching order). Hosts are the corpus sources;
+    each host's rule set is derived deterministically (even hosts
+    disallow /key, every 3rd /batch, every 4th carves back the
+    /key/agg allow exception — the longest-match override case), and
+    the doc's path comes from its first two words, so all three rule
+    depths genuinely fire in both engines. No-match defaults to allow.
+
+    Scale shape: the rule table is O(hosts) — grouped to one
+    array<struct> row per host and BROADCAST; each document evaluates
+    filter(rules, startswith) + array_max(transform(...)) entirely
+    in-expression (struct ordering = (plen, allow), exactly the RFC
+    tie-break) so the per-doc cost is codegen with ZERO per-doc
+    shuffle; the only exchange in the plan is the O(hosts) distinct.
+    At 10^12 docs this is the same broadcast-gate shape as url_filter /
+    decontaminate: the big side never moves.
+
+    Reference analog: the cheap-predicate-first gate discipline of
+    db_postprocess.py:136-141, applied at the crawl-admission layer.
+    """
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select("source").distinct()
+    i = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    rule = lambda cond, prefix, allow: F.when(  # noqa: E731
+        cond, F.struct(
+            F.lit(prefix).alias("prefix"),
+            F.lit(allow).alias("allow"),
+            F.lit(len(prefix)).alias("plen"),
+        )
+    )
+    rules = hosts.select(
+        "source",
+        F.array_compact(
+            F.array(
+                rule(i % 2 == 0, "/key", 0),
+                rule(i % 3 == 0, "/batch", 0),
+                rule(i % 4 == 0, "/key/agg", 1),
+            )
+        ).alias("rules"),
+    )
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("/"),
+            F.element_at(F.split("text", " "), 1),
+            F.lit("/"),
+            F.element_at(F.split("text", " "), 2),
+        ).alias("path"),
+    )
+    best = (
+        "array_max(transform("
+        " filter(rules, r -> startswith(path, r.prefix)),"
+        " r -> struct(r.plen as plen, r.allow as allow)))"
+    )
+    return (
+        docs.join(F.broadcast(rules), "source", "left")
+        .withColumn("best", F.expr(best))
+        .select(
+            "doc_id",
+            "source",
+            "path",
+            F.coalesce(F.col("best.allow"), F.lit(1)).alias("allowed"),
+            F.coalesce(F.col("best.plen"), F.lit(0)).alias("matched_len"),
+        )
+    )
+
+
+SQL_ROBOTS_GATE = """
+with hosts as (select distinct source from documents),
+rules as (
+  select source, '/key' prefix, 0 allow, 4 plen from hosts
+  where cast(regexp_extract(source, '(\\d+)', 1) as int) % 2 = 0
+  union all
+  select source, '/batch', 0, 6 from hosts
+  where cast(regexp_extract(source, '(\\d+)', 1) as int) % 3 = 0
+  union all
+  select source, '/key/agg', 1, 8 from hosts
+  where cast(regexp_extract(source, '(\\d+)', 1) as int) % 4 = 0
+),
+docs as (
+  select doc_id, source,
+         '/' || str_split(text, ' ')[1] || '/' || str_split(text, ' ')[2] path
+  from documents
+),
+verdicts as (
+  select d.doc_id, r.allow, r.plen,
+         row_number() over (partition by d.doc_id
+                            order by r.plen desc, r.allow desc) rn
+  from docs d join rules r
+    on r.source = d.source and starts_with(d.path, r.prefix)
+)
+select d.doc_id, d.source, d.path,
+       coalesce(v.allow, 1) allowed,
+       coalesce(v.plen, 0) matched_len
+from docs d left join (select doc_id, allow, plen from verdicts where rn = 1) v
+  using (doc_id)
+"""
+
+
 _queries.QUERIES["url_canonical"] = q_url_canonical
 _queries.ORACLES["url_canonical"] = SQL_URL_CANONICAL
 _queries.QUERIES["latest_snapshot"] = q_latest_snapshot
@@ -391,3 +499,5 @@ _queries.QUERIES["crawl_diff"] = q_crawl_diff
 _queries.ORACLES["crawl_diff"] = SQL_CRAWL_DIFF
 _queries.QUERIES["page_title_meta"] = q_page_title_meta
 _queries.ORACLES["page_title_meta"] = SQL_PAGE_TITLE_META
+_queries.QUERIES["robots_gate"] = q_robots_gate
+_queries.ORACLES["robots_gate"] = SQL_ROBOTS_GATE
