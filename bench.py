@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "crawl_diff",
     "page_title_meta",
     "robots_gate",
+    "revisit_schedule",
 ]
 
 

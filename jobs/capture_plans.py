@@ -245,6 +245,16 @@ def main():
     ))
 
     sections.append((
+        "Revisit scheduling (revisit_schedule)",
+        "ONE Exchange total: the window sorts (page_key, doc_id, md5) "
+        "within the url-hash partitions and the per-page change-rate "
+        "aggregate rides the SAME hashpartitioning(page_key) — "
+        "Window -> HashAggregate with no second exchange; content "
+        "never shuffles.",
+        formatted(Q.QUERIES["revisit_schedule"](spark, SF)),
+    ))
+
+    sections.append((
         "robots.txt gate (robots_gate)",
         "The O(hosts) rule table broadcasts (one BroadcastHashJoin, one "
         "small-side Exchange for the hosts distinct); the RFC 9309 "

@@ -312,6 +312,92 @@ from w where rn = 1 and prev_doc is not null
 
 
 # ---------------------------------------------------------------------------
+# Revisit scheduling: change-rate estimation over the full capture history
+# ---------------------------------------------------------------------------
+
+def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl priority from observed change rates (Cho &
+    Garcia-Molina 2003, "Effective page refresh policies for web
+    crawlers": revisit frequency proportional to a page's estimated
+    change frequency). Where `crawl_diff` inspects only the latest
+    pair, this walks EVERY consecutive capture pair per page, counts
+    how many changed, and buckets pages hot/warm/cold — the table the
+    crawl scheduler reads to allocate tomorrow's fetch budget. Same
+    capture derivation as crawl_diff (page_key = url-hash stand-in,
+    doc_id = capture order, content deterministically stable for
+    doc_id % 4 < 2 so both engines see real mixed histories); bucket
+    cuts are integer cross-multiplications (4*changed vs 3*pairs),
+    never float ratios, so the engines decide identically.
+
+    Scale shape: one Exchange TOTAL — the window sorts (page_key,
+    doc_id, 16-byte md5) within the url-hash partitions and the
+    per-page aggregate rides the window's hashpartitioning(page_key)
+    exchange-free (partial+final agg on the partition key); content
+    never shuffles. At 10^12 captures this is the cheapest possible
+    full-history scan, and it shares its one shuffle key with the
+    extraction job's layout.
+    """
+    d = _t(spark, sf_dir, "documents")
+    cap = (
+        "case when doc_id % 4 < 2 then concat('STABLE-', cast(doc_id % 211 as string))"
+        " else text end"
+    )
+    rows = d.select(
+        (F.col("doc_id") % 211).alias("page_key"),
+        "doc_id",
+        F.md5(F.expr(cap)).alias("h"),
+    )
+    w = Window.partitionBy("page_key").orderBy(F.col("doc_id").desc())
+    pairs = rows.withColumn("prev_h", F.lead("h").over(w))
+    agg = pairs.groupBy("page_key").agg(
+        F.count(F.lit(1)).alias("n_caps"),
+        F.count("prev_h").alias("n_pairs"),
+        F.sum(
+            (F.col("prev_h").isNotNull() & (F.col("h") != F.col("prev_h")))
+            .cast("bigint")
+        ).alias("n_changed"),
+    )
+    return agg.select(
+        "page_key",
+        "n_caps",
+        "n_pairs",
+        "n_changed",
+        F.when(F.col("n_pairs") == 0, "new")
+        .when(4 * F.col("n_changed") >= 3 * F.col("n_pairs"), "hot")
+        .when(4 * F.col("n_changed") >= F.col("n_pairs"), "warm")
+        .otherwise("cold")
+        .alias("bucket"),
+    )
+
+
+SQL_REVISIT_SCHEDULE = """
+with caps as (
+  select doc_id % 211 page_key, doc_id,
+         md5(case when doc_id % 4 < 2
+                  then 'STABLE-' || cast(doc_id % 211 as varchar)
+                  else text end) h
+  from documents
+), pairs as (
+  select page_key, h,
+         lead(h) over (partition by page_key order by doc_id desc) prev_h
+  from caps
+), agg as (
+  select page_key,
+         count(*) n_caps,
+         count(prev_h) n_pairs,
+         sum(cast(prev_h is not null and h <> prev_h as bigint)) n_changed
+  from pairs group by 1
+)
+select page_key, n_caps, n_pairs, n_changed,
+       case when n_pairs = 0 then 'new'
+            when 4 * n_changed >= 3 * n_pairs then 'hot'
+            when 4 * n_changed >= n_pairs then 'warm'
+            else 'cold' end bucket
+from agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # Head-field extraction (title / meta description / charset) at scan speed
 # ---------------------------------------------------------------------------
 
@@ -501,3 +587,5 @@ _queries.QUERIES["page_title_meta"] = q_page_title_meta
 _queries.ORACLES["page_title_meta"] = SQL_PAGE_TITLE_META
 _queries.QUERIES["robots_gate"] = q_robots_gate
 _queries.ORACLES["robots_gate"] = SQL_ROBOTS_GATE
+_queries.QUERIES["revisit_schedule"] = q_revisit_schedule
+_queries.ORACLES["revisit_schedule"] = SQL_REVISIT_SCHEDULE
