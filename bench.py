@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "page_title_meta",
     "robots_gate",
     "revisit_schedule",
+    "crawl_budget",
 ]
 
 

@@ -245,6 +245,17 @@ def main():
     ))
 
     sections.append((
+        "Crawl budget apportionment (crawl_budget)",
+        "ONE corpus-wide shuffle (the per-host partial+final count agg, "
+        "O(hosts) rows out); the budget total and leftover ride 1-row "
+        "broadcasts and the largest-remainder ranking is a window over "
+        "the host table only. AQE ReusedExchange collapses the shared "
+        "demand subtree at runtime (same pattern as pmi_bigrams). The "
+        "`div` integer division keeps quotas exact at any scale.",
+        formatted(Q.QUERIES["crawl_budget"](spark, SF)),
+    ))
+
+    sections.append((
         "Revisit scheduling (revisit_schedule)",
         "ONE Exchange total: the window sorts (page_key, doc_id, md5) "
         "within the url-hash partitions and the per-page change-rate "

@@ -398,6 +398,81 @@ from agg
 
 
 # ---------------------------------------------------------------------------
+# Crawl budget apportionment: largest-remainder quota per host
+# ---------------------------------------------------------------------------
+
+def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily fetch-budget allocation across hosts — the scheduler step
+    between revisit scoring and the fetcher: a global budget of 100
+    fetches is apportioned to hosts proportionally to their demand
+    (volatile pages, the doc_id % 4 >= 2 captures `revisit_schedule`
+    marks changing), using the largest-remainder method so the integer
+    quotas sum EXACTLY to the budget (Hamilton apportionment — the same
+    exact-integer discipline as the gopher gate's cross-multiplied
+    cuts: floor(budget*demand/total) base seats, one bonus seat to the
+    hosts with the largest remainders, ties broken by host name), then
+    capped at the host's page count.
+
+    Scale shape: ONE corpus-wide shuffle (the per-host partial+final
+    count agg — O(hosts) rows out); everything after is O(hosts): the
+    demand total rides a 1-row broadcast, and the remainder ranking is
+    a window over the host table (thousands of rows at web scale, not
+    documents). The largest-remainder seat assignment never touches a
+    document row.
+    """
+    budget = 100
+    d = _t(spark, sf_dir, "documents")
+    demand = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("doc_id") % 4 >= 2).cast("bigint")).alias("demand"),
+    )
+    tot = demand.agg(F.sum("demand").alias("total"))
+    per = demand.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "demand",
+        # `div` = exact integer division (no double rounding at scale)
+        F.expr(f"({budget} * demand) div total").alias("base"),
+        ((F.lit(budget) * F.col("demand")) % F.col("total")).alias("rem"),
+    )
+    w = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    left = per.agg((F.lit(budget) - F.sum("base")).alias("leftover"))
+    return (
+        per.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(left))
+        .select(
+            "source",
+            "n_docs",
+            "demand",
+            F.least(
+                F.col("base") + (F.col("rk") <= F.col("leftover")).cast("bigint"),
+                F.col("n_docs"),
+            ).alias("quota"),
+        )
+    )
+
+
+SQL_CRAWL_BUDGET = """
+with demand as (
+  select source, count(*) n_docs,
+         sum(cast(doc_id % 4 >= 2 as bigint)) demand
+  from documents group by 1
+), tot as (select sum(demand) total from demand),
+per as (
+  select source, n_docs, demand,
+         (100 * demand) // total base,
+         (100 * demand) % total rem
+  from demand, tot
+), ranked as (
+  select *, row_number() over (order by rem desc, source asc) rk from per
+), left_ as (select 100 - sum(base) leftover from per)
+select source, n_docs, demand,
+       least(base + cast(rk <= leftover as bigint), n_docs) quota
+from ranked, left_
+"""
+
+
+# ---------------------------------------------------------------------------
 # Head-field extraction (title / meta description / charset) at scan speed
 # ---------------------------------------------------------------------------
 
@@ -589,3 +664,5 @@ _queries.QUERIES["robots_gate"] = q_robots_gate
 _queries.ORACLES["robots_gate"] = SQL_ROBOTS_GATE
 _queries.QUERIES["revisit_schedule"] = q_revisit_schedule
 _queries.ORACLES["revisit_schedule"] = SQL_REVISIT_SCHEDULE
+_queries.QUERIES["crawl_budget"] = q_crawl_budget
+_queries.ORACLES["crawl_budget"] = SQL_CRAWL_BUDGET
