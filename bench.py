@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "robots_gate",
     "revisit_schedule",
     "crawl_budget",
+    "frontier_expand",
 ]
 
 

@@ -245,6 +245,17 @@ def main():
     ))
 
     sections.append((
+        "Frontier expansion (frontier_expand)",
+        "The outlink explode is narrow (text dropped before any "
+        "exchange); the known-page anti-join strategy is left to "
+        "Catalyst — broadcast while the known side fits (this capture), "
+        "shuffle anti-join on the shared (host, path) key at corpus "
+        "scale where it does not. The per-host rollup re-shuffles only "
+        "the surviving new urls.",
+        formatted(Q.QUERIES["frontier_expand"](spark, SF)),
+    ))
+
+    sections.append((
         "Crawl budget apportionment (crawl_budget)",
         "ONE corpus-wide shuffle (the per-host partial+final count agg, "
         "O(hosts) rows out); the budget total and leftover ride 1-row "

@@ -473,6 +473,75 @@ from ranked, left_
 
 
 # ---------------------------------------------------------------------------
+# Frontier expansion: outlink discovery anti-joined against known pages
+# ---------------------------------------------------------------------------
+
+def q_frontier_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BFS step of the crawl frontier: extract every page's
+    outlinks, drop the ones already in the corpus, and report the NEW
+    urls to fetch per host — the discover loop that grows a web crawl
+    (the host_link_graph query analyzes the realized graph; this one
+    produces tomorrow's fetch list). Each doc emits three
+    deterministic outlinks (host rotated by doc_id+k, path from the
+    doc's k+1-th word) and the known-page set is (source, /first-word)
+    — both pure row functions, identical in each engine, with real
+    overlap so the anti-join genuinely removes hits.
+
+    Scale shape: the explode is narrow (3 small structs per doc, the
+    text column dropped before any exchange); the known set joins
+    left-anti on (host, path) with the STRATEGY LEFT TO CATALYST —
+    while the known side fits the broadcast threshold (as at test
+    scale) it broadcasts and the links side never shuffles for the
+    join at all; at 10^12 pages, where the known set is as big as the
+    corpus, stats/AQE flip it to a shuffle anti-join on the shared
+    (host, path) key — the resume anti-join discipline of
+    plans/job.py. The per-host rollup re-shuffles only O(new urls).
+    """
+    d = _t(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    link = lambda k: F.struct(  # noqa: E731
+        F.concat(F.lit("src"), ((F.col("doc_id") + k) % 20).cast("string")).alias(
+            "host"
+        ),
+        F.concat(F.lit("/"), F.element_at(w, k + 1)).alias("path"),
+    )
+    links = d.select(
+        "doc_id", F.explode(F.array(link(1), link(2), link(3))).alias("l")
+    ).select("doc_id", "l.host", "l.path")
+    known = d.select(
+        F.col("source").alias("host"),
+        F.concat(F.lit("/"), F.element_at(w, 1)).alias("path"),
+    ).distinct()
+    fresh = links.join(known, ["host", "path"], "left_anti")
+    return fresh.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("path").alias("n_new_pages"),
+        F.min("doc_id").alias("first_discovered_by"),
+    )
+
+
+SQL_FRONTIER_EXPAND = """
+with w as (
+  select doc_id, source, str_split(text, ' ') ws from documents
+), links as (
+  select doc_id, 'src' || cast((doc_id + 1) % 20 as varchar) host,
+         '/' || ws[2] path from w
+  union all
+  select doc_id, 'src' || cast((doc_id + 2) % 20 as varchar), '/' || ws[3] from w
+  union all
+  select doc_id, 'src' || cast((doc_id + 3) % 20 as varchar), '/' || ws[4] from w
+), known as (
+  select distinct source host, '/' || ws[1] path from w
+), fresh as (
+  select l.* from links l anti join known k using (host, path)
+)
+select host, count(*) n_links, count(distinct path) n_new_pages,
+       min(doc_id) first_discovered_by
+from fresh group by 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Head-field extraction (title / meta description / charset) at scan speed
 # ---------------------------------------------------------------------------
 
@@ -666,3 +735,5 @@ _queries.QUERIES["revisit_schedule"] = q_revisit_schedule
 _queries.ORACLES["revisit_schedule"] = SQL_REVISIT_SCHEDULE
 _queries.QUERIES["crawl_budget"] = q_crawl_budget
 _queries.ORACLES["crawl_budget"] = SQL_CRAWL_BUDGET
+_queries.QUERIES["frontier_expand"] = q_frontier_expand
+_queries.ORACLES["frontier_expand"] = SQL_FRONTIER_EXPAND

@@ -62,6 +62,26 @@ def test_revisit_schedule_agg_rides_window_partitioning(spark):
     assert "Join" not in plan, plan
 
 
+def test_crawl_budget_no_cartesian_no_python(spark):
+    """The budget total and leftover ride broadcasts (the crossJoins
+    carry 1-row sides) — never a CartesianProduct — and the whole
+    apportionment is expression-only."""
+    plan = _plan(Q.QUERIES["crawl_budget"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "EvalPython" not in plan
+
+
+def test_frontier_expand_drops_text_before_exchange(spark):
+    """The outlink explode must not carry the text column into any
+    exchange — only (doc_id, host, path) shuffle."""
+    plan = _plan(Q.QUERIES["frontier_expand"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
+
+
 def test_url_canonical_no_python_no_join(spark):
     plan = _plan(Q.QUERIES["url_canonical"](spark, SF_DIR))
     assert "EvalPython" not in plan
