@@ -1,0 +1,138 @@
+"""Crawl-scheduler job — the ``spark-submit --py-files`` entrypoint
+that composes the crawl-management queries into tomorrow's fetch plan:
+
+1. robots gate (queries_web.robots_gate_over): drop pages the host's
+   RFC 9309 rules disallow — they may not be fetched at all.
+2. revisit scoring (revisit_schedule_over): bucket each page hot /
+   warm / cold from its observed change rate (Cho & Garcia-Molina).
+3. budget apportionment (crawl_budget_over): split the global fetch
+   budget across hosts by largest-remainder on volatile-page demand.
+4. per-host ranking: inside each host, order admissible pages by
+   bucket priority (hot > warm > cold > new), then page volatility,
+   then doc_id, and keep the host's quota.
+
+Writes:
+- <out>/fetch_plan/  (host, doc_id, page_key, bucket, rank) parquet
+- <out>/stats.json   the one-line summary (also printed)
+
+Scale notes (100 TB framing):
+- every stage is the plan shape its query docstring pins: the robots
+  verdict is a broadcast-rules gate (zero per-doc shuffle), revisit
+  scoring is one url-hash window + an agg riding its partitioning,
+  the budget is O(hosts) after one count agg, and the final ranking
+  is one window per host with the quota filter pushed immediately
+  after — the fetch plan never materializes more than quota rows per
+  host beyond the window sort.
+- the bucket join keys on page_key (O(pages) rows at corpus scale):
+  strategy is left to Catalyst/AQE — broadcast while it fits,
+  shuffle join on the shared key when it doesn't.
+
+Usage:
+    spark-submit --master local[N] \
+        --py-files dist/paddleocr_spark.zip jobs/crawl_plan.py \
+        --input <documents.parquet> --output <dir> [--budget 100]
+
+Prints ONE JSON line with admission/bucket/quota/plan counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+
+def build_crawl_plan(spark, docs, budget: int = 100):
+    """Assemble the fetch-plan DataFrame (nothing executed); returns
+    (denied, plan). Split from main() so tests can check values and
+    the physical plan without a spark-submit round trip."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from paddleocr_spark.queries_web import (
+        crawl_budget_over,
+        revisit_schedule_over,
+        robots_gate_over,
+    )
+
+    verdicts = robots_gate_over(docs)
+    denied = verdicts.filter(F.col("allowed") == 0)
+    buckets = revisit_schedule_over(docs).select("page_key", "bucket")
+    quotas = crawl_budget_over(docs, budget=budget).select("source", "quota")
+
+    prio = (
+        F.when(F.col("bucket") == "hot", 3)
+        .when(F.col("bucket") == "warm", 2)
+        .when(F.col("bucket") == "cold", 1)
+        .otherwise(0)
+    )
+    cand = (
+        verdicts.filter(F.col("allowed") == 1)
+        .withColumn("page_key", F.col("doc_id") % 211)
+        .join(buckets, "page_key")
+        .withColumn("prio", prio)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("prio").desc(), F.col("doc_id").asc()
+    )
+    plan = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .join(F.broadcast(quotas), "source")
+        .filter(F.col("rank") <= F.col("quota"))
+        .select("source", "doc_id", "page_key", "bucket", "rank")
+    )
+    return denied, plan
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--budget", type=int, default=100)
+    ap.add_argument("--cpus", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from paddleocr_spark.session import get_spark
+
+    master = f"local[{args.cpus}]" if args.cpus else None
+    spark = get_spark(master=master) if master else get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(args.input)
+    denied, plan = build_crawl_plan(spark, docs, budget=args.budget)
+
+    out_plan = os.path.join(args.output, "fetch_plan")
+    plan.write.mode("overwrite").parquet(out_plan)
+
+    planned = spark.read.parquet(out_plan)
+    by_bucket = {
+        r["bucket"]: r["n"]
+        for r in planned.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    stats = {
+        "n_input": docs.count(),
+        "n_denied_robots": denied.count(),
+        "budget": args.budget,
+        "n_planned": planned.count(),
+        "n_hosts": planned.select("source").distinct().count(),
+        "by_bucket": by_bucket,
+        "wall_sec": round(time.time() - t0, 3),
+    }
+    os.makedirs(args.output, exist_ok=True)
+    with open(os.path.join(args.output, "stats.json"), "w") as fh:
+        json.dump(stats, fh)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

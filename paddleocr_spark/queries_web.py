@@ -337,7 +337,10 @@ def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-history scan, and it shares its one shuffle key with the
     extraction job's layout.
     """
-    d = _t(spark, sf_dir, "documents")
+    return revisit_schedule_over(_t(spark, sf_dir, "documents"))
+
+
+def revisit_schedule_over(d: DataFrame) -> DataFrame:
     cap = (
         "case when doc_id % 4 < 2 then concat('STABLE-', cast(doc_id % 211 as string))"
         " else text end"
@@ -420,8 +423,10 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents). The largest-remainder seat assignment never touches a
     document row.
     """
-    budget = 100
-    d = _t(spark, sf_dir, "documents")
+    return crawl_budget_over(_t(spark, sf_dir, "documents"), budget=100)
+
+
+def crawl_budget_over(d: DataFrame, budget: int = 100) -> DataFrame:
     demand = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("doc_id") % 4 >= 2).cast("bigint")).alias("demand"),
@@ -639,7 +644,10 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference analog: the cheap-predicate-first gate discipline of
     db_postprocess.py:136-141, applied at the crawl-admission layer.
     """
-    d = _t(spark, sf_dir, "documents")
+    return robots_gate_over(_t(spark, sf_dir, "documents"))
+
+
+def robots_gate_over(d: DataFrame) -> DataFrame:
     hosts = d.select("source").distinct()
     i = F.regexp_extract("source", r"(\d+)", 1).cast("int")
     rule = lambda cond, prefix, allow: F.when(  # noqa: E731

@@ -1,0 +1,95 @@
+"""The crawl-scheduler job (jobs/crawl_plan.py): the fetch plan must
+respect every constraint its three component queries establish —
+robots admission, per-host quotas, priority ordering — and be
+deterministic across reruns."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from jobs.crawl_plan import build_crawl_plan  # noqa: E402
+from paddleocr_spark.queries_web import (  # noqa: E402
+    crawl_budget_over,
+    robots_gate_over,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+
+
+def test_plan_respects_robots_and_quotas(spark):
+    docs = _docs(spark)
+    denied, plan = build_crawl_plan(spark, docs, budget=40)
+    rows = plan.collect()
+    assert rows, "plan must not be empty"
+
+    # no robots-denied doc may appear in the plan
+    denied_ids = {r["doc_id"] for r in denied.collect()}
+    assert not denied_ids.intersection({r["doc_id"] for r in rows})
+
+    # per-host counts stay within the apportioned quota
+    quotas = {
+        r["source"]: r["quota"]
+        for r in crawl_budget_over(docs, budget=40).collect()
+    }
+    per_host: dict[str, int] = {}
+    for r in rows:
+        per_host[r["source"]] = per_host.get(r["source"], 0) + 1
+    for host, n in per_host.items():
+        assert n <= quotas[host], (host, n, quotas[host])
+
+
+def test_plan_prioritizes_hotter_buckets(spark):
+    """Within a host the kept ranks must be contiguous from 1 and
+    ordered hot >= warm >= cold >= new — a cold page may not outrank a
+    hot one."""
+    docs = _docs(spark)
+    _, plan = build_crawl_plan(spark, docs, budget=40)
+    prio = {"hot": 3, "warm": 2, "cold": 1, "new": 0}
+    by_host: dict[str, list] = {}
+    for r in plan.collect():
+        by_host.setdefault(r["source"], []).append(r)
+    for host, rows in by_host.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        ps = [prio[r["bucket"]] for r in rows]
+        assert ps == sorted(ps, reverse=True), (host, ps)
+
+
+def test_plan_deterministic_rerun(spark):
+    docs = _docs(spark)
+    _, p1 = build_crawl_plan(spark, docs, budget=40)
+    _, p2 = build_crawl_plan(spark, docs, budget=40)
+    key = lambda r: (r["source"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, p1.collect()), key=lambda t: (t[0], t[4])) == \
+        sorted(map(tuple, p2.collect()), key=lambda t: (t[0], t[4]))
+
+
+def test_plan_admission_is_the_robots_gate(spark):
+    """With an unbounded budget the plan is exactly the admissible
+    pages of every host that HAS demand (proportional apportionment
+    gives zero-demand hosts zero quota no matter the budget — the
+    scheduler's contract, not a bug; in this corpus doc_id % 4 is
+    constant per host, so demand is all-or-nothing per host)."""
+    docs = _docs(spark)
+    _, plan = build_crawl_plan(spark, docs, budget=10**9)
+    funded = {
+        r["source"]
+        for r in crawl_budget_over(docs, budget=10**9).collect()
+        if r["quota"] > 0
+    }
+    n_expected = (
+        robots_gate_over(docs)
+        .filter(F.col("allowed") == 1)
+        .filter(F.col("source").isin(list(funded)))
+        .count()
+    )
+    assert plan.count() == n_expected
