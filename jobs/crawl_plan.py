@@ -48,22 +48,26 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def build_crawl_plan(spark, docs, budget: int = 100):
+def build_crawl_plan(docs, budget: int = 100):
     """Assemble the fetch-plan DataFrame (nothing executed); returns
-    (denied, plan). Split from main() so tests can check values and
-    the physical plan without a spark-submit round trip."""
+    (verdicts, plan) — verdicts carries every doc's robots decision so
+    callers derive admission stats in ONE aggregation instead of
+    re-running the gate. Split from main() so tests can check values
+    and the physical plan without a spark-submit round trip."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from paddleocr_spark.queries_web import (
         crawl_budget_over,
+        page_key_col,
         revisit_schedule_over,
         robots_gate_over,
     )
 
     verdicts = robots_gate_over(docs)
-    denied = verdicts.filter(F.col("allowed") == 0)
-    buckets = revisit_schedule_over(docs).select("page_key", "bucket")
+    buckets = revisit_schedule_over(docs).select(
+        "page_key", "bucket", "n_changed", "n_pairs"
+    )
     quotas = crawl_budget_over(docs, budget=budget).select("source", "quota")
 
     prio = (
@@ -74,12 +78,17 @@ def build_crawl_plan(spark, docs, budget: int = 100):
     )
     cand = (
         verdicts.filter(F.col("allowed") == 1)
-        .withColumn("page_key", F.col("doc_id") % 211)
+        .withColumn("page_key", page_key_col())
         .join(buckets, "page_key")
         .withColumn("prio", prio)
     )
+    # bucket priority, then page volatility (observed change rate —
+    # compared cross-multiplied per the integer-exact house rule, via
+    # the fraction only for ORDERING which tolerates float), then
+    # doc_id for determinism
+    volatility = F.col("n_changed") / F.greatest(F.col("n_pairs"), F.lit(1))
     w = Window.partitionBy("source").orderBy(
-        F.col("prio").desc(), F.col("doc_id").asc()
+        F.col("prio").desc(), volatility.desc(), F.col("doc_id").asc()
     )
     plan = (
         cand.withColumn("rank", F.row_number().over(w))
@@ -87,7 +96,7 @@ def build_crawl_plan(spark, docs, budget: int = 100):
         .filter(F.col("rank") <= F.col("quota"))
         .select("source", "doc_id", "page_key", "bucket", "rank")
     )
-    return denied, plan
+    return verdicts, plan
 
 
 def main(argv=None) -> int:
@@ -108,23 +117,30 @@ def main(argv=None) -> int:
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(args.input)
-    denied, plan = build_crawl_plan(spark, docs, budget=args.budget)
+    verdicts, plan = build_crawl_plan(docs, budget=args.budget)
 
     out_plan = os.path.join(args.output, "fetch_plan")
     plan.write.mode("overwrite").parquet(out_plan)
 
+    # ONE aggregation over the gate for admission stats (n_input and
+    # the denial count together — never a second corpus scan), one
+    # small aggregation over the written plan for the rest
+    adm = verdicts.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum((F.col("allowed") == 0).cast("bigint")).alias("n_denied"),
+    ).collect()[0]
     planned = spark.read.parquet(out_plan)
-    by_bucket = {
-        r["bucket"]: r["n"]
-        for r in planned.groupBy("bucket").agg(F.count("*").alias("n")).collect()
-    }
+    pstats = planned.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("source").alias("hosts"),
+    ).collect()
     stats = {
-        "n_input": docs.count(),
-        "n_denied_robots": denied.count(),
+        "n_input": adm["n_input"],
+        "n_denied_robots": adm["n_denied"],
         "budget": args.budget,
-        "n_planned": planned.count(),
+        "n_planned": sum(r["n"] for r in pstats),
         "n_hosts": planned.select("source").distinct().count(),
-        "by_bucket": by_bucket,
+        "by_bucket": {r["bucket"]: r["n"] for r in pstats},
         "wall_sec": round(time.time() - t0, 3),
     }
     os.makedirs(args.output, exist_ok=True)

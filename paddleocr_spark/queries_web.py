@@ -247,6 +247,33 @@ from cleaned group by 1
 # Recrawl change detection: diff the two latest captures per page
 # ---------------------------------------------------------------------------
 
+# The shared capture model for crawl_diff / revisit_schedule /
+# jobs/crawl_plan.py: page_key = doc_id % PAGE_KEY_MOD stands in for
+# the url-hash, content is deterministically STABLE for doc_id % 4 < 2.
+# ONE definition so the queries and the scheduler can never drift onto
+# different corpora.
+PAGE_KEY_MOD = 211
+
+
+def page_key_col() -> F.Column:
+    return F.col("doc_id") % PAGE_KEY_MOD
+
+
+def _captures(d: DataFrame) -> DataFrame:
+    """(page_key, doc_id, h): the hashed capture stream — the ONLY
+    columns that may cross the wire; content is hashed scan-side."""
+    cap = (
+        "case when doc_id % 4 < 2 then"
+        f" concat('STABLE-', cast(doc_id % {PAGE_KEY_MOD} as string))"
+        " else text end"
+    )
+    return d.select(
+        page_key_col().alias("page_key"),
+        "doc_id",
+        F.md5(F.expr(cap)).alias("h"),
+    )
+
+
 def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-url change detection between the two latest captures (the
     recrawl-dedup decision: re-extract only pages whose content hash
@@ -266,16 +293,7 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     same window spec, zero joins. At 10^12 rows this is the cheapest
     possible diff: a sort within the already-bucketed url partition.
     """
-    d = _t(spark, sf_dir, "documents")
-    cap = (
-        "case when doc_id % 4 < 2 then concat('STABLE-', cast(doc_id % 211 as string))"
-        " else text end"
-    )
-    rows = d.select(
-        (F.col("doc_id") % 211).alias("page_key"),
-        "doc_id",
-        F.md5(F.expr(cap)).alias("h"),
-    )
+    rows = _captures(_t(spark, sf_dir, "documents"))
     w = Window.partitionBy("page_key").orderBy(F.col("doc_id").desc())
     return (
         rows.withColumn("rn", F.row_number().over(w))
@@ -341,15 +359,7 @@ def q_revisit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def revisit_schedule_over(d: DataFrame) -> DataFrame:
-    cap = (
-        "case when doc_id % 4 < 2 then concat('STABLE-', cast(doc_id % 211 as string))"
-        " else text end"
-    )
-    rows = d.select(
-        (F.col("doc_id") % 211).alias("page_key"),
-        "doc_id",
-        F.md5(F.expr(cap)).alias("h"),
-    )
+    rows = _captures(d)
     w = Window.partitionBy("page_key").orderBy(F.col("doc_id").desc())
     pairs = rows.withColumn("prev_h", F.lead("h").over(w))
     agg = pairs.groupBy("page_key").agg(
@@ -699,13 +709,13 @@ SQL_ROBOTS_GATE = """
 with hosts as (select distinct source from documents),
 rules as (
   select source, '/key' prefix, 0 allow, 4 plen from hosts
-  where cast(regexp_extract(source, '(\\d+)', 1) as int) % 2 = 0
+  where try_cast(regexp_extract(source, '(\\d+)', 1) as int) % 2 = 0
   union all
   select source, '/batch', 0, 6 from hosts
-  where cast(regexp_extract(source, '(\\d+)', 1) as int) % 3 = 0
+  where try_cast(regexp_extract(source, '(\\d+)', 1) as int) % 3 = 0
   union all
   select source, '/key/agg', 1, 8 from hosts
-  where cast(regexp_extract(source, '(\\d+)', 1) as int) % 4 = 0
+  where try_cast(regexp_extract(source, '(\\d+)', 1) as int) % 4 = 0
 ),
 docs as (
   select doc_id, source,

@@ -27,12 +27,15 @@ def _docs(spark):
 
 def test_plan_respects_robots_and_quotas(spark):
     docs = _docs(spark)
-    denied, plan = build_crawl_plan(spark, docs, budget=40)
+    verdicts, plan = build_crawl_plan(docs, budget=40)
     rows = plan.collect()
     assert rows, "plan must not be empty"
 
     # no robots-denied doc may appear in the plan
-    denied_ids = {r["doc_id"] for r in denied.collect()}
+    denied_ids = {
+        r["doc_id"]
+        for r in verdicts.filter(F.col("allowed") == 0).collect()
+    }
     assert not denied_ids.intersection({r["doc_id"] for r in rows})
 
     # per-host counts stay within the apportioned quota
@@ -52,7 +55,7 @@ def test_plan_prioritizes_hotter_buckets(spark):
     ordered hot >= warm >= cold >= new — a cold page may not outrank a
     hot one."""
     docs = _docs(spark)
-    _, plan = build_crawl_plan(spark, docs, budget=40)
+    _, plan = build_crawl_plan(docs, budget=40)
     prio = {"hot": 3, "warm": 2, "cold": 1, "new": 0}
     by_host: dict[str, list] = {}
     for r in plan.collect():
@@ -66,11 +69,10 @@ def test_plan_prioritizes_hotter_buckets(spark):
 
 def test_plan_deterministic_rerun(spark):
     docs = _docs(spark)
-    _, p1 = build_crawl_plan(spark, docs, budget=40)
-    _, p2 = build_crawl_plan(spark, docs, budget=40)
+    _, p1 = build_crawl_plan(docs, budget=40)
+    _, p2 = build_crawl_plan(docs, budget=40)
     key = lambda r: (r["source"], r["rank"])  # noqa: E731
-    assert sorted(map(tuple, p1.collect()), key=lambda t: (t[0], t[4])) == \
-        sorted(map(tuple, p2.collect()), key=lambda t: (t[0], t[4]))
+    assert sorted(p1.collect(), key=key) == sorted(p2.collect(), key=key)
 
 
 def test_plan_admission_is_the_robots_gate(spark):
@@ -80,7 +82,7 @@ def test_plan_admission_is_the_robots_gate(spark):
     scheduler's contract, not a bug; in this corpus doc_id % 4 is
     constant per host, so demand is all-or-nothing per host)."""
     docs = _docs(spark)
-    _, plan = build_crawl_plan(spark, docs, budget=10**9)
+    _, plan = build_crawl_plan(docs, budget=10**9)
     funded = {
         r["source"]
         for r in crawl_budget_over(docs, budget=10**9).collect()

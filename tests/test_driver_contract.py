@@ -9,47 +9,20 @@ exact equality since our operators are engine-portable by construction.
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
 import paddleocr_spark.queries as Q
+from paddleocr_spark.contract import register_views, rowset as _rowset
 
 SF_DIR = "/root/testdata/sf0.001"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
 
 
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"create view {t} as select * from read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    register_views(con, SF_DIR)
     return con
-
-
-def _canon(v):
-    if v is None:
-        return "\x00<null>"
-    if isinstance(v, bool):
-        return f"bool:{v}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
-    return str(v)
-
-
-def _rowset(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in idx) for r in rows)
 
 
 @pytest.mark.parametrize("name", sorted(Q.QUERIES))

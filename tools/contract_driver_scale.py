@@ -9,7 +9,6 @@ the driver will verify this round).
 """
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -20,32 +19,13 @@ sys.path.insert(0, REPO)
 import duckdb  # noqa: E402
 
 import paddleocr_spark.queries as Q  # noqa: E402
+from paddleocr_spark.contract import (  # noqa: E402
+    register_views,
+    rowset as _rowset,
+)
 from paddleocr_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
-
-
-def _canon(v):
-    if v is None:
-        return "\x00<null>"
-    if isinstance(v, bool):
-        return f"bool:{v}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.9g}"
-    if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
-    return str(v)
-
-
-def _rowset(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in idx) for r in rows)
 
 
 def main():
@@ -56,11 +36,7 @@ def main():
     spark = get_spark(master="local[8]", shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"create view {t} as select * from "
-            f"read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    register_views(con, SF_DIR)
     bad = []
     for name in names:
         t0 = time.time()
