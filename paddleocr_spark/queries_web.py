@@ -442,13 +442,23 @@ def crawl_budget_over(d: DataFrame, budget: int = 100) -> DataFrame:
         F.sum((F.col("doc_id") % 4 >= 2).cast("bigint")).alias("demand"),
     )
     tot = demand.agg(F.sum("demand").alias("total"))
+    # zero-demand day: apportioning over total=0 is 0 everywhere (no
+    # demand -> no budget spent), never a DIVIDE_BY_ZERO — ANSI `div`
+    # would otherwise kill the scheduler on a quiet crawl day
     per = demand.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "demand",
         # `div` = exact integer division (no double rounding at scale)
-        F.expr(f"({budget} * demand) div total").alias("base"),
-        ((F.lit(budget) * F.col("demand")) % F.col("total")).alias("rem"),
+        F.expr(
+            f"case when total = 0 then 0"
+            f" else ({budget} * demand) div total end"
+        ).alias("base"),
+        F.expr(
+            f"case when total = 0 then 0"
+            f" else ({budget} * demand) % total end"
+        ).alias("rem"),
+        "total",
     )
     w = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
     left = per.agg((F.lit(budget) - F.sum("base")).alias("leftover"))
@@ -460,7 +470,10 @@ def crawl_budget_over(d: DataFrame, budget: int = 100) -> DataFrame:
             "n_docs",
             "demand",
             F.least(
-                F.col("base") + (F.col("rk") <= F.col("leftover")).cast("bigint"),
+                F.col("base")
+                + (
+                    (F.col("rk") <= F.col("leftover")) & (F.col("total") > 0)
+                ).cast("bigint"),
                 F.col("n_docs"),
             ).alias("quota"),
         )
@@ -475,14 +488,15 @@ with demand as (
 ), tot as (select sum(demand) total from demand),
 per as (
   select source, n_docs, demand,
-         (100 * demand) // total base,
-         (100 * demand) % total rem
+         case when total = 0 then 0 else (100 * demand) // total end base,
+         case when total = 0 then 0 else (100 * demand) % total end rem,
+         total
   from demand, tot
 ), ranked as (
   select *, row_number() over (order by rem desc, source asc) rk from per
 ), left_ as (select 100 - sum(base) leftover from per)
 select source, n_docs, demand,
-       least(base + cast(rk <= leftover as bigint), n_docs) quota
+       least(base + cast(rk <= leftover and total > 0 as bigint), n_docs) quota
 from ranked, left_
 """
 

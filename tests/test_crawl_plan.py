@@ -95,3 +95,17 @@ def test_plan_admission_is_the_robots_gate(spark):
         .count()
     )
     assert plan.count() == n_expected
+
+
+def test_zero_demand_batch_never_crashes(spark):
+    """A quiet crawl day (no volatile pages, total demand 0) must
+    yield zero quotas and an empty plan — not an ANSI DIVIDE_BY_ZERO
+    from the apportionment (regression: `(b*demand) div total`)."""
+    docs = _docs(spark).filter(F.col("doc_id") % 4 < 2)
+    quotas = crawl_budget_over(docs, budget=40).collect()
+    assert quotas and all(r["quota"] == 0 for r in quotas)
+    _, plan = build_crawl_plan(docs, budget=40)
+    assert plan.count() == 0
+    # empty input degenerates the same way
+    _, empty_plan = build_crawl_plan(_docs(spark).limit(0), budget=40)
+    assert empty_plan.count() == 0
