@@ -532,7 +532,9 @@ def q_frontier_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("src"), ((F.col("doc_id") + k) % 20).cast("string")).alias(
             "host"
         ),
-        F.concat(F.lit("/"), F.element_at(w, k + 1)).alias("path"),
+        # try_element_at: short docs emit NULL-path links, which both
+        # engines treat identically (never match a known page)
+        F.concat(F.lit("/"), F.try_element_at(w, F.lit(k + 1))).alias("path"),
     )
     links = d.select(
         "doc_id", F.explode(F.array(link(1), link(2), link(3))).alias("l")
@@ -673,7 +675,10 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def robots_gate_over(d: DataFrame) -> DataFrame:
     hosts = d.select("source").distinct()
-    i = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    # try_cast: a digitless host parses to NULL -> every rule condition
+    # is NULL -> no rules -> default allow, identically in DuckDB
+    # (ANSI cast of '' would crash Spark, try_cast errors DuckDB)
+    i = F.regexp_extract("source", r"(\d+)", 1).try_cast("int")
     rule = lambda cond, prefix, allow: F.when(  # noqa: E731
         cond, F.struct(
             F.lit(prefix).alias("prefix"),
@@ -694,11 +699,14 @@ def robots_gate_over(d: DataFrame) -> DataFrame:
     docs = d.select(
         "doc_id",
         "source",
+        # try_element_at: a short/garbage doc yields a NULL path (and
+        # the default-allow verdict) in BOTH engines instead of an
+        # ANSI INVALID_ARRAY_INDEX crash in Spark only
         F.concat(
             F.lit("/"),
             F.element_at(F.split("text", " "), 1),
             F.lit("/"),
-            F.element_at(F.split("text", " "), 2),
+            F.try_element_at(F.split("text", " "), F.lit(2)),
         ).alias("path"),
     )
     best = (

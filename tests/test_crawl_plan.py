@@ -109,3 +109,19 @@ def test_zero_demand_batch_never_crashes(spark):
     # empty input degenerates the same way
     _, empty_plan = build_crawl_plan(_docs(spark).limit(0), budget=40)
     assert empty_plan.count() == 0
+
+
+def test_short_and_digitless_docs_never_crash_the_gate(spark):
+    """ANSI-mode regressions: a one-word/empty doc (element_at OOB) or
+    a digitless host (cast('') to int) must degrade to NULL path /
+    no-rules / default-allow — the same verdict DuckDB's silent NULL
+    indexing gives — never a Spark-only crash."""
+    from paddleocr_spark.queries_web import robots_gate_over
+
+    d = spark.createDataFrame(
+        [(1, "solo", "en", "src1", 4), (2, "", "en", "cdn", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r["doc_id"]: r for r in robots_gate_over(d).collect()}
+    assert rows[1]["allowed"] == 1 and rows[1]["path"] is None
+    assert rows[2]["allowed"] == 1 and rows[2]["matched_len"] == 0
