@@ -132,7 +132,6 @@ def main(argv=None) -> int:
     planned = spark.read.parquet(out_plan)
     pstats = planned.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct("source").alias("hosts"),
     ).collect()
     stats = {
         "n_input": adm["n_input"],

@@ -259,6 +259,24 @@ def page_key_col() -> F.Column:
     return F.col("doc_id") % PAGE_KEY_MOD
 
 
+def volatile_col() -> F.Column:
+    """A page is volatile when its captures actually change — the
+    complement of _captures' STABLE branch (doc_id % 4 < 2). The ONE
+    definition crawl_budget demand shares with the capture model."""
+    return F.col("doc_id") % 4 >= 2
+
+
+# DuckDB twin of _captures — interpolated into every oracle that walks
+# the capture stream, so the two oracles can't drift either
+_SQL_CAPS_CTE = """with caps as (
+  select doc_id % 211 page_key, doc_id,
+         md5(case when doc_id % 4 < 2
+                  then 'STABLE-' || cast(doc_id % 211 as varchar)
+                  else text end) h
+  from documents
+)"""
+
+
 def _captures(d: DataFrame) -> DataFrame:
     """(page_key, doc_id, h): the hashed capture stream — the ONLY
     columns that may cross the wire; content is hashed scan-side."""
@@ -309,14 +327,8 @@ def q_crawl_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CRAWL_DIFF = """
-with caps as (
-  select doc_id % 211 page_key, doc_id,
-         md5(case when doc_id % 4 < 2
-                  then 'STABLE-' || cast(doc_id % 211 as varchar)
-                  else text end) h
-  from documents
-), w as (
+SQL_CRAWL_DIFF = f"""
+{_SQL_CAPS_CTE}, w as (
   select page_key, doc_id, h,
          row_number() over win rn,
          lead(doc_id) over win prev_doc,
@@ -383,14 +395,8 @@ def revisit_schedule_over(d: DataFrame) -> DataFrame:
     )
 
 
-SQL_REVISIT_SCHEDULE = """
-with caps as (
-  select doc_id % 211 page_key, doc_id,
-         md5(case when doc_id % 4 < 2
-                  then 'STABLE-' || cast(doc_id % 211 as varchar)
-                  else text end) h
-  from documents
-), pairs as (
+SQL_REVISIT_SCHEDULE = f"""
+{_SQL_CAPS_CTE}, pairs as (
   select page_key, h,
          lead(h) over (partition by page_key order by doc_id desc) prev_h
   from caps
@@ -439,7 +445,7 @@ def q_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 def crawl_budget_over(d: DataFrame, budget: int = 100) -> DataFrame:
     demand = d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum((F.col("doc_id") % 4 >= 2).cast("bigint")).alias("demand"),
+        F.sum(volatile_col().cast("bigint")).alias("demand"),
     )
     tot = demand.agg(F.sum("demand").alias("total"))
     # zero-demand day: apportioning over total=0 is 0 everywhere (no
