@@ -228,6 +228,7 @@ def pagerank(
     exact_fold: bool = True,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 0,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Weighted PageRank over a (src, dst, w) edge list — the
     host-authority signal web-corpus pipelines weight documents by
@@ -256,6 +257,17 @@ def pagerank(
     localCheckpoint by default, reliable checkpoint when
     ``checkpoint_dir`` is set) — off by default because a fixed small
     ``iters`` nests only that many join+agg layers.
+
+    ``seeds`` (a 1-column DataFrame of node ids) switches to
+    PERSONALIZED pagerank — the TrustRank form (Gyöngyi, Garcia-Molina
+    & Pedersen, VLDB 2004): the teleport vector concentrates on the
+    seed set (t_i = 1/|S| for seeds, 0 elsewhere, which is also the
+    initial rank) instead of the uniform 1/N, so authority can only
+    flow OUT of trusted nodes. The seed set is O(trusted hosts) and
+    rides a broadcast join onto the node frame; everything else —
+    per-round shuffle shape, exact-fold determinism — is unchanged.
+    The uniform path keeps its original arithmetic ((1-d)/N, not
+    (1-d)*(1/N)) so existing oracles stay bit-identical.
     """
     e = edges.select(
         F.col(src_col).alias("src"),
@@ -273,10 +285,32 @@ def pagerank(
         .distinct()
     )
     n1 = nodes.agg(F.count("*").cast("double").alias("n"))
-    teleport = F.lit(1.0 - damping) / F.col("n")
-    ranks = nodes.crossJoin(F.broadcast(n1)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("rank")
-    )
+    if seeds is None:
+        # base carries the teleport ingredients through every round:
+        # uniform mode keeps the original (1-d)/N arithmetic so prior
+        # oracles reproduce the exact same doubles.
+        base = nodes.crossJoin(F.broadcast(n1))
+        teleport = F.lit(1.0 - damping) / F.col("n")
+        ranks = base.select("node", (F.lit(1.0) / F.col("n")).alias("rank"))
+    else:
+        s = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        ns = s.agg(F.count("*").cast("double").alias("n_s"))
+        base = (
+            nodes.join(
+                F.broadcast(s.withColumn("__seed", F.lit(1))), "node", "left"
+            )
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "node",
+                F.when(
+                    F.col("__seed").isNotNull(), F.lit(1.0) / F.col("n_s")
+                )
+                .otherwise(F.lit(0.0))
+                .alias("t"),
+            )
+        )
+        teleport = F.lit(1.0 - damping) * F.col("t")
+        ranks = base.select("node", F.col("t").alias("rank"))
     # Checkpointing is OPT-IN here (checkpoint_every=0 by default),
     # unlike the CC fixpoint whose per-round count() action needs eager
     # truncation: a fixed handful of rounds nests only that many
@@ -315,8 +349,7 @@ def pagerank(
         else:
             sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         ranks = ckpt(
-            nodes.join(sums, "node", "left")
-            .crossJoin(F.broadcast(n1))
+            base.join(sums, "node", "left")
             .select(
                 "node",
                 (

@@ -1814,6 +1814,120 @@ _queries.QUERIES["doc_authority"] = q_doc_authority
 _queries.ORACLES["doc_authority"] = SQL_DOC_AUTHORITY
 
 
+def q_trustrank_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + spam mass over the host graph (Gyöngyi,
+    Garcia-Molina & Pedersen, VLDB 2004; spam-mass form Gyöngyi et
+    al. 2006) — the link-spam demotion signal web corpora apply after
+    raw PageRank: rank is re-propagated from a trusted SEED set only
+    (personalized teleport), and a host's *relative spam mass*
+    ``(pr - tr)/pr`` estimates how much of its authority arrives from
+    untrusted regions of the graph. Hosts whose mass ≈ 1 earn their
+    rank exclusively from outside the trust neighborhood — the
+    classic link-farm signature a curation pipeline uses to cut
+    `doc_authority` weights.
+
+    Scale shape: TWO fixed-round pagerank unrolls over the SAME static
+    transition frame (one uniform, one seeded — `functions/graph.
+    pagerank(seeds=...)`); the seed set is O(trusted hosts) and rides
+    a broadcast join onto the node frame; the final combine is an
+    O(hosts) equi-join. Exact-fold summation keeps every double a pure
+    function of the edge values, so the twin unrolled-CTE DuckDB
+    oracle reproduces pr, tr AND the derived mass bit-for-bit before
+    the final round(6). Seeds are the every-5th hosts (deterministic
+    in both engines)."""
+    from paddleocr_spark.functions.graph import pagerank
+
+    edges = q_host_link_graph(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    seeds = (
+        d.filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.concat(
+                F.lit("h"),
+                (F.col("doc_id") % N_HOSTS).cast("string"),
+                F.lit(".example"),
+            ).alias("node")
+        )
+        .distinct()
+    )
+    kw = dict(
+        damping=0.85,
+        iters=5,
+        src_col="src_host",
+        dst_col="dst_host",
+        weight_col="n_links",
+    )
+    pr = pagerank(edges, **kw).select(
+        F.col("node").alias("host"), F.col("rank").alias("pr_raw")
+    )
+    tr = pagerank(edges, seeds=seeds, **kw).select(
+        F.col("node").alias("host"), F.col("rank").alias("tr_raw")
+    )
+    return pr.join(tr, "host").select(
+        "host",
+        F.round("pr_raw", 6).alias("pr"),
+        F.round("tr_raw", 6).alias("tr"),
+        F.round(
+            (F.col("pr_raw") - F.col("tr_raw")) / F.col("pr_raw"), 6
+        ).alias("spam_mass"),
+    )
+
+
+def _sql_trustrank(iters: int = 5) -> str:
+    d = repr(0.85)
+    t = repr(1.0 - 0.85)  # the exact double Spark's lit(1.0 - damping) holds
+    ctes = [
+        f"edges as ({SQL_HOST_LINK_GRAPH.strip()})",
+        "e0 as (select src_host src, dst_host dst, cast(n_links as double) w from edges)",
+        "outw as (select src, sum(w) wout from e0 group by src)",
+        "ew as (select e0.src, e0.dst, e0.w / outw.wout p from e0 join outw using (src))",
+        "nodes as (select src node from e0 union select dst from e0)",
+        "nn as (select cast(count(*) as double) n from nodes)",
+        f"seeds as (select distinct 'h' || cast(doc_id % {N_HOSTS} as varchar)"
+        " || '.example' node from documents where doc_id % 5 = 0)",
+        "ns as (select cast(count(*) as double) n_s from seeds)",
+        "tvec as (select n.node,"
+        " case when s.node is not null then 1.0 / ns.n_s else 0.0 end t"
+        " from nodes n cross join ns left join seeds s on n.node = s.node)",
+        "ra0 as (select node, 1.0 / nn.n rank from nodes cross join nn)",
+        "rb0 as (select node, t rank from tvec)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        for q in ("a", "b"):
+            ctes.append(
+                f"c{q}{i} as (select e.dst node, e.src csrc, r{q}{p}.rank * e.p c"
+                f" from r{q}{p} join ew e on r{q}{p}.node = e.src)"
+            )
+            ctes.append(
+                f"s{q}{i} as (select node,"
+                " list_reduce(list(c order by csrc), (a,b) -> a + b) s"
+                f" from c{q}{i} group by node)"
+            )
+        ctes.append(
+            f"ra{i} as (select n.node, {t} / nn.n + {d} * coalesce(s.s, 0.0) rank"
+            f" from nodes n cross join nn left join sa{i} s on n.node = s.node)"
+        )
+        ctes.append(
+            f"rb{i} as (select tv.node, {t} * tv.t + {d} * coalesce(s.s, 0.0) rank"
+            f" from tvec tv left join sb{i} s on tv.node = s.node)"
+        )
+    return (
+        "with " + ",\n".join(ctes) + f"""
+select a.node host,
+       round(a.rank, 6) pr,
+       round(b.rank, 6) tr,
+       round((a.rank - b.rank) / a.rank, 6) spam_mass
+from ra{iters} a join rb{iters} b on a.node = b.node"""
+    )
+
+
+SQL_TRUSTRANK_SPAM = _sql_trustrank()
+
+_queries.QUERIES["trustrank_spam"] = q_trustrank_spam
+_queries.ORACLES["trustrank_spam"] = SQL_TRUSTRANK_SPAM
+
+
 def q_anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text aggregation: for every host, the top-3 terms other
     pages use when linking TO it (count desc, term asc tie-break) —

@@ -198,3 +198,73 @@ def test_pagerank_plain_sum_close(spark):
     assert set(exact) == set(plain)
     for h in exact:
         assert abs(exact[h] - plain[h]) < 1e-12
+
+
+def _py_trustrank(edges, seeds, damping=0.85, iters=5):
+    """Pure-Python twin of graph.pagerank(seeds=...): personalized
+    teleport t_i = 1/|S| on seeds (also the initial rank), exact-fold
+    in-contribution order, (1-d)*t teleport arithmetic."""
+    from collections import defaultdict
+
+    wout = defaultdict(float)
+    for s, d, w in edges:
+        wout[s] += float(w)
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n_s = float(len(set(seeds)))
+    t = {h: (1.0 / n_s if h in set(seeds) else 0.0) for h in nodes}
+    rank = dict(t)
+    for _ in range(iters):
+        contribs = defaultdict(list)
+        for s, d, w in edges:
+            contribs[d].append((s, rank[s] * (float(w) / wout[s])))
+        nxt = {}
+        for h in nodes:
+            acc = 0.0
+            for _, c in sorted(contribs.get(h, [])):
+                acc += c
+            nxt[h] = (1.0 - damping) * t[h] + damping * acc
+        rank = nxt
+    return rank
+
+
+def test_trustrank_seeded_matches_pure_python_fold(spark):
+    """pagerank(seeds=...) equals the pure-Python personalized twin
+    BIT-FOR-BIT — the engine-exactness property the trustrank_spam
+    oracle relies on."""
+    from paddleocr_spark.functions.graph import pagerank
+
+    raw = [
+        ("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+        ("c", "a", 1), ("d", "c", 5), ("d", "a", 1),
+        ("b", "a", 1), ("c", "d", 2), ("e", "b", 2),
+    ]
+    edges = spark.createDataFrame(raw, "src string, dst string, w bigint")
+    seeds = spark.createDataFrame([("a",), ("d",)], "node string")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, seeds=seeds).collect()}
+    want = _py_trustrank(raw, {"a", "d"})
+    assert got == want  # exact equality, not approx
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_trustrank_spam_mass_separates_untrusted_region(spark):
+    """Two 3-cycles joined only by an untrusted bridge: the component
+    holding the seed keeps low spam mass, the far component — whose
+    rank arrives exclusively from outside the trust neighborhood —
+    approaches mass 1 (the link-farm signature)."""
+    from paddleocr_spark.functions.graph import pagerank
+
+    raw = [
+        # trusted cycle
+        ("a", "b", 1), ("b", "c", 1), ("c", "a", 1),
+        # untrusted cycle, no in-edge from the trusted side
+        ("x", "y", 1), ("y", "z", 1), ("z", "x", 1),
+    ]
+    edges = spark.createDataFrame(raw, "src string, dst string, w bigint")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    pr = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    tr = {r["node"]: r["rank"] for r in pagerank(edges, seeds=seeds).collect()}
+    mass = {h: (pr[h] - tr[h]) / pr[h] for h in pr}
+    for h in ("a", "b", "c"):
+        assert mass[h] < 0.1  # trust reaches the whole seed component
+    for h in ("x", "y", "z"):
+        assert mass[h] > 0.9  # no trust path in => spam-mass ~1
