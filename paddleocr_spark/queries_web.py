@@ -243,6 +243,96 @@ from cleaned group by 1
 """
 
 
+def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-encoding (mojibake) repair — the ftfy-core fix every web
+    corpus needs for pages whose UTF-8 bytes were once decoded as
+    Latin-1 ('é' shipped as 'Ã©'). The Spark side performs the REAL
+    repair: re-encode the wrongly-decoded string back to its original
+    bytes and re-decode them properly —
+    ``decode(encode(s, 'ISO-8859-1'), 'UTF-8')`` — entirely JVM-side
+    codegen. Repair is GATED on a detector (``rlike 'Ã[£©º]'``): text
+    carrying genuine accents must never be round-tripped (a lone real
+    'é' would shred into replacement chars), so injection plants both
+    kinds — mojibake docs (doc_id % 3 = 0) and genuinely-accented docs
+    (doc_id % 7 = 0) the gate must skip. ``n_fix_ok`` asserts every doc
+    ends byte-equal to its intended text.
+
+    Scale shape: pure whole-stage-codegen string expressions (CASE
+    branches evaluate lazily, so the ANSI-strict decode only ever sees
+    gated rows); ONE map-side-partial aggregation on `source` — text
+    bytes cross no shuffle. The DuckDB oracle proves the re-decode
+    equals the explicit digraph replace chain on the same corpus.
+    """
+    return mojibake_fix_over(_t(spark, sf_dir, "documents"))
+
+
+def mojibake_fix_over(d: DataFrame) -> DataFrame:
+    intended = (
+        "case when doc_id % 3 = 0 then"
+        " replace(replace(replace(text, 'value', 'valúe'),"
+        " 'table', 'tãble'), 'key', 'kéy')"
+        " when doc_id % 7 = 0 then replace(text, 'key', 'kéy')"
+        " else text end"
+    )
+    observed = (
+        "case when doc_id % 3 = 0 then"
+        " replace(replace(replace(text, 'value', 'valÃºe'),"
+        " 'table', 'tÃ£ble'), 'key', 'kÃ©y')"
+        " when doc_id % 7 = 0 then replace(text, 'key', 'kéy')"
+        " else text end"
+    )
+    rows = d.select(
+        "doc_id",
+        "source",
+        F.expr(intended).alias("intended"),
+        F.expr(observed).alias("observed"),
+    ).withColumn("is_moji", F.col("observed").rlike("Ã[£©º]"))
+    fixed = rows.withColumn(
+        "fixed",
+        F.when(
+            F.col("is_moji"),
+            F.decode(F.encode(F.col("observed"), "ISO-8859-1"), "UTF-8"),
+        ).otherwise(F.col("observed")),
+    )
+    return fixed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("is_moji").cast("int")).cast("bigint").alias("n_mojibake"),
+        F.sum((F.col("fixed") == F.col("intended")).cast("int"))
+        .cast("bigint")
+        .alias("n_fix_ok"),
+        F.sum(F.length("observed") - F.length("fixed"))
+        .cast("bigint")
+        .alias("chars_shrunk"),
+    )
+
+
+SQL_MOJIBAKE_FIX = """
+with rows as (
+  select doc_id, source,
+    case when doc_id % 3 = 0 then
+      replace(replace(replace(text, 'value', 'valúe'), 'table', 'tãble'), 'key', 'kéy')
+    when doc_id % 7 = 0 then replace(text, 'key', 'kéy')
+    else text end intended,
+    case when doc_id % 3 = 0 then
+      replace(replace(replace(text, 'value', 'valÃºe'), 'table', 'tÃ£ble'), 'key', 'kÃ©y')
+    when doc_id % 7 = 0 then replace(text, 'key', 'kéy')
+    else text end observed
+  from documents
+), fixed as (
+  select *, regexp_matches(observed, 'Ã[£©º]') is_moji,
+    case when regexp_matches(observed, 'Ã[£©º]') then
+      replace(replace(replace(observed, 'Ã©', 'é'), 'Ã£', 'ã'), 'Ãº', 'ú')
+    else observed end fixed
+  from rows
+)
+select source, count(*) n_docs,
+       cast(sum(case when is_moji then 1 else 0 end) as bigint) n_mojibake,
+       cast(sum(case when fixed = intended then 1 else 0 end) as bigint) n_fix_ok,
+       cast(sum(length(observed) - length(fixed)) as bigint) chars_shrunk
+from fixed group by 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Recrawl change detection: diff the two latest captures per page
 # ---------------------------------------------------------------------------
@@ -771,6 +861,8 @@ _queries.QUERIES["latest_snapshot"] = q_latest_snapshot
 _queries.ORACLES["latest_snapshot"] = SQL_LATEST_SNAPSHOT
 _queries.QUERIES["sanitize_text"] = q_sanitize_text
 _queries.ORACLES["sanitize_text"] = SQL_SANITIZE_TEXT
+_queries.QUERIES["mojibake_fix"] = q_mojibake_fix
+_queries.ORACLES["mojibake_fix"] = SQL_MOJIBAKE_FIX
 _queries.QUERIES["crawl_diff"] = q_crawl_diff
 _queries.ORACLES["crawl_diff"] = SQL_CRAWL_DIFF
 _queries.QUERIES["page_title_meta"] = q_page_title_meta

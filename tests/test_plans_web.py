@@ -94,3 +94,12 @@ def test_latest_snapshot_one_exchange_no_join(spark):
     plan = _plan(Q.QUERIES["latest_snapshot"](spark, SF_DIR))
     assert _n_exchanges(plan) == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_mojibake_fix_single_agg_exchange_no_python(spark):
+    """Repair is pure codegen string work: the only exchange is the
+    O(sources) aggregate, no join, no Python."""
+    plan = _plan(Q.QUERIES["mojibake_fix"](spark, SF_DIR))
+    assert _n_exchanges(plan) == 1, plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan
