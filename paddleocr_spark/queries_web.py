@@ -672,6 +672,124 @@ from fresh group by 1
 # Head-field extraction (title / meta description / charset) at scan speed
 # ---------------------------------------------------------------------------
 
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion — the other half of crawl discovery (RFC
+    sitemaps protocol, sitemaps.org): every 10th page publishes a
+    3-entry ``<urlset>``; the query PARSES the XML back out
+    (``regexp_extract_all`` over ``<loc>``/``<lastmod>``, zipped
+    positionally), resolves each listed url against the known-page
+    set, and reports per host how many sitemap entries are already
+    crawled vs genuinely new, plus the freshest declared lastmod —
+    the inputs a scheduler merges with frontier_expand's outlink
+    discoveries. The XML is constructed in-expression from the row
+    (hosts/ids/dates all deterministic), so both engines parse
+    byte-identical documents and real overlap exercises the join.
+
+    Scale shape: the sitemap stream is O(sitemap entries), narrow
+    structs only — page text never enters the plan; the known-page
+    resolution is the frontier_expand anti-join discipline (strategy
+    left to Catalyst: broadcast while the entry stream fits, shuffle
+    equi-join on the url key at 10^12 pages); the rollup re-shuffles
+    O(hosts). XML parse is whole-stage codegen regex — no Python.
+    """
+    from paddleocr_spark.queries_curation import N_HOSTS
+
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+
+    def entry(j: int) -> F.Column:
+        m = k * 7 + j * 13
+        return F.concat(
+            F.lit("<url><loc>https://h"),
+            ((k + j) % N_HOSTS).cast("string"),
+            F.lit(".example/d/"),
+            m.cast("string"),
+            F.lit("</loc><lastmod>2026-01-"),
+            F.lpad(((m % 28) + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod></url>"),
+        )
+
+    sitemaps = d.filter(k % 10 == 0).select(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            entry(0),
+            entry(1),
+            entry(2),
+            F.lit("</urlset>"),
+        ).alias("xml")
+    )
+    parsed = sitemaps.select(
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(
+                    F.col("xml"), F.lit(r"<loc>([^<]*)</loc>"), F.lit(1)
+                ).alias("loc"),
+                F.regexp_extract_all(
+                    F.col("xml"), F.lit(r"<lastmod>([^<]*)</lastmod>"), F.lit(1)
+                ).alias("lm"),
+            )
+        ).alias("e")
+    ).select(
+        F.col("e.loc").alias("url"), F.to_date(F.col("e.lm")).alias("lastmod")
+    )
+    known = d.select(
+        F.concat(
+            F.lit("https://h"),
+            (k % N_HOSTS).cast("string"),
+            F.lit(".example/d/"),
+            k.cast("string"),
+        ).alias("url"),
+        F.lit(1).alias("known"),
+    )
+    joined = parsed.join(known, "url", "left")
+    return joined.groupBy(
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host")
+    ).agg(
+        F.count(F.lit(1)).alias("n_listed"),
+        F.sum(F.col("known").isNotNull().cast("int"))
+        .cast("bigint")
+        .alias("n_known"),
+        F.sum(F.col("known").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_new"),
+        F.max("lastmod").alias("last_mod"),
+    )
+
+
+SQL_SITEMAP_EXTRACT = """
+with sm as (
+  select
+    '<?xml version="1.0"?><urlset>' ||
+    '<url><loc>https://h' || cast((doc_id + 0) % 20 as varchar) || '.example/d/' ||
+      cast(doc_id * 7 + 0 as varchar) || '</loc><lastmod>2026-01-' ||
+      lpad(cast(((doc_id * 7 + 0) % 28) + 1 as varchar), 2, '0') || '</lastmod></url>' ||
+    '<url><loc>https://h' || cast((doc_id + 1) % 20 as varchar) || '.example/d/' ||
+      cast(doc_id * 7 + 13 as varchar) || '</loc><lastmod>2026-01-' ||
+      lpad(cast(((doc_id * 7 + 13) % 28) + 1 as varchar), 2, '0') || '</lastmod></url>' ||
+    '<url><loc>https://h' || cast((doc_id + 2) % 20 as varchar) || '.example/d/' ||
+      cast(doc_id * 7 + 26 as varchar) || '</loc><lastmod>2026-01-' ||
+      lpad(cast(((doc_id * 7 + 26) % 28) + 1 as varchar), 2, '0') || '</lastmod></url>' ||
+    '</urlset>' sx
+  from documents where doc_id % 10 = 0
+), parsed as (
+  select unnest(regexp_extract_all(sx, '<loc>([^<]*)</loc>', 1)) url,
+         unnest(regexp_extract_all(sx, '<lastmod>([^<]*)</lastmod>', 1)) lm
+  from sm
+), known as (
+  select 'https://h' || cast(doc_id % 20 as varchar) || '.example/d/' ||
+         cast(doc_id as varchar) url, 1 known
+  from documents
+)
+select regexp_extract(p.url, 'https://([^/]+)', 1) host,
+       count(*) n_listed,
+       cast(sum(case when kn.known is not null then 1 else 0 end) as bigint) n_known,
+       cast(sum(case when kn.known is null then 1 else 0 end) as bigint) n_new,
+       max(cast(lm as date)) last_mod
+from parsed p left join known kn on p.url = kn.url
+group by 1
+"""
+
+
 def q_page_title_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """<head> field extraction — title, meta description, declared
     charset — the metadata pass every web corpus runs before (and
@@ -875,3 +993,5 @@ _queries.QUERIES["crawl_budget"] = q_crawl_budget
 _queries.ORACLES["crawl_budget"] = SQL_CRAWL_BUDGET
 _queries.QUERIES["frontier_expand"] = q_frontier_expand
 _queries.ORACLES["frontier_expand"] = SQL_FRONTIER_EXPAND
+_queries.QUERIES["sitemap_extract"] = q_sitemap_extract
+_queries.ORACLES["sitemap_extract"] = SQL_SITEMAP_EXTRACT

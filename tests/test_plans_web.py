@@ -103,3 +103,13 @@ def test_mojibake_fix_single_agg_exchange_no_python(spark):
     assert _n_exchanges(plan) == 1, plan
     assert "Join" not in plan, plan
     assert "EvalPython" not in plan
+
+
+def test_sitemap_extract_prunes_text_no_python(spark):
+    """Sitemap XML + known-page urls derive from doc_id only: the text
+    column must be pruned from every scan, the parse is codegen regex
+    (no Python), and the known-set resolution joins on the url key."""
+    plan = _plan(Q.QUERIES["sitemap_extract"](spark, SF_DIR))
+    assert "text#" not in plan, plan
+    assert "EvalPython" not in plan
+    assert "Join" in plan, plan
