@@ -597,6 +597,69 @@ from ranked, left_
 """
 
 
+def q_politeness_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay politeness caps on top of the budget quotas — the
+    rate-limit step RFC 9309 implementations layer onto apportionment:
+    each host declares a Crawl-delay (derived deterministically, 1-5 s),
+    a 60 s fetch window therefore admits ``window div delay`` requests,
+    and the host's planned fetches become ``least(quota, cap)`` with
+    the overflow reported as deferred — the carry-over a scheduler
+    rolls into the next window. Composes crawl_budget's Hamilton
+    quotas unchanged (the politeness pass must never re-apportion;
+    deferral is per-host only).
+
+    Scale shape: everything here is a pure projection ON TOP of
+    crawl_budget's O(hosts) output — the delay is a function of the
+    host string, so no join and NO new exchange beyond the ones
+    crawl_budget already pays. Exact integer division (`div`)
+    everywhere; try_cast + coalesce keep a digitless host at the
+    1 s default instead of an ANSI cast crash."""
+    return politeness_cap_over(_t(spark, sf_dir, "documents"))
+
+
+def politeness_cap_over(
+    d: DataFrame, budget: int = 100, window_s: int = 60
+) -> DataFrame:
+    q = crawl_budget_over(d, budget=budget)
+    delay = (
+        F.lit(1)
+        + F.coalesce(
+            F.regexp_extract("source", r"(\d+)", 1).try_cast("int"),
+            F.lit(0),
+        )
+        % 5
+    )
+    out = q.withColumn("crawl_delay_s", delay).withColumn(
+        "rate_cap", F.expr(f"cast({window_s} div crawl_delay_s as bigint)")
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "demand",
+        "quota",
+        "crawl_delay_s",
+        "rate_cap",
+        F.least("quota", "rate_cap").alias("planned"),
+        (F.col("quota") - F.least("quota", "rate_cap")).alias("deferred"),
+    )
+
+
+SQL_POLITENESS_CAP = f"""
+with q as ({SQL_CRAWL_BUDGET.strip()}),
+delayed as (
+  select source, n_docs, demand, quota,
+         1 + (coalesce(try_cast(regexp_extract(source, '(\\d+)', 1) as int), 0) % 5)
+           crawl_delay_s
+  from q
+)
+select source, n_docs, demand, quota, crawl_delay_s,
+       cast(60 // crawl_delay_s as bigint) rate_cap,
+       least(quota, cast(60 // crawl_delay_s as bigint)) planned,
+       quota - least(quota, cast(60 // crawl_delay_s as bigint)) as deferred
+from delayed
+"""
+
+
 # ---------------------------------------------------------------------------
 # Frontier expansion: outlink discovery anti-joined against known pages
 # ---------------------------------------------------------------------------
@@ -995,3 +1058,5 @@ _queries.QUERIES["frontier_expand"] = q_frontier_expand
 _queries.ORACLES["frontier_expand"] = SQL_FRONTIER_EXPAND
 _queries.QUERIES["sitemap_extract"] = q_sitemap_extract
 _queries.ORACLES["sitemap_extract"] = SQL_SITEMAP_EXTRACT
+_queries.QUERIES["politeness_cap"] = q_politeness_cap
+_queries.ORACLES["politeness_cap"] = SQL_POLITENESS_CAP

@@ -125,3 +125,23 @@ def test_short_and_digitless_docs_never_crash_the_gate(spark):
     rows = {r["doc_id"]: r for r in robots_gate_over(d).collect()}
     assert rows[1]["allowed"] == 1 and rows[1]["path"] is None
     assert rows[2]["allowed"] == 1 and rows[2]["matched_len"] == 0
+
+
+def test_politeness_cap_defers_overflow_without_reapportioning(spark):
+    """A host whose Hamilton quota exceeds its crawl-delay rate cap
+    plans only the cap and defers the rest; quotas themselves are
+    untouched (politeness never re-apportions)."""
+    from paddleocr_spark.queries_web import politeness_cap_over
+
+    # one dominant volatile host (src1 -> delay 1+1%5=2 -> cap 30)
+    rows = [(i * 4 + 2, "src1", "t") for i in range(80)]  # volatile
+    rows += [(1, "src2", "t"), (5, "src2", "t")]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = {r["source"]: r.asDict() for r in politeness_cap_over(df).collect()}
+    s1 = out["src1"]
+    assert s1["crawl_delay_s"] == 2 and s1["rate_cap"] == 30
+    assert s1["quota"] > s1["rate_cap"]          # budget would exceed the cap
+    assert s1["planned"] == 30                    # capped at the window rate
+    assert s1["deferred"] == s1["quota"] - 30     # carry-over, not lost
+    s2 = out["src2"]
+    assert s2["deferred"] == 0
