@@ -1448,6 +1448,84 @@ from sig
 """
 
 
+def q_gopher_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText LINE-shape rules (Rae et al. 2021 A1.1, the
+    two line-level criteria `gopher_rules` doesn't cover): drop a doc
+    when >90% of its lines start with a bullet, or >30% end in an
+    ellipsis — the listicle/truncation signatures. Lines are the fixed
+    8-word segments of `line_dedup_rewrite`; the bullet/ellipsis flags
+    are md5-derived from (doc_id, idx) with a DOC-DEPENDENT rate
+    (doc_id % 11 tenths bullets, doc_id % 7 tenths ellipses) so the
+    corpus genuinely contains all-bullet docs that fail one rule and
+    heavy-ellipsis docs that fail the other — the same
+    independent-derivation convention as c4_line_clean's punctuation
+    flag (both engines predict the flag arithmetically; a real
+    deployment swaps in `startswith(line, '•')` / `endswith(line,
+    '...')`, one expression each).
+
+    Scale shape: the whole gate is ONE projection — lines are never
+    exploded (the flags depend only on (doc_id, idx), so the per-doc
+    counts are size(filter(sequence(...))) entirely in-expression),
+    both thresholds compare integer cross-products (10*n_bullet >
+    9*n_lines), and the plan has ZERO exchanges, joins, windows, or
+    Python: the line-quality gate rides the scan, like gopher_rules.
+    """
+    return gopher_line_rules_over(_t(spark, sf_dir, "documents"))
+
+
+def gopher_line_rules_over(d: DataFrame) -> DataFrame:
+    n_lines = "cast(ceil(size(split(text, ' ')) / 8.0) as int)"
+    flag = (
+        "size(filter(sequence(0, {n} - 1),"
+        " i -> conv(substring(md5(concat('{tag}:', cast(doc_id as string),"
+        " ':', cast(i as string))), 1, 4), 16, 10) % 10 < doc_id % {m}))"
+    )
+    return d.select(
+        "doc_id",
+        F.expr(n_lines).alias("n_lines"),
+        F.expr(flag.format(n=n_lines, tag="glb", m=11))
+        .cast("bigint")
+        .alias("n_bullet"),
+        F.expr(flag.format(n=n_lines, tag="gle", m=7))
+        .cast("bigint")
+        .alias("n_ellipsis"),
+    ).withColumn(
+        "pass_lines",
+        (
+            ~(10 * F.col("n_bullet") > 9 * F.col("n_lines"))
+            & ~(10 * F.col("n_ellipsis") > 3 * F.col("n_lines"))
+        ).cast("int"),
+    )
+
+
+SQL_GOPHER_LINE_RULES = """
+with sig as (
+  select doc_id,
+         cast(ceil(len(str_split(text, ' ')) / 8.0) as int) n_lines
+  from documents
+), cnt as (
+  select doc_id, n_lines,
+         cast(len(list_filter(range(0, n_lines),
+           i -> ('0x' || substr(md5('glb:' || cast(doc_id as varchar) || ':' ||
+                 cast(i as varchar)), 1, 4))::bigint % 10 < doc_id % 11)) as bigint)
+           n_bullet,
+         cast(len(list_filter(range(0, n_lines),
+           i -> ('0x' || substr(md5('gle:' || cast(doc_id as varchar) || ':' ||
+                 cast(i as varchar)), 1, 4))::bigint % 10 < doc_id % 7)) as bigint)
+           n_ellipsis
+  from sig
+)
+select doc_id, n_lines, n_bullet, n_ellipsis,
+       case when not (10 * n_bullet > 9 * n_lines)
+             and not (10 * n_ellipsis > 3 * n_lines)
+            then 1 else 0 end pass_lines
+from cnt
+"""
+
+_queries.QUERIES["gopher_line_rules"] = q_gopher_line_rules
+_queries.ORACLES["gopher_line_rules"] = SQL_GOPHER_LINE_RULES
+
+
 # ---------------------------------------------------------------------------
 # C4 line-level cleaning with document rewrite (Raffel et al. 2020 §2.2)
 # ---------------------------------------------------------------------------

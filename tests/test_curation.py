@@ -483,3 +483,53 @@ def test_decontaminate_bloom_plan_all_probes_broadcast(spark):
     assert plan.count("LeftSemi") >= BLOOM_K, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_line_rules_semantics_md5_independent(spark):
+    """Bullet/ellipsis counts recomputed independently from the same
+    md5 derivation; the >90%-bullet and >30%-ellipsis docs fail, a
+    quiet doc passes, and thresholds are exact integer cross-products."""
+    import hashlib
+
+    from paddleocr_spark.queries_curation import gopher_line_rules_over
+
+    def n_flag(doc_id, n_lines, tag, m):
+        hit = 0
+        for i in range(n_lines):
+            h = hashlib.md5(f"{tag}:{doc_id}:{i}".encode()).hexdigest()
+            if int(h[:4], 16) % 10 < doc_id % m:
+                hit += 1
+        return hit
+
+    text = " ".join(f"w{i}" for i in range(32))  # 4 lines of 8 words
+    # doc 21: 21%11=10 -> every line a bullet (fails rule 1)
+    # doc 11: 11%11=0 and 11%7=4 -> no bullets, ~40% ellipses
+    # doc 22: 22%11=0, 22%7=1 -> quiet doc
+    df = spark.createDataFrame(
+        [(21, text), (11, text), (22, text)], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_line_rules_over(df).collect()}
+    for doc in (21, 11, 22):
+        assert got[doc]["n_lines"] == 4
+        assert got[doc]["n_bullet"] == n_flag(doc, 4, "glb", 11)
+        assert got[doc]["n_ellipsis"] == n_flag(doc, 4, "gle", 7)
+        want_pass = int(
+            not (10 * got[doc]["n_bullet"] > 9 * 4)
+            and not (10 * got[doc]["n_ellipsis"] > 3 * 4)
+        )
+        assert got[doc]["pass_lines"] == want_pass
+    assert got[21]["n_bullet"] == 4 and got[21]["pass_lines"] == 0
+    assert got[22]["pass_lines"] == 1
+
+
+def test_gopher_line_rules_plan_no_explode_no_shuffle(spark):
+    """Lines are never exploded: the whole line gate is one codegen
+    projection — zero exchanges, joins, generators, or Python."""
+    from paddleocr_spark.queries_curation import gopher_line_rules_over
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(gopher_line_rules_over(docs))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "EvalPython" not in plan, plan
