@@ -44,6 +44,11 @@ def main(argv=None) -> int:
                     help="host blocklist: a file of hosts (one per line) or a "
                          "comma-separated list; matching pages are pruned "
                          "before any parsing")
+    ap.add_argument("--wet-out", default=None,
+                    help="also export the extracted text as WARC conversion "
+                         "records (.warc.wet members) under this directory")
+    ap.add_argument("--wet-gz", action="store_true",
+                    help="per-record-gzip the WET members (CDX-range-safe)")
     ap.add_argument("--since-snapshot", default=None,
                     help="delta run (warehouse inputs only): extract only "
                          "pages appended after this snapshot and still live "
@@ -67,6 +72,8 @@ def main(argv=None) -> int:
         resume=args.resume,
         blocked_hosts=parse_blocklist(args.blocklist),
         since_snapshot=args.since_snapshot,
+        wet_out=args.wet_out,
+        wet_gz=args.wet_gz,
     )
     wall = time.time() - t0
     out = dict(stats)

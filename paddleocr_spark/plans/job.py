@@ -145,6 +145,8 @@ def run_extract_job(
     only_first_parts: int | None = None,
     blocked_hosts: list[str] | None = None,
     since_snapshot: str | None = None,
+    wet_out: str | None = None,
+    wet_gz: bool = False,
 ) -> dict:
     """Run extraction with checkpoint/resume. ``only_first_parts`` is a
     test hook simulating a mid-job failure after k partitions.
@@ -250,6 +252,27 @@ def run_extract_job(
         lineage.coalesce(1).write.mode("append").parquet(lineage_path)
         timings["lineage_s"] = round(time.monotonic() - t0, 3)
 
+    wet_files = None
+    if wet_out is not None and parts_processed:
+        # WET export (Common Crawl's .warc.wet conversion records) from
+        # the COMMITTED output: extracted text re-read column-pruned,
+        # warc_ts joined back from the input on the url key. Runs after
+        # the data commit so a failed WET pass never dirties resume.
+        from paddleocr_spark.sources import warc as Warc
+
+        t0 = time.monotonic()
+        done = spark.read.parquet(data_path).select("url", "extracted_text")
+        wet_rows = done.join(src.select("url", "warc_ts"), "url")
+        wet_files = len(
+            Warc.write_wet(
+                wet_rows,
+                wet_out,
+                n_files=max(1, min(n_partitions, 64)),
+                compress=wet_gz,
+            )
+        )
+        timings["wet_s"] = round(time.monotonic() - t0, 3)
+
     # rows_out from lineage (latest row per part), not a full output scan.
     rows_out = 0
     if os.path.exists(lineage_path):
@@ -257,7 +280,7 @@ def run_extract_job(
         w = Window.partitionBy("part_id").orderBy(F.desc("committed_ms"))
         latest = lin.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
         rows_out = latest.agg(F.sum("row_count")).collect()[0][0] or 0
-    return dict(
+    stats = dict(
         rows_out=int(rows_out),
         n_partitions=n_partitions,
         parts_done_before=n_done_before,
@@ -267,3 +290,6 @@ def run_extract_job(
         mode=mode,
         timings=timings,
     )
+    if wet_files is not None:
+        stats["wet_files"] = wet_files
+    return stats

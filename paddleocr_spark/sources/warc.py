@@ -76,12 +76,20 @@ MANIFEST_SCHEMA = T.StructType(
 )
 
 
-def warc_record_bytes(url: str, ts: dt.datetime, payload: bytes) -> bytes:
+def warc_record_bytes(
+    url: str,
+    ts: dt.datetime,
+    payload: bytes,
+    rec_type: str = "response",
+    content_type: str | None = None,
+) -> bytes:
+    ct = f"Content-Type: {content_type}\r\n" if content_type else ""
     header = (
         f"WARC/1.0\r\n"
-        f"WARC-Type: response\r\n"
+        f"WARC-Type: {rec_type}\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {ts.strftime(_TS_FMT)}\r\n"
+        f"{ct}"
         f"Content-Length: {len(payload)}\r\n\r\n"
     ).encode("utf-8")
     return header + payload + _CRLF2
@@ -223,8 +231,31 @@ def write_warc(
     records are url-sorted inside a member so output is deterministic
     under any input partitioning.
     """
+    return _write_members(
+        pages.select("url", "warc_ts", "html"),
+        out_dir,
+        n_files,
+        compress,
+        base_ext=".warc",
+        payload_fn=lambda r: bytes(r.html),
+        rec_kwargs={},
+    )
+
+
+def _write_members(
+    rows: DataFrame,
+    out_dir: str,
+    n_files: int,
+    compress: bool,
+    base_ext: str,
+    payload_fn,
+    rec_kwargs: dict,
+) -> list[dict]:
+    """Shared member writer for WARC (response) and WET (conversion)
+    sinks: url-hash bucket per member, built and written on the owning
+    executor, records url-sorted inside a member for determinism."""
     os.makedirs(out_dir, exist_ok=True)
-    ext = ".warc.gz" if compress else ".warc"
+    ext = base_ext + (".gz" if compress else "")
 
     def write_group(key, pdf):
         fid = int(key[0])
@@ -236,7 +267,7 @@ def write_warc(
         blob = b"".join(
             enc(
                 warc_record_bytes(
-                    r.url, r.warc_ts.to_pydatetime(), bytes(r.html)
+                    r.url, r.warc_ts.to_pydatetime(), payload_fn(r), **rec_kwargs
                 )
             )
             for r in pdf.itertuples()
@@ -249,13 +280,71 @@ def write_warc(
         )
 
     manifest = (
-        pages.select("url", "warc_ts", "html")
-        .withColumn("__fid", F.pmod(F.xxhash64("url"), F.lit(n_files)))
+        rows.withColumn("__fid", F.pmod(F.xxhash64("url"), F.lit(n_files)))
         .groupBy("__fid")
         .applyInPandas(write_group, schema=MANIFEST_SCHEMA)
         .collect()
     )
     return [r.asDict() for r in manifest]
+
+
+def write_wet(
+    extracted: DataFrame,
+    out_dir: str,
+    n_files: int = 8,
+    compress: bool = False,
+    text_col: str = "extracted_text",
+) -> list[dict]:
+    """WET sink: write (url, warc_ts, <text_col>) rows as WARC
+    *conversion* records (`WARC-Type: conversion`, `Content-Type:
+    text/plain`) — the .warc.wet artifact Common Crawl publishes for
+    extracted text, produced here straight from the extraction job's
+    output table. Same member layout/determinism as `write_warc`
+    (url-hash bucket per member, executor-local build+write, url-sorted
+    records, per-record gzip when compressed so CDX ranges stay
+    independently gunzippable)."""
+    rows = extracted.select(
+        "url", "warc_ts", F.encode(F.col(text_col), "UTF-8").alias("wet")
+    )
+    return _write_members(
+        rows,
+        out_dir,
+        n_files,
+        compress,
+        base_ext=".warc.wet",
+        payload_fn=lambda r: bytes(r.wet),
+        rec_kwargs={"rec_type": "conversion", "content_type": "text/plain"},
+    )
+
+
+WET_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """(url, warc_ts, text) from a .warc.wet file / dir of members —
+    the same Content-Length-driven parser as `read_warc` (WET records
+    are WARC records), with the payload decoded as UTF-8 text."""
+    glob = os.path.join(path, "*.warc.wet*") if os.path.isdir(path) else path
+    files = spark.read.format("binaryFile").load(glob)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                recs = [
+                    (u, ts, payload.decode("utf-8", errors="replace"))
+                    for u, ts, payload, _, _ in _iter_member(
+                        row["path"], bytes(row["content"])
+                    )
+                ]
+                yield pd.DataFrame(recs, columns=["url", "warc_ts", "text"])
+
+    return files.select("path", "content").mapInPandas(parse, schema=WET_SCHEMA)
 
 
 def fetch_records(spark: SparkSession, cdx: DataFrame, urls) -> DataFrame:

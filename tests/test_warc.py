@@ -244,3 +244,76 @@ def test_fetch_records_by_cdx_range(spark, pages_pq, warc_dir, warc_gz_dir, whic
         [(targets[0],), ("https://nowhere.example/none",)], ["url"]
     )
     assert W.fetch_records(spark, cdx, tdf).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# WET (conversion-record) sink/source
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def wet_input(spark, smoke_dir):
+    """(url, warc_ts, extracted_text): the golden extraction joined to
+    the page timestamps — exactly what jobs/extract.py's output table
+    holds when a WET export runs after extraction."""
+    golden = spark.read.parquet(os.path.join(smoke_dir, "golden.parquet"))
+    pages = spark.read.parquet(os.path.join(smoke_dir, "pages.parquet"))
+    return golden.join(pages.select("url", "warc_ts"), "url").select(
+        "url", "warc_ts", "extracted_text"
+    )
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_wet_roundtrip_matches_golden_text(spark, wet_input, tmp_path, compress):
+    """write_wet -> read_wet is text-identical to the golden extraction
+    for every url (including gz members), and the manifest accounts for
+    every record and byte."""
+    out = str(tmp_path / ("wet_gz" if compress else "wet"))
+    manifest = W.write_wet(wet_input, out, n_files=3, compress=compress)
+    assert sum(m["n_records"] for m in manifest) == wet_input.count()
+    for m in manifest:
+        assert os.path.getsize(m["file"]) == m["n_bytes"]
+    back = W.read_wet(spark, out)
+    j = wet_input.alias("o").join(back.alias("b"), "url")
+    assert j.count() == wet_input.count()
+    n_bad = j.filter(
+        (F.col("o.extracted_text") != F.col("b.text"))
+        | (F.col("o.warc_ts") != F.col("b.warc_ts"))
+    ).count()
+    assert n_bad == 0
+
+
+def test_wet_records_are_conversion_type(spark, wet_input, tmp_path):
+    """Member bytes carry the WET protocol fields: WARC-Type:
+    conversion + Content-Type: text/plain, Content-Length-framed."""
+    out = str(tmp_path / "wet_hdr")
+    manifest = W.write_wet(wet_input, out, n_files=1)
+    with open(manifest[0]["file"], "rb") as fh:
+        data = fh.read()
+    assert data.startswith(b"WARC/1.0\r\nWARC-Type: conversion\r\n")
+    assert b"Content-Type: text/plain\r\n" in data.split(b"\r\n\r\n", 1)[0]
+    # the generic WARC parser reads WET members (they ARE WARC records)
+    n = sum(1 for _ in W.iter_warc_records(data))
+    assert n == manifest[0]["n_records"]
+
+
+def test_extract_job_wet_export_matches_golden(spark, smoke_dir, tmp_path):
+    """jobs/extract.py --wet-out: the exported WET members read back
+    text-identical to the golden extraction for every url."""
+    from paddleocr_spark.plans.job import run_extract_job
+
+    out = str(tmp_path / "job_out")
+    wet = str(tmp_path / "wet_out")
+    stats = run_extract_job(
+        spark,
+        input_path=os.path.join(smoke_dir, "pages.parquet"),
+        output_dir=out,
+        n_partitions=8,
+        salt=2,
+        wet_out=wet,
+    )
+    assert stats["wet_files"] >= 1 and "wet_s" in stats["timings"]
+    golden = spark.read.parquet(os.path.join(smoke_dir, "golden.parquet"))
+    back = W.read_wet(spark, wet)
+    assert back.count() == golden.count() == stats["rows_out"]
+    j = golden.alias("g").join(back.alias("b"), "url")
+    assert j.filter(F.col("g.extracted_text") != F.col("b.text")).count() == 0
