@@ -133,6 +133,11 @@ BENCH_QUERIES = [
     "revisit_schedule",
     "crawl_budget",
     "frontier_expand",
+    "trustrank_spam",
+    "mojibake_fix",
+    "sitemap_extract",
+    "politeness_cap",
+    "gopher_line_rules",
 ]
 
 

@@ -520,6 +520,59 @@ def main():
         formatted(q_host_quality_gate(spark, SF)),
     ))
 
+    sections.append((
+        "TrustRank spam mass (trustrank_spam)",
+        "Two fixed-round pagerank unrolls over the SAME static "
+        "transition frame — uniform and seed-personalized; the trusted "
+        "seed set rides a BroadcastHashJoin onto the O(hosts) node "
+        "frame, the final pr/tr combine is an O(hosts) equi-join, and "
+        "per-round cost is identical to host_pagerank (exact-fold "
+        "join+agg). Documents never enter the plan after the edge "
+        "extraction.",
+        formatted(Q.QUERIES["trustrank_spam"](spark, SF)),
+    ))
+
+    sections.append((
+        "Mojibake repair (mojibake_fix)",
+        "The gated decode(encode(s,'ISO-8859-1'),'UTF-8') round trip "
+        "is whole-stage-codegen string work inside a CASE branch (the "
+        "ANSI-strict decode only ever evaluates on detector-matched "
+        "rows); ONE map-side-partial aggregate on source — text bytes "
+        "cross no exchange, no join, no Python.",
+        formatted(Q.QUERIES["mojibake_fix"](spark, SF)),
+    ))
+
+    sections.append((
+        "Sitemap ingestion (sitemap_extract)",
+        "The urlset parse is codegen regexp_extract_all + a narrow "
+        "posexplode (page text pruned from every scan — the XML "
+        "derives from doc_id); known-page resolution is an equi-join "
+        "on the url key with strategy left to Catalyst (broadcast at "
+        "this capture's size, shuffle join at corpus scale); the "
+        "per-host rollup re-shuffles O(hosts).",
+        formatted(Q.QUERIES["sitemap_extract"](spark, SF)),
+    ))
+
+    sections.append((
+        "Politeness caps (politeness_cap)",
+        "A pure projection ON TOP of crawl_budget's O(hosts) output: "
+        "the crawl-delay, rate cap, planned, and deferred columns add "
+        "ZERO exchanges beyond the ones the apportionment already "
+        "pays (compare the crawl_budget capture above — same exchange "
+        "set).",
+        formatted(Q.QUERIES["politeness_cap"](spark, SF)),
+    ))
+
+    sections.append((
+        "Gopher line-shape rules (gopher_line_rules)",
+        "Lines are never exploded: per-doc bullet/ellipsis counts come "
+        "from size(filter(sequence(...))) entirely in-expression, both "
+        "thresholds are integer cross-products, and the plan is a "
+        "single whole-stage-codegen projection — zero Exchanges, "
+        "joins, Generates, or Python.",
+        formatted(Q.QUERIES["gopher_line_rules"](spark, SF)),
+    ))
+
     out = ["# PLANS — captured physical plans (regenerate: `python jobs/capture_plans.py`)\n"]
     for title, note, plan in sections:
         plan = re.sub(r"file:[^\s,\]]*", "file:<elided>", plan)
