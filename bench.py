@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "sitemap_extract",
     "politeness_cap",
     "gopher_line_rules",
+    "bm25_topk",
 ]
 
 

@@ -2710,3 +2710,133 @@ from per_doc group by 1
 
 _queries.QUERIES["host_quality_gate"] = q_host_quality_gate
 _queries.ORACLES["host_quality_gate"] = SQL_HOST_QUALITY_GATE
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (Robertson & Zaragoza 2009; the Lucene idf variant)
+# ---------------------------------------------------------------------------
+
+# The fixed query workload: small enough to broadcast (real retrieval
+# fan-outs are thousands of queries — still broadcast-sized), varied
+# enough that df/tf/dl all matter. ONE definition for both engines.
+BM25_QUERIES = [
+    (0, "table"),
+    (0, "scan"),
+    (1, "join"),
+    (1, "merge"),
+    (2, "window"),
+    (2, "sort"),
+    (2, "stream"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 retrieval over the corpus for a broadcast query set
+    — the ranking function behind every web-scale search/retrieval
+    layer (Robertson & Zaragoza 2009, k1=1.2 b=0.75, Lucene's
+    ln(1 + (N-df+.5)/(df+.5)) idf so scores stay positive), and the
+    natural consumer of `inverted_index`'s postings. Each (query, doc)
+    score sums per-term BM25 contributions with the exact-fold
+    discipline (array_sort(collect_list) → aggregate, the pagerank
+    convention) so every double is a pure function of the corpus values
+    and the DuckDB oracle — folding in the same term order — reproduces
+    the scores bit-for-bit before the final round(6).
+
+    Scale shape: tokens shuffle ONCE into the (doc, term) tf table;
+    df is a second partial agg over the same term key; N and Σdl ride
+    a 1-row broadcast; the O(queries) term list broadcasts onto the tf
+    stream (BroadcastHashJoin — the corpus never shuffles for the
+    query join); the final top-k is a per-query window over only the
+    docs that matched ≥1 query term. No Python anywhere.
+    """
+    return bm25_topk_over(_t(spark, sf_dir, "documents"))
+
+
+def bm25_topk_over(d: DataFrame, k: int = 10) -> DataFrame:
+    spark = d.sparkSession
+    w = d.select("doc_id", F.split("text", " ").alias("__w"))
+    docs = w.select("doc_id", F.size("__w").cast("bigint").alias("dl"))
+    terms = w.select(
+        "doc_id",
+        F.size("__w").cast("bigint").alias("dl"),
+        F.explode("__w").alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term", "dl").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("tot_dl"),
+    )
+    qdf = spark.createDataFrame(BM25_QUERIES, "qid int, term string")
+    nd = F.col("n_docs").cast("double")
+    dfd = F.col("df").cast("double")
+    tfd = F.col("tf").cast("double")
+    idf = F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
+    denom = tfd + F.lit(1.2) * (
+        F.lit(0.25)
+        + F.lit(0.75) * F.col("dl").cast("double") / (F.col("tot_dl").cast("double") / nd)
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(df_tbl, "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "qid",
+            "doc_id",
+            "term",
+            (idf * (tfd * F.lit(2.2) / denom)).alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("qid", "doc_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("term", "s"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["s"],
+        ).alias("score")
+    )
+    win = Window.partitionBy("qid").orderBy(
+        F.desc("score"), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "doc_id", F.round("score", 6).alias("score"))
+    )
+
+
+_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERIES)
+
+SQL_BM25_TOPK = f"""
+with w as (
+  select doc_id, str_split(text, ' ') ws from documents
+), tf as (
+  select doc_id, term, dl, count(*) tf from (
+    select doc_id, cast(len(ws) as bigint) dl, unnest(ws) term from w
+  ) group by 1, 2, 3
+), dftbl as (
+  select term, count(*) df from tf group by 1
+), stats as (
+  select cast(count(*) as bigint) n_docs, cast(sum(cast(len(ws) as bigint)) as bigint) tot_dl
+  from w
+), q(qid, term) as (values {_BM25_VALUES}),
+scored as (
+  select q.qid, tf.doc_id, tf.term,
+         ln((cast(n_docs as double) - cast(df as double) + 0.5)
+            / (cast(df as double) + 0.5) + 1.0)
+         * (cast(tf as double) * 2.2
+            / (cast(tf as double) + 1.2 * (0.25 + 0.75 * cast(dl as double)
+               / (cast(tot_dl as double) / cast(n_docs as double))))) s
+  from tf join q using (term) join dftbl using (term) cross join stats
+), per_doc as (
+  select qid, doc_id, list_reduce(list(s order by term), (a, b) -> a + b) score
+  from scored group by 1, 2
+), ranked as (
+  select qid, doc_id, score,
+         row_number() over (partition by qid order by score desc, doc_id asc) rank
+  from per_doc
+)
+select qid, rank, doc_id, round(score, 6) score from ranked where rank <= 10
+"""
+
+_queries.QUERIES["bm25_topk"] = q_bm25_topk
+_queries.ORACLES["bm25_topk"] = SQL_BM25_TOPK

@@ -533,3 +533,62 @@ def test_gopher_line_rules_plan_no_explode_no_shuffle(spark):
     assert "Join" not in plan, plan
     assert "Generate" not in plan, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_bm25_matches_pure_python_twin(spark):
+    """Spark BM25 equals an independent pure-Python implementation
+    bit-for-bit (before rounding: compare at the rounded-6 output) on
+    a tiny corpus, including dl normalization and the Lucene idf."""
+    import math
+
+    from paddleocr_spark.queries_curation import BM25_QUERIES, bm25_topk_over
+
+    texts = {
+        1: "table scan table join",
+        2: "join merge join join",
+        3: "window sort stream window",
+        4: "scan scan scan scan scan",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id bigint, text string"
+    )
+    got = {(r["qid"], r["doc_id"]): r for r in bm25_topk_over(df).collect()}
+
+    tok = {i: t.split(" ") for i, t in texts.items()}
+    n, avgdl = len(tok), sum(len(w) for w in tok.values()) / float(len(tok))
+    dfreq = {}
+    for ws in tok.values():
+        for t in set(ws):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for qid, term in BM25_QUERIES:
+        for i, ws in tok.items():
+            tf = ws.count(term)
+            if not tf:
+                continue
+            idf = math.log((n - dfreq[term] + 0.5) / (dfreq[term] + 0.5) + 1.0)
+            s = idf * (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl)))
+            want[(qid, i)] = want.get((qid, i), 0.0) + s
+    assert set(got) == set(want)
+    for key, r in got.items():
+        assert r["score"] == round(want[key], 6), (key, r["score"], want[key])
+    # ranking order == python-twin score order (doc 1 matches both
+    # qid-0 terms, so it outranks the scan-only doc 4)
+    for qid in {q for q, _ in BM25_QUERIES}:
+        by_rank = sorted(
+            (k for k in got if k[0] == qid), key=lambda k: got[k]["rank"]
+        )
+        by_want = sorted(
+            (k for k in want if k[0] == qid), key=lambda k: (-want[k], k[1])
+        )
+        assert by_rank == by_want
+
+
+def test_bm25_plan_broadcasts_queries_no_python(spark):
+    """The O(queries) term list broadcasts onto the tf stream; no
+    Python anywhere; the stats total rides a 1-row broadcast (no
+    driver count)."""
+    plan = _plan(Q.QUERIES["bm25_topk"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats cross join
