@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "politeness_cap",
     "gopher_line_rules",
     "bm25_topk",
+    "host_hits",
 ]
 
 

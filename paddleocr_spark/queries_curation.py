@@ -2002,6 +2002,85 @@ from ra{iters} a join rb{iters} b on a.node = b.node"""
 
 SQL_TRUSTRANK_SPAM = _sql_trustrank()
 
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the host graph (Kleinberg 1999) —
+    the link signal orthogonal to PageRank a web pipeline uses to
+    separate directory/link-list hosts (hubs) from canonical sources
+    (authorities) when weighting documents. 4 power-iteration rounds
+    with L1 normalization (functions/graph.hits); every per-node sum
+    and both normalization totals use the exact-fold discipline, so
+    the unrolled-CTE DuckDB oracle reproduces hub AND authority
+    doubles bit-for-bit before the final round(6)."""
+    from paddleocr_spark.functions.graph import hits
+
+    edges = q_host_link_graph(spark, sf_dir)
+    hh = hits(
+        edges,
+        iters=4,
+        src_col="src_host",
+        dst_col="dst_host",
+        weight_col="n_links",
+    )
+    return hh.select(
+        F.col("node").alias("host"),
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
+def _sql_hits(iters: int = 4) -> str:
+    ctes = [
+        f"edges as ({SQL_HOST_LINK_GRAPH.strip()})",
+        "e0 as (select src_host src, dst_host dst, cast(n_links as double) w from edges)",
+        "nodes as (select src node from e0 union select dst from e0)",
+        "h0 as (select node, 1.0 v from nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"ar{i} as (select e.dst node,"
+            " list_reduce(list(e.w * h.v order by e.src), (x,y) -> x + y) v"
+            f" from e0 e join h{p} h on h.node = e.src group by e.dst)"
+        )
+        ctes.append(
+            f"an{i} as (select n.node, coalesce(r.v, 0.0) v"
+            f" from nodes n left join ar{i} r on n.node = r.node)"
+        )
+        ctes.append(
+            f"at{i} as (select list_reduce(list(v order by node), (x,y) -> x + y) t"
+            f" from an{i})"
+        )
+        ctes.append(
+            f"a{i} as (select node, v / t v from an{i} cross join at{i})"
+        )
+        ctes.append(
+            f"hr{i} as (select e.src node,"
+            " list_reduce(list(e.w * a.v order by e.dst), (x,y) -> x + y) v"
+            f" from e0 e join a{i} a on a.node = e.dst group by e.src)"
+        )
+        ctes.append(
+            f"hn{i} as (select n.node, coalesce(r.v, 0.0) v"
+            f" from nodes n left join hr{i} r on n.node = r.node)"
+        )
+        ctes.append(
+            f"ht{i} as (select list_reduce(list(v order by node), (x,y) -> x + y) t"
+            f" from hn{i})"
+        )
+        ctes.append(
+            f"h{i} as (select node, v / t v from hn{i} cross join ht{i})"
+        )
+    return (
+        "with " + ",\n".join(ctes) + f"""
+select h.node host, round(h.v, 6) hub, round(a.v, 6) authority
+from h{iters} h join a{iters} a on h.node = a.node"""
+    )
+
+
+SQL_HOST_HITS = _sql_hits()
+
+_queries.QUERIES["host_hits"] = q_host_hits
+_queries.ORACLES["host_hits"] = SQL_HOST_HITS
+
 _queries.QUERIES["trustrank_spam"] = q_trustrank_spam
 _queries.ORACLES["trustrank_spam"] = SQL_TRUSTRANK_SPAM
 

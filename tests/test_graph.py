@@ -268,3 +268,72 @@ def test_trustrank_spam_mass_separates_untrusted_region(spark):
         assert mass[h] < 0.1  # trust reaches the whole seed component
     for h in ("x", "y", "z"):
         assert mass[h] > 0.9  # no trust path in => spam-mass ~1
+
+
+def _py_hits(edges, iters=4):
+    """Pure-Python twin of graph.hits' exact-fold semantics: per-node
+    sums folded in neighbor order, L1 totals folded in node order,
+    h-update from the freshly normalized a."""
+    from collections import defaultdict
+
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    h = {n: 1.0 for n in nodes}
+
+    def norm(vec):
+        t = 0.0
+        for n in nodes:  # node order, matching the engine fold
+            t += vec[n]
+        return {n: vec[n] / t for n in nodes}
+
+    a = None
+    for _ in range(iters):
+        raw = defaultdict(list)
+        for s, d, w in edges:
+            raw[d].append((s, float(w) * h[s]))
+        a = {}
+        for n in nodes:
+            acc = 0.0
+            for _, c in sorted(raw.get(n, [])):
+                acc += c
+            a[n] = acc
+        a = norm(a)
+        raw = defaultdict(list)
+        for s, d, w in edges:
+            raw[s].append((d, float(w) * a[d]))
+        h = {}
+        for n in nodes:
+            acc = 0.0
+            for _, c in sorted(raw.get(n, [])):
+                acc += c
+            h[n] = acc
+        h = norm(h)
+    return h, a
+
+
+def test_hits_matches_pure_python_fold(spark):
+    """graph.hits equals the pure-Python twin BIT-FOR-BIT — the
+    engine-exactness property the host_hits oracle relies on."""
+    from paddleocr_spark.functions.graph import hits
+
+    raw = [
+        ("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+        ("c", "a", 1), ("d", "c", 5), ("d", "a", 1), ("e", "b", 2),
+    ]
+    edges = spark.createDataFrame(raw, "src string, dst string, w bigint")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(edges).collect()}
+    want_h, want_a = _py_hits(raw)
+    assert got == {n: (want_h[n], want_a[n]) for n in want_h}
+
+
+def test_hits_separates_hubs_from_authorities(spark):
+    """A node that only points (never pointed at) is a pure hub:
+    authority exactly 0; the converse holds for a pure sink."""
+    from paddleocr_spark.functions.graph import hits
+
+    raw = [("hub", "x", 1), ("hub", "y", 1), ("x", "y", 1)]
+    edges = spark.createDataFrame(raw, "src string, dst string, w bigint")
+    got = {r["node"]: r for r in hits(edges).collect()}
+    assert got["hub"]["authority"] == 0.0 and got["hub"]["hub"] > 0
+    assert got["y"]["hub"] == 0.0 and got["y"]["authority"] > 0
+    # y (pointed at by both) out-ranks x as an authority
+    assert got["y"]["authority"] > got["x"]["authority"]
