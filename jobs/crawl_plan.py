@@ -30,7 +30,8 @@ Scale notes (100 TB framing):
 Usage:
     spark-submit --master local[N] \
         --py-files dist/paddleocr_spark.zip jobs/crawl_plan.py \
-        --input <documents.parquet> --output <dir> [--budget 100]
+        --input <documents.parquet> --output <dir> [--budget 100] \
+        [--window-s 60]   # Crawl-delay politeness caps on the quotas
 
 Prints ONE JSON line with admission/bucket/quota/plan counts.
 """
@@ -48,17 +49,25 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def build_crawl_plan(docs, budget: int = 100):
+def build_crawl_plan(docs, budget: int = 100, window_s: int | None = None):
     """Assemble the fetch-plan DataFrame (nothing executed); returns
     (verdicts, plan) — verdicts carries every doc's robots decision so
     callers derive admission stats in ONE aggregation instead of
     re-running the gate. Split from main() so tests can check values
-    and the physical plan without a spark-submit round trip."""
+    and the physical plan without a spark-submit round trip.
+
+    ``window_s`` switches on Crawl-delay politeness (the
+    politeness_cap query's rule, via the shared crawl_delay_col):
+    each host's effective quota becomes least(quota, window_s div
+    delay) — overflow pages are simply the ranks above the cap, i.e.
+    the natural carry-over for the next window. Quotas themselves are
+    never re-apportioned."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from paddleocr_spark.queries_web import (
         crawl_budget_over,
+        crawl_delay_col,
         page_key_col,
         revisit_schedule_over,
         robots_gate_over,
@@ -69,6 +78,19 @@ def build_crawl_plan(docs, budget: int = 100):
         "page_key", "bucket", "n_changed", "n_pairs"
     )
     quotas = crawl_budget_over(docs, budget=budget).select("source", "quota")
+    if window_s is not None:
+        # politeness: pure projection on the O(hosts) quota table —
+        # exact integer division, zero extra exchanges
+        quotas = (
+            quotas.withColumn("crawl_delay_s", crawl_delay_col())
+            .withColumn(
+                "rate_cap",
+                F.expr(f"cast({window_s} div crawl_delay_s as bigint)"),
+            )
+            .select(
+                "source", F.least("quota", "rate_cap").alias("quota")
+            )
+        )
 
     prio = (
         F.when(F.col("bucket") == "hot", 3)
@@ -104,6 +126,10 @@ def main(argv=None) -> int:
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--budget", type=int, default=100)
+    ap.add_argument("--window-s", type=int, default=None,
+                    help="Crawl-delay politeness: cap each host's quota at "
+                         "window_s div its declared delay (carry-over is the "
+                         "ranks above the cap)")
     ap.add_argument("--cpus", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -117,7 +143,7 @@ def main(argv=None) -> int:
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(args.input)
-    verdicts, plan = build_crawl_plan(docs, budget=args.budget)
+    verdicts, plan = build_crawl_plan(docs, budget=args.budget, window_s=args.window_s)
 
     out_plan = os.path.join(args.output, "fetch_plan")
     plan.write.mode("overwrite").parquet(out_plan)
@@ -137,6 +163,7 @@ def main(argv=None) -> int:
         "n_input": adm["n_input"],
         "n_denied_robots": adm["n_denied"],
         "budget": args.budget,
+        "politeness_window_s": args.window_s,
         "n_planned": sum(r["n"] for r in pstats),
         "n_hosts": planned.select("source").distinct().count(),
         "by_bucket": {r["bucket"]: r["n"] for r in pstats},

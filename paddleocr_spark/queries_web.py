@@ -617,18 +617,26 @@ def q_politeness_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return politeness_cap_over(_t(spark, sf_dir, "documents"))
 
 
-def politeness_cap_over(
-    d: DataFrame, budget: int = 100, window_s: int = 60
-) -> DataFrame:
-    q = crawl_budget_over(d, budget=budget)
-    delay = (
+def crawl_delay_col(host: str = "source") -> F.Column:
+    """Per-host RFC 9309 Crawl-delay seconds (1-5, derived): the ONE
+    definition shared by politeness_cap and jobs/crawl_plan.py's
+    --window-s mode, so the query and the scheduler can't drift.
+    try_cast + coalesce keep a digitless host at the 1 s default."""
+    return (
         F.lit(1)
         + F.coalesce(
-            F.regexp_extract("source", r"(\d+)", 1).try_cast("int"),
+            F.regexp_extract(host, r"(\d+)", 1).try_cast("int"),
             F.lit(0),
         )
         % 5
     )
+
+
+def politeness_cap_over(
+    d: DataFrame, budget: int = 100, window_s: int = 60
+) -> DataFrame:
+    q = crawl_budget_over(d, budget=budget)
+    delay = crawl_delay_col()
     out = q.withColumn("crawl_delay_s", delay).withColumn(
         "rate_cap", F.expr(f"cast({window_s} div crawl_delay_s as bigint)")
     )

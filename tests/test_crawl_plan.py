@@ -145,3 +145,30 @@ def test_politeness_cap_defers_overflow_without_reapportioning(spark):
     assert s1["deferred"] == s1["quota"] - 30     # carry-over, not lost
     s2 = out["src2"]
     assert s2["deferred"] == 0
+
+
+def test_crawl_plan_window_caps_per_host_and_keeps_top_ranks(spark):
+    """--window-s politeness: per-host plan size <= window div delay,
+    the surviving pages are exactly the TOP ranks (carry-over is the
+    tail), and the uncapped plan is unchanged for hosts under the cap."""
+    from paddleocr_spark.queries_web import crawl_delay_col
+    from jobs.crawl_plan import build_crawl_plan
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    _, free = build_crawl_plan(docs, budget=100)
+    _, capped = build_crawl_plan(docs, budget=100, window_s=10)
+    delays = {
+        r["source"]: r["d"]
+        for r in docs.select("source").distinct()
+        .withColumn("d", crawl_delay_col()).collect()
+    }
+    free_by = {r["source"]: r for r in free.groupBy("source")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("max_rank")
+    ).collect():
+        cap = 10 // delays[r["source"]]
+        assert r["n"] <= cap
+        assert r["max_rank"] == r["n"]  # top ranks survive, tail deferred
+        assert r["n"] == min(cap, free_by[r["source"]]["n"])
