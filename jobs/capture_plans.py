@@ -573,6 +573,29 @@ def main():
         formatted(Q.QUERIES["gopher_line_rules"](spark, SF)),
     ))
 
+    sections.append((
+        "BM25 retrieval (bm25_topk)",
+        "The O(queries) term list rides a BroadcastHashJoin onto the "
+        "tf stream (the corpus never shuffles for the query join); N "
+        "and Σdl are a 1-row BroadcastNestedLoopJoin; tokens exchange "
+        "once for the (doc, term) tf aggregate and df re-uses the same "
+        "term key; the exact-fold score sum and the per-query top-k "
+        "window touch only matched docs.",
+        formatted(Q.QUERIES["bm25_topk"](spark, SF)),
+    ))
+
+    sections.append((
+        "HITS hubs/authorities (host_hits, one round shown via the final plan)",
+        "Per round: two shuffle joins of the O(nodes) score frame with "
+        "the static edge frame + two exact-fold aggregations; the L1 "
+        "totals are 1-row frames broadcast back. The a/h mutual "
+        "recursion is lineage-truncated per normalized frame (lazy "
+        "localCheckpoint — values unchanged) because each round would "
+        "otherwise DOUBLE the analyzed subtree twice (measured 190 s "
+        "-> 12 s at sf0.001).",
+        formatted(Q.QUERIES["host_hits"](spark, SF)),
+    ))
+
     out = ["# PLANS — captured physical plans (regenerate: `python jobs/capture_plans.py`)\n"]
     for title, note, plan in sections:
         plan = re.sub(r"file:[^\s,\]]*", "file:<elided>", plan)
