@@ -68,6 +68,16 @@ class PipelineConfig:
     prefilter_inv: bool = False
     prefilter_bin: bool = False
 
+    # Opt-in declared-charset decoding (the check_and_read/img_decode
+    # format-dispatch role, ppocr/utils/utility.py:108-140, applied to
+    # the byte->text boundary): when True, a `charset=` declaration of
+    # iso-8859-1 / latin-1 / windows-1252 in the first 1024 bytes
+    # switches the decoder accordingly (cp1252 for windows-1252 — the
+    # 0x80-0x9F range differs from latin-1); utf-8, unknown labels, or
+    # no declaration keep the default utf-8 errors='replace' path, so
+    # UTF-8 corpora are byte-identical with the flag on or off.
+    charset_sniff: bool = False
+
     # PDF page-limit analog (paddleocr.py:710-713 -> SURVEY §2.6
     # filter(page_no < n)): process only the first `page_num` layout
     # sections ("pages") of a document; 0 = no limit.

@@ -171,9 +171,43 @@ def _parse_table(inner: str):
     return tokens, cell_boxes, ocr_boxes, ocr_texts, raw_len
 
 
+_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_-]{1,32})")
+
+# declared label (lowercased) -> python codec; only the Latin-1 family
+# dispatches away from utf-8 (cp1252 differs from latin-1 in 0x80-0x9F,
+# so windows-1252 must NOT alias to iso-8859-1)
+_CHARSET_CODECS = {
+    "iso-8859-1": "latin-1",
+    "latin-1": "latin-1",
+    "latin1": "latin-1",
+    "windows-1252": "cp1252",
+    "cp1252": "cp1252",
+}
+
+
+def decode_page(html: bytes, cfg: PipelineConfig = DEFAULT) -> str:
+    """bytes -> str at the page boundary. Default: utf-8 with
+    errors='replace' (never a crash on crawl garbage). With
+    ``cfg.charset_sniff``, a `charset=` declaration of the Latin-1
+    family inside the first 1024 bytes switches the codec — the
+    check_and_read/img_decode format-dispatch role (ppocr/utils/
+    utility.py:108-140) applied to text encodings. utf-8/unknown/no
+    declaration keep the default path, so UTF-8 corpora are
+    byte-identical with the flag on or off."""
+    if cfg.charset_sniff:
+        m = _CHARSET_RE.search(html[:1024])
+        if m:
+            codec = _CHARSET_CODECS.get(m.group(1).decode("ascii").lower())
+            if codec:
+                # latin-1/cp1252 decode total for all byte values bar
+                # five cp1252 holes — errors='replace' keeps it total
+                return html.decode(codec, errors="replace")
+    return html.decode("utf-8", errors="replace")
+
+
 def tokenize_page(html: bytes, cfg: PipelineConfig = DEFAULT) -> list[Block]:
     """Parse one page into reading-ordered candidate blocks."""
-    doc = prefilter_doc(html.decode("utf-8", errors="replace"), cfg)
+    doc = prefilter_doc(decode_page(html, cfg), cfg)
     out: list[Block] = []
     layout_pages = 0
 
