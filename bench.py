@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "gopher_line_rules",
     "bm25_topk",
     "host_hits",
+    "shard_assign",
 ]
 
 

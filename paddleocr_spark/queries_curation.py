@@ -884,6 +884,99 @@ from cnt group by 1
 # Sequence packing: concat-and-chunk into fixed-size training contexts
 # ---------------------------------------------------------------------------
 
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding — the writer-side primitive that
+    turns a curated corpus into N output files of ≈equal token count
+    (what every training-data release does: size-balanced shards in a
+    stable global order): shard(doc) = floor(global-prefix-tokens /
+    target). The global doc_id-ordered prefix sum is computed WITHOUT
+    a serial pass via a TWO-LEVEL distributed prefix sum: docs bucket
+    by doc_id div 64, buckets super-bucket by div 64 again; the
+    O(S) super-level offsets and O(B) within-super bucket offsets are
+    tiny ordered windows, and each doc adds its within-bucket prefix
+    — three bounded windows instead of one corpus-wide
+    single-partition sort (the funnel a naive global cumsum creates).
+
+    Scale shape: ONE corpus shuffle on the bucket key (the within-
+    bucket window); the bucket-sum aggregate rides the same key; the
+    bucket-offset table is O(corpus/64) rows joined back (strategy
+    left to Catalyst — broadcast at test scale, shuffle join on the
+    shared bucket key at 10^12 docs); super-level work is O(B/64).
+    Every offset is an exact integer, so the DuckDB oracle — one
+    global window, affordable at oracle scale — matches bit-for-bit.
+    Complements seq_packing (per-stream contexts): this is the GLOBAL
+    total-order layout, reproducible under any partitioning.
+    """
+    return shard_assign_over(_t(spark, sf_dir, "documents"))
+
+
+def shard_assign_over(d: DataFrame, target: int = 4096) -> DataFrame:
+    toks = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("tokens"),
+    )
+    rows = toks.withColumn("bucket", F.expr("doc_id div 64")).withColumn(
+        "sb", F.expr("(doc_id div 64) div 64")
+    )
+    b_sums = rows.groupBy("sb", "bucket").agg(F.sum("tokens").alias("bsum"))
+    s_sums = b_sums.groupBy("sb").agg(F.sum("bsum").alias("ssum"))
+    w_s = Window.orderBy("sb").rowsBetween(Window.unboundedPreceding, -1)
+    s_off = s_sums.select(
+        "sb", F.coalesce(F.sum("ssum").over(w_s), F.lit(0)).alias("s_off")
+    )
+    w_b = (
+        Window.partitionBy("sb")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    b_off = b_sums.select(
+        "sb",
+        "bucket",
+        F.coalesce(F.sum("bsum").over(w_b), F.lit(0)).alias("b_off"),
+    )
+    w_d = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = (
+        rows.withColumn(
+            "d_off", F.coalesce(F.sum("tokens").over(w_d), F.lit(0))
+        )
+        .join(b_off, ["sb", "bucket"])
+        .join(s_off, "sb")
+        .select(
+            "doc_id",
+            "tokens",
+            (F.col("s_off") + F.col("b_off") + F.col("d_off")).alias("tok_start"),
+        )
+    )
+    return placed.select(
+        "doc_id",
+        "tokens",
+        "tok_start",
+        F.expr(f"tok_start div {target}").cast("bigint").alias("shard"),
+    )
+
+
+SQL_SHARD_ASSIGN = """
+with toks as (
+  select doc_id, cast(len(str_split(text, ' ')) as bigint) tokens
+  from documents
+), placed as (
+  select doc_id, tokens,
+         coalesce(sum(tokens) over (order by doc_id
+                  rows between unbounded preceding and 1 preceding), 0) tok_start
+  from toks
+)
+select doc_id, tokens, tok_start, cast(tok_start // 4096 as bigint) shard
+from placed
+"""
+
+_queries.QUERIES["shard_assign"] = q_shard_assign
+_queries.ORACLES["shard_assign"] = SQL_SHARD_ASSIGN
+
+
 def q_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing, GPT-pretraining style: documents are
     concatenated in a deterministic order and chunked into fixed

@@ -592,3 +592,50 @@ def test_bm25_plan_broadcasts_queries_no_python(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "EvalPython" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row stats cross join
+
+
+def test_shard_assign_two_level_prefix_equals_serial_and_bounds_bins(spark):
+    """The two-level distributed prefix sum equals the serial global
+    cumsum (partitioning-invariant), and shards respect the bin
+    boundary: each shard's tokens fit target + one straddling doc."""
+    from paddleocr_spark.queries_curation import shard_assign_over
+
+    rows = [(i * 3 + (i % 7), 1 + (i * 13) % 40) for i in range(500)]
+    df = spark.createDataFrame(
+        [(d, "w " * (t - 1) + "w") for d, t in rows],
+        "doc_id bigint, text string",
+    )
+    target = 256
+    for parts in (1, 7):
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in shard_assign_over(df.repartition(parts), target).collect()
+        }
+        cum = 0
+        for d, t in sorted(rows):
+            assert got[d]["tok_start"] == cum, (d, got[d], cum)
+            assert got[d]["shard"] == cum // target
+            cum += t
+    # bin property: a shard never holds more than target + max_doc
+    per_shard = {}
+    for d, t in rows:
+        per_shard[got[d]["shard"]] = per_shard.get(got[d]["shard"], 0) + t
+    assert max(per_shard.values()) <= target + max(t for _, t in rows)
+
+
+def test_shard_assign_plan_no_global_window_no_python(spark):
+    """No corpus-wide single-partition window: every window is keyed
+    (bucket / super-bucket); the doc stream shuffles on the bucket
+    key, never unpartitioned."""
+    from paddleocr_spark.queries_curation import shard_assign_over
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(shard_assign_over(docs))
+    assert "EvalPython" not in plan
+    # the doc-level window is partitioned by bucket — the corpus never
+    # funnels through SinglePartition for its window
+    import re as _re
+    for m in _re.finditer(r"Window .*", plan):
+        line = m.group(0)
+        if "doc_id" in line and "bucket" not in line:
+            raise AssertionError(f"unkeyed corpus window: {line}")
