@@ -401,11 +401,18 @@ def hits(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
     )
+    if truncate_lineage:
+        # the static edge frame is referenced twice per round (a-sum
+        # and h-sum joins); pin it so the upstream extraction subtree
+        # (scan + regex + agg) computes once, not 2*iters times
+        e = e.localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
+    if truncate_lineage:
+        nodes = nodes.localCheckpoint(eager=False)
 
     def fold_sum(grouped, key_col):
         if exact_fold:
@@ -435,8 +442,11 @@ def hits(
         # a and h reference each other twice per round (the raw sum AND
         # its own normalization total), so without truncation the plan
         # subtree DOUBLES twice per round — exponential analysis cost
-        # (measured: ~190 s for 4 rounds at sf0.001 vs ~6 s truncated).
-        # Lazy localCheckpoint changes no values, only cuts lineage.
+        # (measured: ~190 s for 4 rounds at sf0.001 vs ~12 s with both
+        # frames truncated; truncating only the end-of-round h was
+        # TRIED and is ~2x slower — the static edge subtree, scan +
+        # regex + agg, then re-analyzes ~6x per round). Lazy
+        # localCheckpoint changes no values, only cuts lineage.
         return out.localCheckpoint(eager=False) if truncate_lineage else out
 
     h = nodes.select("node", F.lit(1.0).alias("v"))
