@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "bm25_topk",
     "host_hits",
     "shard_assign",
+    "dedup_agreement",
+    "zipf_fit",
 ]
 
 

@@ -3012,3 +3012,210 @@ select qid, rank, doc_id, round(score, 6) score from ranked where rank <= 10
 
 _queries.QUERIES["bm25_topk"] = q_bm25_topk
 _queries.ORACLES["bm25_topk"] = SQL_BM25_TOPK
+
+
+# ---------------------------------------------------------------------------
+# Dedup-method agreement audit (banding QA)
+# ---------------------------------------------------------------------------
+
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-set agreement between the two banding families —
+    MinHash-LSH vs 64-bit banded SimHash — with the exact n-gram
+    Jaccard VERIFIER run on the union of candidates: the QA table an
+    operator reads before tuning (bands, rows, hamming radius) on a
+    new corpus. Each pair is labeled by who found it (minhash_only /
+    simhash_only / both) with its verified similarity rolled up
+    (pairs clearing Jaccard >= 0.5 and the per-label max) — recall
+    differences show up as the *_only rows, precision as the verified
+    counts.
+
+    Scale shape: both candidate generators keep their own documented
+    plans (band-bucket equi-joins, never a cartesian); the agreement
+    is a full-outer equi-join on the O(candidates) pair ids; the
+    verifier joins shingle sets ONLY for docs appearing in some pair
+    (semi-join restriction first), so exact-Jaccard cost is bounded by
+    the candidate volume — the verify-on-candidates discipline of
+    jobs/dedup.py. Final rollup is O(3)."""
+    from paddleocr_spark.functions import dedup, textstats
+    from paddleocr_spark.queries import q_lsh_pairs
+    from paddleocr_spark.queries_ext import q_simhash_near_dup
+
+    a = q_lsh_pairs(spark, sf_dir).select("id_a", "id_b", F.lit(1).alias("mh"))
+    b = q_simhash_near_dup(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("sh")
+    )
+    pairs = a.join(b, ["id_a", "id_b"], "full")
+    d = _t(spark, sf_dir, "documents")
+    ids = pairs.select(F.col("id_a").alias("doc_id")).union(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    sh_tbl = (
+        textstats.with_shingles(
+            d.join(ids.distinct(), "doc_id", "left_semi").select("doc_id", "text"),
+            "text",
+            3,
+        )
+        .select("doc_id", F.array_distinct("__sh").alias("shg"))
+    )
+    verified = (
+        pairs.join(
+            sh_tbl.select(
+                F.col("doc_id").alias("id_a"), F.col("shg").alias("sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sh_tbl.select(
+                F.col("doc_id").alias("id_b"), F.col("shg").alias("sh_b")
+            ),
+            "id_b",
+        )
+        .select(
+            "mh",
+            "sh",
+            F.round(
+                dedup.jaccard_from_shingles(F.col("sh_a"), F.col("sh_b")), 6
+            ).alias("jaccard"),
+        )
+    )
+    found_by = (
+        F.when(F.col("mh").isNotNull() & F.col("sh").isNotNull(), "both")
+        .when(F.col("mh").isNotNull(), "minhash_only")
+        .otherwise("simhash_only")
+    )
+    return verified.groupBy(found_by.alias("found_by")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("jaccard") >= 0.5).cast("int"))
+        .cast("bigint")
+        .alias("n_verified"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+
+
+def _sql_dedup_agreement() -> str:
+    from paddleocr_spark.functions.textstats import sql_shingles
+    from paddleocr_spark.queries import SQL_LSH_PAIRS
+    from paddleocr_spark.queries_ext import SQL_SIMHASH_NEAR_DUP
+
+    sh3 = sql_shingles("text", 3)
+    return f"""
+with mh_pairs as ({SQL_LSH_PAIRS.strip()}),
+sh_pairs as ({SQL_SIMHASH_NEAR_DUP.strip()}),
+joined as (
+  select coalesce(m.id_a, s.id_a) id_a, coalesce(m.id_b, s.id_b) id_b,
+         m.id_a is not null mh, s.id_a is not null sh
+  from mh_pairs m full outer join sh_pairs s
+    on m.id_a = s.id_a and m.id_b = s.id_b
+), shg as (
+  select doc_id, list_distinct({sh3}) g from documents
+  where doc_id in (select id_a from joined union select id_b from joined)
+), verified as (
+  select j.mh, j.sh,
+         round(len(list_intersect(a.g, b.g))::double /
+               len(list_distinct(list_concat(a.g, b.g)))::double, 6) jaccard
+  from joined j
+  join shg a on j.id_a = a.doc_id
+  join shg b on j.id_b = b.doc_id
+)
+select case when mh and sh then 'both'
+            when mh then 'minhash_only'
+            else 'simhash_only' end found_by,
+       count(*) n_pairs,
+       cast(sum(case when jaccard >= 0.5 then 1 else 0 end) as bigint) n_verified,
+       max(jaccard) max_jaccard
+from verified group by 1
+"""
+
+
+SQL_DEDUP_AGREEMENT = _sql_dedup_agreement()
+
+_queries.QUERIES["dedup_agreement"] = q_dedup_agreement
+_queries.ORACLES["dedup_agreement"] = SQL_DEDUP_AGREEMENT
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the term-frequency head — the corpus
+    language-health audit (natural text fits ln f = a + s·ln r with
+    s ≈ −1; boilerplate-heavy or synthetic corpora drift off, which is
+    exactly what a curation pipeline wants flagged): closed-form OLS
+    of ln(freq) on ln(rank) over the top-100 terms. All four
+    regression sums (Σx, Σy, Σxy, Σx²) are EXACT FOLDS over the
+    rank-ordered head (the pagerank discipline), so slope and
+    intercept are pure functions of the corpus values and the DuckDB
+    oracle reproduces them bit-for-bit before round(6).
+
+    Scale shape: one token shuffle into the vocab count table; the
+    top-100 head comes from a vocab-sized window (O(vocab) rows, not
+    documents — the tfidf/bpe cost class); the regression folds a
+    100-element array on one row. No Python."""
+    return zipf_fit_over(_t(spark, sf_dir, "documents"))
+
+
+def zipf_fit_over(d: DataFrame, k: int = 100) -> DataFrame:
+    terms = d.select(F.explode(F.split("text", " ")).alias("term"))
+    freq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.col("term").asc())
+    head = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("freq").cast("double")).alias("y"),
+        )
+    )
+    arr = head.agg(
+        F.array_sort(F.collect_list(F.struct("rank", "x", "y"))).alias("a")
+    )
+
+    def fold(expr: str) -> F.Column:
+        return F.expr(f"aggregate(a, cast(0.0 as double), (acc, e) -> acc + {expr})")
+
+    sums = arr.select(
+        F.size("a").cast("bigint").alias("n_terms"),
+        F.size("a").cast("double").alias("nd"),
+        fold("e.x").alias("sx"),
+        fold("e.y").alias("sy"),
+        fold("e.x * e.y").alias("sxy"),
+        fold("e.x * e.x").alias("sxx"),
+    )
+    slope = (F.col("nd") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("nd") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        "n_terms",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("nd"), 6
+        ).alias("zipf_intercept"),
+    )
+
+
+SQL_ZIPF_FIT = """
+with freq as (
+  select term, count(*) freq from (
+    select unnest(str_split(text, ' ')) term from documents
+  ) group by 1
+), head as (
+  select rank, ln(cast(rank as double)) x, ln(cast(freq as double)) y
+  from (
+    select freq, row_number() over (order by freq desc, term asc) rank
+    from freq
+  ) where rank <= 100
+), sums as (
+  select cast(count(*) as bigint) n_terms,
+         cast(count(*) as double) nd,
+         list_reduce(list(x order by rank), (a, b) -> a + b) sx,
+         list_reduce(list(y order by rank), (a, b) -> a + b) sy,
+         list_reduce(list(x * y order by rank), (a, b) -> a + b) sxy,
+         list_reduce(list(x * x order by rank), (a, b) -> a + b) sxx
+  from head
+)
+select n_terms,
+       round((nd * sxy - sx * sy) / (nd * sxx - sx * sx), 6) zipf_slope,
+       round((sy - ((nd * sxy - sx * sy) / (nd * sxx - sx * sx)) * sx) / nd, 6) zipf_intercept
+from sums
+"""
+
+_queries.QUERIES["zipf_fit"] = q_zipf_fit
+_queries.ORACLES["zipf_fit"] = SQL_ZIPF_FIT

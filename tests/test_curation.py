@@ -639,3 +639,38 @@ def test_shard_assign_plan_no_global_window_no_python(spark):
         line = m.group(0)
         if "doc_id" in line and "bucket" not in line:
             raise AssertionError(f"unkeyed corpus window: {line}")
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """A corpus whose term frequencies follow f(r) = C / r exactly has
+    OLS slope -1 on the log-log head; the query recovers it (within
+    integer-rounding jitter of the planted counts)."""
+    from paddleocr_spark.queries_curation import zipf_fit_over
+
+    rows, did = [], 0
+    for r in range(1, 41):
+        term, n = f"t{r:02d}", max(1, 400 // r)
+        for _ in range(n):
+            rows.append((did, term)); did += 1
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = zipf_fit_over(df, k=40).collect()[0]
+    assert out["n_terms"] == 40
+    assert -1.05 < out["zipf_slope"] < -0.93, out["zipf_slope"]
+
+
+def test_dedup_agreement_verifies_candidates_by_family(spark):
+    """The verifier separates the families on this corpus: pairs both
+    families agree on are all true near-dups, MinHash-only candidates
+    are mostly verified, and the SimHash radius's extra candidates are
+    noise (max exact Jaccard far below the bar) — exactly the tuning
+    signal the audit exists to surface."""
+    import paddleocr_spark.queries as Q
+
+    out = {r["found_by"]: r.asDict()
+           for r in Q.QUERIES["dedup_agreement"](spark, SF_DIR).collect()}
+    assert out["both"]["n_verified"] == out["both"]["n_pairs"] > 0
+    assert out["minhash_only"]["n_verified"] > 0
+    assert out["simhash_only"]["max_jaccard"] < 0.5
+    # the audit's reason to exist: the families genuinely disagree on
+    # part of the candidate space
+    assert set(out) == {"both", "minhash_only", "simhash_only"}

@@ -468,3 +468,52 @@ def test_bpe_string_merge_equals_token_walk(toks, lft, rgt):
     occurrences the reference token walk merges."""
     sym = " ".join(toks)
     assert _bpe_merge_string(sym, lft, rgt) == _bpe_merge_token_walk(sym, lft, rgt)
+
+
+# --------------------------------------------------------------- mojibake
+
+# any latin-1-encodable text (the domain where the re-decode round
+# trip is defined): printable latin-1 minus the C0/C1 controls
+_latin1_st = st.text(
+    alphabet=st.characters(
+        min_codepoint=0x20, max_codepoint=0xFF, exclude_characters="\x7f"
+    ).filter(lambda c: not 0x80 <= ord(c) <= 0x9F),
+    max_size=60,
+)
+
+
+@given(_latin1_st)
+def test_mojibake_roundtrip_recovers_any_latin1_text(s):
+    """For ANY latin-1 text s: reading s's UTF-8 bytes as latin-1
+    (the corruption) then applying the repair round trip
+    decode(encode(.,'ISO-8859-1'),'UTF-8') recovers s exactly —
+    the algebraic identity mojibake_fix relies on, checked in pure
+    Python over the same byte semantics the JVM codec uses."""
+    corrupted = s.encode("utf-8").decode("latin-1")
+    repaired = corrupted.encode("latin-1").decode("utf-8")
+    assert repaired == s
+
+
+@given(_latin1_st)
+def test_charset_decode_latin1_total(s):
+    """decode_page on a declared latin-1 page recovers the text for
+    any latin-1 payload (total function, no crash)."""
+    from paddleocr_spark.config import PipelineConfig
+    from paddleocr_spark.core.tokenizer import decode_page
+
+    html = b'<meta charset="iso-8859-1">' + s.encode("latin-1")
+    out = decode_page(html, PipelineConfig(charset_sniff=True))
+    assert out == '<meta charset="iso-8859-1">' + s
+
+
+@given(st.binary(max_size=80))
+def test_charset_decode_never_crashes_on_garbage(b):
+    """decode_page is total on arbitrary bytes, sniff on or off."""
+    from paddleocr_spark.config import DEFAULT, PipelineConfig
+    from paddleocr_spark.core.tokenizer import decode_page
+
+    assert isinstance(decode_page(b, DEFAULT), str)
+    assert isinstance(
+        decode_page(b'<meta charset="iso-8859-1">' + b, PipelineConfig(charset_sniff=True)),
+        str,
+    )
