@@ -570,3 +570,84 @@ def test_lm_gate_stream_matches_batch_multibatch(spark, tmp_path):
         for r in Q.QUERIES["bigram_logprob"](spark, SF_DIR).collect()
     }
     assert got == want and len(want) > 0
+
+
+def _frontier_page(url, body):
+    import datetime as dt
+
+    html = f"<html><body>{body}</body></html>".encode()
+    return (url, dt.datetime(2024, 1, 1), html, "", "en")
+
+
+_FRONTIER_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def test_frontier_stream_matches_batch_and_consumes_discoveries(spark, tmp_path):
+    """Incremental frontier: after draining file-per-batch, the store
+    equals the batch truth (all link targets minus all crawled keys);
+    a url discovered in batch 1 then crawled in batch 2 has left the
+    frontier; first_seen_batch records the discovering batch."""
+    from paddleocr_spark.streaming.frontier import (
+        batch_frontier,
+        read_frontier,
+        run_frontier_stream,
+    )
+
+    rows1 = [
+        _frontier_page(
+            "https://a.example/p1",
+            '<a href="https://b.example/next">n</a><a href="/rel">r</a>',
+        ),
+    ]
+    # b.example/next gets CRAWLED in batch 2 (consuming the discovery),
+    # and batch 2 discovers a brand-new target
+    rows2 = [
+        _frontier_page(
+            "https://b.example/next", '<a href="https://c.example/deep">d</a>'
+        ),
+    ]
+    in_dir = str(tmp_path / "pages")
+    spark.createDataFrame(rows1, _FRONTIER_SCHEMA).coalesce(1).write.parquet(in_dir)
+    spark.createDataFrame(rows2, _FRONTIER_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    store = str(tmp_path / "store")
+    run_frontier_stream(
+        spark, in_dir, store,
+        checkpoint_dir=str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    got = {
+        (r["host"], r["path"]): r["first_seen_batch"]
+        for r in read_frontier(spark, store).collect()
+    }
+    want = {
+        (r["host"], r["path"])
+        for r in batch_frontier(spark.read.parquet(in_dir)).collect()
+    }
+    assert set(got) == want
+    assert ("b.example", "/next") not in got          # discovered, then crawled
+    assert ("c.example", "/deep") in got              # batch-2 discovery
+    assert ("a.example", "/rel") in got               # relative link -> page host
+    # /rel was referenced in the first micro-batch; /deep in a later one
+    assert got[("a.example", "/rel")] < got[("c.example", "/deep")]
+
+
+def test_frontier_stream_redrain_is_noop(spark, tmp_path):
+    """Re-running the drained stream with the same checkpoint appends
+    nothing: store row counts are unchanged (exactly-once on replay)."""
+    from paddleocr_spark.streaming.frontier import read_frontier, run_frontier_stream
+
+    in_dir = str(tmp_path / "pages")
+    spark.createDataFrame(
+        [_frontier_page("https://a.example/p1", '<a href="https://b.example/x">x</a>')],
+        _FRONTIER_SCHEMA,
+    ).coalesce(1).write.parquet(in_dir)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    run_frontier_stream(spark, in_dir, store, checkpoint_dir=ckpt)
+    before = read_frontier(spark, store).count()
+    known_before = spark.read.parquet(f"{store}/known").count()
+    run_frontier_stream(spark, in_dir, store, checkpoint_dir=ckpt)
+    assert read_frontier(spark, store).count() == before
+    assert spark.read.parquet(f"{store}/known").count() == known_before
