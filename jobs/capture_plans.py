@@ -596,6 +596,36 @@ def main():
         formatted(Q.QUERIES["host_hits"](spark, SF)),
     ))
 
+    sections.append((
+        "Token-balanced shard assignment (shard_assign)",
+        "The global doc_id-ordered prefix sum with NO corpus-wide "
+        "single-partition window: the doc-level cumsum window is keyed "
+        "by the bucket column, the O(B) bucket offsets ride a window "
+        "keyed by the super-bucket, and only the O(S) super-level "
+        "offsets use an unkeyed window over a tiny frame. One corpus "
+        "shuffle on the bucket key.",
+        formatted(Q.QUERIES["shard_assign"](spark, SF)),
+    ))
+
+    sections.append((
+        "Dedup-method agreement audit (dedup_agreement)",
+        "Both candidate generators keep their own band-bucket plans; "
+        "the agreement is a full-outer equi-join on the O(candidates) "
+        "pair ids, and the exact-Jaccard verifier touches shingles "
+        "only for docs semi-join-restricted to some pair — the "
+        "verify-on-candidates discipline. Final rollup is O(3).",
+        formatted(Q.QUERIES["dedup_agreement"](spark, SF)),
+    ))
+
+    sections.append((
+        "Zipf-law fit (zipf_fit)",
+        "One token shuffle into the vocab count table, a vocab-sized "
+        "top-100 window, then the four regression sums fold a "
+        "100-element array on a single row — exact-fold doubles, no "
+        "Python.",
+        formatted(Q.QUERIES["zipf_fit"](spark, SF)),
+    ))
+
     out = ["# PLANS — captured physical plans (regenerate: `python jobs/capture_plans.py`)\n"]
     for title, note, plan in sections:
         plan = re.sub(r"file:[^\s,\]]*", "file:<elided>", plan)
