@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "shard_assign",
     "dedup_agreement",
     "zipf_fit",
+    "embed_outliers",
 ]
 
 

@@ -3219,3 +3219,119 @@ from sums
 
 _queries.QUERIES["zipf_fit"] = q_zipf_fit
 _queries.ORACLES["zipf_fit"] = SQL_ZIPF_FIT
+
+
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier audit per label — the QA pass a
+    curation pipeline runs over an embedded corpus before trusting
+    labels or semantic dedup (mislabeled / off-distribution vectors
+    sit far from their class centroid): per label, the exact centroid,
+    each vector's L2 distance to it, and the count beyond 1.5x the
+    label's mean distance.
+
+    Engine exactness: the cross-row sums (per-dimension centroid
+    numerators, per-label distance means) are EXACT FOLDS in vec_id
+    order; the within-vector sums fold in dimension order (the
+    sql_cosine convention) — so every double, the 1.5x threshold
+    comparison included, is a pure function of the stored floats and
+    the DuckDB oracle matches bit-for-bit before round(6).
+
+    Scale shape: one posexplode shuffle into (label, dim) groups
+    (O(labels x dim) rows out), the O(labels) centroid-array table
+    joins back onto the vectors (broadcast at any real label count),
+    and the stats/outlier rollups are O(labels). No Python."""
+    return embed_outliers_over(_t(spark, sf_dir, "embeddings"))
+
+
+def embed_outliers_over(e: DataFrame) -> DataFrame:
+    ex = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+    cent = ex.groupBy("label", "dim").agg(
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "val"))),
+                F.lit(0.0),
+                lambda a, x: a + x["val"],
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("c")
+    )
+    centarr = cent.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, c))), s -> s.c)"
+        ).alias("ca")
+    )
+    emb_d = F.expr("transform(embedding, x -> cast(x as double))")
+    d2 = F.zip_with(
+        emb_d, F.col("ca"), lambda x, y: (x - y) * (x - y)
+    )
+    dist = e.join(F.broadcast(centarr), "label").select(
+        "vec_id",
+        "label",
+        F.sqrt(
+            F.aggregate(d2, F.lit(0.0), lambda a, x: a + x)
+        ).alias("d"),
+    )
+    stats = dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("vec_id", "d"))),
+                F.lit(0.0),
+                lambda a, x: a + x["d"],
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_d"),
+        F.max("d").alias("max_d"),
+    )
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .groupBy("label", "n", "mean_d", "max_d")
+        .agg(
+            F.sum((F.col("d") > F.lit(1.5) * F.col("mean_d")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "label",
+            "n",
+            F.round("mean_d", 6).alias("mean_dist"),
+            F.round("max_d", 6).alias("max_dist"),
+            "n_outliers",
+        )
+    )
+
+
+SQL_EMBED_OUTLIERS = """
+with ex as (
+  select vec_id, label, i dim, embedding[i + 1]::double val
+  from embeddings, range(64) t(i)
+), cent as (
+  select label, dim,
+         list_reduce(list(val order by vec_id), (a, b) -> a + b)
+           / cast(count(*) as double) c
+  from ex group by label, dim
+), centarr as (
+  select label, list(c order by dim) ca from cent group by label
+), dist as (
+  select e.vec_id, e.label,
+         sqrt(list_sum(list_transform(range(64),
+           i -> (e.embedding[i + 1]::double - ca[i + 1])
+              * (e.embedding[i + 1]::double - ca[i + 1])))) d
+  from embeddings e join centarr using (label)
+), stats as (
+  select label, count(*) n,
+         list_reduce(list(d order by vec_id), (a, b) -> a + b)
+           / cast(count(*) as double) mean_d,
+         max(d) max_d
+  from dist group by label
+)
+select s.label, s.n, round(s.mean_d, 6) mean_dist, round(s.max_d, 6) max_dist,
+       cast(sum(case when d.d > 1.5 * s.mean_d then 1 else 0 end) as bigint) n_outliers
+from dist d join stats s using (label)
+group by s.label, s.n, s.mean_d, s.max_d
+"""
+
+_queries.QUERIES["embed_outliers"] = q_embed_outliers
+_queries.ORACLES["embed_outliers"] = SQL_EMBED_OUTLIERS

@@ -674,3 +674,24 @@ def test_dedup_agreement_verifies_candidates_by_family(spark):
     # the audit's reason to exist: the families genuinely disagree on
     # part of the candidate space
     assert set(out) == {"both", "minhash_only", "simhash_only"}
+
+
+def test_embed_outliers_flags_planted_outlier(spark):
+    """A vector far from its label's tight cluster exceeds the 1.5x
+    mean-distance bar and is counted; a clean label reports zero."""
+    import numpy as np
+
+    from paddleocr_spark.queries_curation import embed_outliers_over
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(20):  # tight cluster around 1.0
+        rows.append((i, 0, (1.0 + 0.01 * rng.randn(64)).tolist()))
+    rows.append((99, 0, (np.full(64, 5.0)).tolist()))  # planted outlier
+    for i in range(20):  # clean label
+        rows.append((200 + i, 1, (2.0 + 0.01 * rng.randn(64)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id bigint, label int, embedding array<float>")
+    got = {r["label"]: r.asDict() for r in embed_outliers_over(df).collect()}
+    assert got[0]["n"] == 21 and got[0]["n_outliers"] == 1
+    assert got[1]["n_outliers"] == 0
+    assert got[0]["max_dist"] > 10 * got[1]["max_dist"]
