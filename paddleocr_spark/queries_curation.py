@@ -3044,7 +3044,13 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = q_simhash_near_dup(spark, sf_dir).select(
         "id_a", "id_b", F.lit(1).alias("sh")
     )
-    pairs = a.join(b, ["id_a", "id_b"], "full")
+    # the pair frame feeds three consumers (two id projections and
+    # the verify join): pin it so LSH + SimHash candidate generation
+    # runs ONCE (lazy localCheckpoint, values unchanged). Runtime is
+    # then dominated by the exact verify itself — O(candidates); at
+    # sf0.1 the SimHash radius admits ~236k pairs vs LSH's ~900, which
+    # is precisely the tuning signal this audit exists to surface.
+    pairs = a.join(b, ["id_a", "id_b"], "full").localCheckpoint(eager=False)
     d = _t(spark, sf_dir, "documents")
     ids = pairs.select(F.col("id_a").alias("doc_id")).union(
         pairs.select(F.col("id_b").alias("doc_id"))
@@ -3056,6 +3062,8 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             3,
         )
         .select("doc_id", F.array_distinct("__sh").alias("shg"))
+        # referenced twice (id_a and id_b sides): pin to shingle once
+        .localCheckpoint(eager=False)
     )
     verified = (
         pairs.join(
