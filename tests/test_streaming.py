@@ -651,3 +651,42 @@ def test_frontier_stream_redrain_is_noop(spark, tmp_path):
     run_frontier_stream(spark, in_dir, store, checkpoint_dir=ckpt)
     assert read_frontier(spark, store).count() == before
     assert spark.read.parquet(f"{store}/known").count() == known_before
+
+
+def test_frontier_job_surface_and_noop_rerun(spark, tmp_path):
+    """jobs/frontier.py end-to-end: first run builds the stores and
+    reports sizes; a rerun with nothing new landed is a no-op; landing
+    one more file folds in incrementally."""
+    import json as _json
+
+    from jobs.frontier import main as frontier_main
+
+    in_dir = str(tmp_path / "landing")
+    spark.createDataFrame(
+        [_frontier_page("https://a.example/p1", '<a href="https://b.example/x">x</a>')],
+        _FRONTIER_SCHEMA,
+    ).coalesce(1).write.parquet(in_dir)
+    store = str(tmp_path / "store")
+
+    import contextlib
+    import io
+
+    def run():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert frontier_main(["--pages", in_dir, "--store", store]) == 0
+        return _json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    s1 = run()
+    assert s1["n_known"] == 1 and s1["n_frontier"] == 1
+    assert s1["top_hosts"] == {"b.example": 1}
+    s2 = run()  # nothing new landed
+    assert (s2["n_known"], s2["n_frontier"]) == (1, 1)
+    # land the discovered page: it leaves the frontier, adds a new link
+    spark.createDataFrame(
+        [_frontier_page("https://b.example/x", '<a href="https://c.example/y">y</a>')],
+        _FRONTIER_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    s3 = run()
+    assert s3["n_known"] == 2
+    assert s3["top_hosts"] == {"c.example": 1}
