@@ -8,8 +8,10 @@ frontier summary the fetch planner (jobs/crawl_plan.py) consumes.
         --pages <dir of page parquet files> --store <state dir>
 
 Steady-state contract (tests/test_streaming.py pins the core):
-- per run, cost is O(newly landed pages + their links) — the stores
-  are consulted by anti-joins with the batch side as the probe;
+- per run, cost is O(newly landed pages + their links) while the
+  stores fit the broadcast threshold; past that the anti-joins
+  co-partition on the shared key (see streaming/frontier.py's scale
+  notes for the bucketed-store production layout);
 - re-running with nothing new landed is a no-op (checkpoint replay
   appends nothing);
 - the frontier converges to the batch truth (all link targets minus
@@ -62,7 +64,12 @@ def main(argv=None) -> int:
         max_files_per_trigger=args.max_files_per_trigger,
     )
     frontier = read_frontier(spark, args.store)
-    known_n = spark.read.parquet(os.path.join(args.store, "known")).count()
+    known_dir = os.path.join(args.store, "known")
+    known_n = (
+        spark.read.parquet(known_dir).count()
+        if os.path.isdir(known_dir)
+        else 0  # nothing landed yet: report zeros, not a traceback
+    )
     by_host = (
         frontier.groupBy("host")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -171,7 +171,14 @@ def _parse_table(inner: str):
     return tokens, cell_boxes, ocr_boxes, ocr_texts, raw_len
 
 
-_CHARSET_RE = re.compile(rb"charset\s*=\s*[\"']?([A-Za-z0-9_-]{1,32})")
+# anchored to a <meta ...> tag and guarded against 'accept-charset'
+# (form markup) — a bare 'charset=' match would mis-fire on legacy
+# form attributes or query strings inside the first 1KB and decode a
+# genuine UTF-8 page as Latin-1 (silent corruption)
+_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,200}?(?<!-)charset\s*=\s*[\"']?([A-Za-z0-9_-]{1,32})",
+    re.IGNORECASE,
+)
 
 # declared label (lowercased) -> python codec; only the Latin-1 family
 # dispatches away from utf-8 (cp1252 differs from latin-1 in 0x80-0x9F,

@@ -414,7 +414,7 @@ def hits(
     if truncate_lineage:
         nodes = nodes.localCheckpoint(eager=False)
 
-    def fold_sum(grouped, key_col):
+    def fold_sum(key_col):
         if exact_fold:
             return F.aggregate(
                 F.array_sort(F.collect_list(F.struct(key_col, "c"))),
@@ -449,6 +449,8 @@ def hits(
         # localCheckpoint changes no values, only cuts lineage.
         return out.localCheckpoint(eager=False) if truncate_lineage else out
 
+    if iters < 1:
+        raise ValueError("hits() needs iters >= 1 (no authority scores exist before the first half-round)")
     h = nodes.select("node", F.lit(1.0).alias("v"))
     a = None
     for _ in range(iters):
@@ -456,7 +458,7 @@ def hits(
             e.join(h.select(F.col("node").alias("src"), F.col("v").alias("hv")), "src")
             .select(F.col("dst").alias("node"), F.col("src").alias("k"), (F.col("w") * F.col("hv")).alias("c"))
             .groupBy("node")
-            .agg(fold_sum(None, F.col("k")))
+            .agg(fold_sum(F.col("k")))
         )
         a = normalize(
             nodes.join(a_raw, "node", "left").select(
@@ -467,7 +469,7 @@ def hits(
             e.join(a.select(F.col("node").alias("dst"), F.col("v").alias("av")), "dst")
             .select(F.col("src").alias("node"), F.col("dst").alias("k"), (F.col("w") * F.col("av")).alias("c"))
             .groupBy("node")
-            .agg(fold_sum(None, F.col("k")))
+            .agg(fold_sum(F.col("k")))
         )
         h = normalize(
             nodes.join(h_raw, "node", "left").select(

@@ -261,8 +261,21 @@ def run_extract_job(
         from paddleocr_spark.sources import warc as Warc
 
         t0 = time.monotonic()
-        done = spark.read.parquet(data_path).select("url", "extracted_text")
-        wet_rows = done.join(src.select("url", "warc_ts"), "url")
+        # WET is a per-URL artifact: a revisit archive (k captures per
+        # url) yields k extracted rows and k timestamps, and a plain
+        # equi-join would emit k² records per url. Consolidation
+        # belongs upstream (warehouse upsert / the latest_snapshot
+        # rule), but the export is defensive: exactly one record per
+        # url, stamped with the LATEST capture's timestamp, text
+        # picked deterministically (max — identical across captures
+        # whenever the input was consolidated).
+        done = (
+            spark.read.parquet(data_path)
+            .groupBy("url")
+            .agg(F.max("extracted_text").alias("extracted_text"))
+        )
+        ts_by_url = src.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
+        wet_rows = done.join(ts_by_url, "url")
         wet_files = len(
             Warc.write_wet(
                 wet_rows,

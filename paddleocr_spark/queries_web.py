@@ -722,10 +722,10 @@ SQL_FRONTIER_EXPAND = """
 with w as (
   select doc_id, source, str_split(text, ' ') ws from documents
 ), links as (
-  select doc_id, 'src' || cast((doc_id + 1) % 20 as varchar) host,
+  select doc_id, 'src' || cast((doc_id + 1) % {_N_HOSTS} as varchar) host,
          '/' || ws[2] path from w
   union all
-  select doc_id, 'src' || cast((doc_id + 2) % 20 as varchar), '/' || ws[3] from w
+  select doc_id, 'src' || cast((doc_id + 2) % {_N_HOSTS} as varchar), '/' || ws[3] from w
   union all
   select doc_id, 'src' || cast((doc_id + 3) % 20 as varchar), '/' || ws[4] from w
 ), known as (
@@ -827,17 +827,19 @@ def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SITEMAP_EXTRACT = """
+from paddleocr_spark.queries_curation import N_HOSTS as _N_HOSTS
+
+SQL_SITEMAP_EXTRACT = f"""
 with sm as (
   select
     '<?xml version="1.0"?><urlset>' ||
-    '<url><loc>https://h' || cast((doc_id + 0) % 20 as varchar) || '.example/d/' ||
+    '<url><loc>https://h' || cast((doc_id + 0) % {_N_HOSTS} as varchar) || '.example/d/' ||
       cast(doc_id * 7 + 0 as varchar) || '</loc><lastmod>2026-01-' ||
       lpad(cast(((doc_id * 7 + 0) % 28) + 1 as varchar), 2, '0') || '</lastmod></url>' ||
-    '<url><loc>https://h' || cast((doc_id + 1) % 20 as varchar) || '.example/d/' ||
+    '<url><loc>https://h' || cast((doc_id + 1) % {_N_HOSTS} as varchar) || '.example/d/' ||
       cast(doc_id * 7 + 13 as varchar) || '</loc><lastmod>2026-01-' ||
       lpad(cast(((doc_id * 7 + 13) % 28) + 1 as varchar), 2, '0') || '</lastmod></url>' ||
-    '<url><loc>https://h' || cast((doc_id + 2) % 20 as varchar) || '.example/d/' ||
+    '<url><loc>https://h' || cast((doc_id + 2) % {_N_HOSTS} as varchar) || '.example/d/' ||
       cast(doc_id * 7 + 26 as varchar) || '</loc><lastmod>2026-01-' ||
       lpad(cast(((doc_id * 7 + 26) % 28) + 1 as varchar), 2, '0') || '</lastmod></url>' ||
     '</urlset>' sx
@@ -847,7 +849,7 @@ with sm as (
          unnest(regexp_extract_all(sx, '<lastmod>([^<]*)</lastmod>', 1)) lm
   from sm
 ), known as (
-  select 'https://h' || cast(doc_id % 20 as varchar) || '.example/d/' ||
+  select 'https://h' || cast(doc_id % {_N_HOSTS} as varchar) || '.example/d/' ||
          cast(doc_id as varchar) url, 1 known
   from documents
 )

@@ -166,8 +166,11 @@ def _iter_member(path: str, data: bytes):
 
 
 def _binary_files(spark: SparkSession, path: str) -> DataFrame:
-    # *.warc* picks up both plain .warc and per-record-gzip .warc.gz
-    glob = os.path.join(path, "*.warc*") if os.path.isdir(path) else path
+    # brace glob: plain .warc and per-record-gzip .warc.gz, but NOT the
+    # .warc.wet conversion members a --wet-out export may have written
+    # into a sibling dir — a '*.warc*' glob would silently ingest WET
+    # text payloads as pages (every url twice, once as fake html)
+    glob = os.path.join(path, "*.warc{,.gz}") if os.path.isdir(path) else path
     return spark.read.format("binaryFile").load(glob)
 
 

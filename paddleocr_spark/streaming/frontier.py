@@ -15,13 +15,17 @@ frontier url was first referenced.
 Link semantics match streaming/linkgraph.py: absolute hrefs resolve to
 their own (host, path); relative hrefs resolve to the PAGE's host.
 
-Scale notes: per micro-batch cost is O(batch links + batch pages) —
-the stores are consulted via anti-joins where the BATCH side is the
-small probe (broadcast at micro-batch sizes); the frontier/known
-stores are append-only parquet keyed by (host, path), compacted the
-same way the signature stores are (functions/dedup_store.py). State
-never lives in executor memory — a restart resumes from the stores +
-checkpoint, the streaming/ingest.py discipline.
+Scale notes: the stores are consulted via left-anti joins, and a
+left-anti join BUILDS on the store side — so per-batch cost is
+O(batch) only while the store fits the broadcast threshold; past
+that, each anti-join shuffles both sides on the shared (host, path)
+key. At crawl scale the production layout is the signature-store
+discipline (functions/dedup_store.py): stores bucketed by
+hash(host, path) so the per-batch anti-joins co-partition and read
+only the probed buckets, with an optional bloom prefilter (the
+decontaminate_bloom pattern) cutting the store scan before the join.
+State never lives in executor memory — a restart resumes from the
+stores + checkpoint, the streaming/ingest.py discipline.
 """
 
 from __future__ import annotations
@@ -88,23 +92,25 @@ def run_frontier_stream(
     frontier_dir = os.path.join(store_dir, "frontier")
     os.makedirs(store_dir, exist_ok=True)
 
-    def _read(path: str, cols) -> DataFrame | None:
-        try:
-            return spark.read.parquet(path)
-        except Exception:
+    def _read(path: str) -> DataFrame | None:
+        # only "store not created yet" maps to None; a corrupt or
+        # transiently unreadable store must FAIL the batch (returning
+        # None would silently re-append the whole batch as new)
+        if not os.path.isdir(path):
             return None
+        return spark.read.parquet(path)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         crawled = page_keys(batch_df).persist()
         links = outlink_keys(batch_df)
-        known = _read(known_dir, _KEY)
+        known = _read(known_dir)
         # new crawled keys -> known store (idempotent on replay)
         new_known = crawled if known is None else crawled.join(
             known, _KEY, "left_anti"
         )
         new_known.write.mode("append").parquet(known_dir)
         # never-seen link targets -> frontier store
-        frontier = _read(frontier_dir, _KEY)
+        frontier = _read(frontier_dir)
         fresh = links
         if known is not None:
             fresh = fresh.join(known, _KEY, "left_anti")
@@ -134,10 +140,16 @@ def run_frontier_stream(
 
 def read_frontier(spark: SparkSession, store_dir: str) -> DataFrame:
     """Current frontier = discovered minus since-crawled (the fetch
-    loop consuming its own discoveries); first_seen_batch preserved."""
-    frontier = spark.read.parquet(os.path.join(store_dir, "frontier"))
-    try:
-        known = spark.read.parquet(os.path.join(store_dir, "known"))
-    except Exception:
+    loop consuming its own discoveries); first_seen_batch preserved.
+    Before any batch has run (empty landing dir) both stores are
+    absent and the frontier is the empty frame, not an error."""
+    fdir = os.path.join(store_dir, "frontier")
+    if not os.path.isdir(fdir):
+        return spark.createDataFrame(
+            [], "host string, path string, first_seen_batch bigint"
+        )
+    frontier = spark.read.parquet(fdir)
+    kdir = os.path.join(store_dir, "known")
+    if not os.path.isdir(kdir):
         return frontier
-    return frontier.join(known, _KEY, "left_anti")
+    return frontier.join(spark.read.parquet(kdir), _KEY, "left_anti")

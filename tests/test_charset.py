@@ -83,3 +83,27 @@ def test_charset_spark_matches_oracle(spark):
     want = {u: extract_page(u, h, l, SNIFF).extracted_text for u, h, l in pages}
     assert got == want
     assert "café" in got["l1"] and "“curly”" in got["w1"]
+
+
+def test_form_accept_charset_and_urls_do_not_trigger_sniff():
+    """Legacy form markup (accept-charset=) and charset= inside a URL
+    are NOT encoding declarations: a UTF-8 page carrying them must keep
+    the utf-8 decode path (the review-caught corruption mode)."""
+    utf8_body = "café body".encode("utf-8")
+    for prefix in (
+        b'<form accept-charset="iso-8859-1">',
+        b'<a href="/convert?charset=latin-1">x</a>',
+    ):
+        html = prefix + utf8_body
+        assert decode_page(html, SNIFF) == html.decode("utf-8", errors="replace")
+        assert "café" in decode_page(html, SNIFF)
+
+
+def test_meta_http_equiv_content_type_still_sniffs():
+    """The other standard declaration form — <meta http-equiv
+    Content-Type content="...charset=..."> — dispatches too."""
+    html = (
+        b'<meta http-equiv="Content-Type" content="text/html; charset=iso-8859-1">'
+        b"caf\xe9 body"
+    )
+    assert "café" in decode_page(html, SNIFF)

@@ -317,3 +317,43 @@ def test_extract_job_wet_export_matches_golden(spark, smoke_dir, tmp_path):
     assert back.count() == golden.count() == stats["rows_out"]
     j = golden.alias("g").join(back.alias("b"), "url")
     assert j.filter(F.col("g.extracted_text") != F.col("b.text")).count() == 0
+
+
+def test_read_warc_ignores_wet_members_in_same_dir(spark, wet_input, pages_pq, tmp_path):
+    """A dir holding both response members and a WET export: read_warc
+    and build_cdx must see only the .warc/.warc.gz pages — WET text
+    payloads must never masquerade as html."""
+    mixed = str(tmp_path / "mixed")
+    pages = spark.read.parquet(pages_pq)
+    W.write_warc(pages, mixed, n_files=2)
+    W.write_wet(wet_input, mixed, n_files=2)  # same dir, .warc.wet members
+    assert spark.read.parquet(pages_pq).count() == W.read_warc(spark, mixed).count()
+    assert W.build_cdx(spark, mixed).count() == pages.count()
+    # and the WET reader sees only its own members
+    assert W.read_wet(spark, mixed).count() == wet_input.count()
+
+
+def test_wet_export_single_record_per_url_on_multicapture_input(spark, smoke_dir, tmp_path):
+    """A revisit archive (two captures per url) must yield exactly ONE
+    WET record per url, stamped with the LATEST capture's timestamp."""
+    import datetime as dt
+
+    from paddleocr_spark.plans.job import run_extract_job
+
+    base = spark.read.parquet(os.path.join(smoke_dir, "pages.parquet")).limit(20)
+    older = base.withColumn(
+        "warc_ts", F.col("warc_ts") - F.expr("interval 7 days")
+    )
+    multi = str(tmp_path / "multi.parquet")
+    base.unionByName(older).write.parquet(multi)
+
+    out, wet = str(tmp_path / "out"), str(tmp_path / "wet")
+    run_extract_job(
+        spark, input_path=multi, output_dir=out,
+        n_partitions=4, salt=2, wet_out=wet,
+    )
+    back = W.read_wet(spark, wet)
+    n_urls = base.select("url").distinct().count()
+    assert back.count() == n_urls  # one record per url, not per capture
+    j = back.alias("b").join(base.alias("o"), "url")
+    assert j.filter(F.col("b.warc_ts") != F.col("o.warc_ts")).count() == 0
