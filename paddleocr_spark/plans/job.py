@@ -268,7 +268,11 @@ def run_extract_job(
         # rule), but the export is defensive: exactly one record per
         # url, stamped with the LATEST capture's timestamp, text
         # picked deterministically (max — identical across captures
-        # whenever the input was consolidated).
+        # whenever the input was consolidated). NB: for parquet inputs
+        # the timestamp lookup is a column-pruned scan; for WARC inputs
+        # it re-reads members (the binaryFile source has no projection
+        # pushdown) — carrying warc_ts through the extraction output
+        # would save that pass at the cost of widening its schema.
         done = (
             spark.read.parquet(data_path)
             .groupBy("url")

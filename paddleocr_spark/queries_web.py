@@ -722,10 +722,10 @@ SQL_FRONTIER_EXPAND = """
 with w as (
   select doc_id, source, str_split(text, ' ') ws from documents
 ), links as (
-  select doc_id, 'src' || cast((doc_id + 1) % {_N_HOSTS} as varchar) host,
+  select doc_id, 'src' || cast((doc_id + 1) % 20 as varchar) host,
          '/' || ws[2] path from w
   union all
-  select doc_id, 'src' || cast((doc_id + 2) % {_N_HOSTS} as varchar), '/' || ws[3] from w
+  select doc_id, 'src' || cast((doc_id + 2) % 20 as varchar), '/' || ws[3] from w
   union all
   select doc_id, 'src' || cast((doc_id + 3) % 20 as varchar), '/' || ws[4] from w
 ), known as (
