@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "dedup_agreement",
     "zipf_fit",
     "embed_outliers",
+    "retention_keep_k",
 ]
 
 

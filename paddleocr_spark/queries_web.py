@@ -333,6 +333,55 @@ from fixed group by 1
 """
 
 
+def q_retention_keep_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-retention policy (keep-last-K): an archive of
+    overlapping crawls keeps each page's K newest captures and evicts
+    the rest — the storage bound every 10^12-page archive applies
+    (latest_snapshot is the K=1 special case; the warehouse's
+    expire_snapshots is the snapshot-level twin). Per page: the kept
+    capture ids (newest-first), evicted count, and reclaimed chars —
+    the accounting a retention run reports before deleting.
+
+    Scale shape: ONE window over the url-hash partition key (page_key)
+    — the extraction job's existing layout, so on the real pages table
+    the rank and the per-page rollup ride one exchange; only
+    (page_key, doc_id, n_chars) enter it, content never shuffles."""
+    return retention_keep_k_over(_t(spark, sf_dir, "documents"))
+
+
+def retention_keep_k_over(d: DataFrame, k: int = 2) -> DataFrame:
+    rows = d.select(page_key_col().alias("page_key"), "doc_id", "n_chars")
+    w = Window.partitionBy("page_key").orderBy(F.col("doc_id").desc())
+    ranked = rows.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("page_key").agg(
+        F.expr(
+            f"transform(array_sort(collect_list(case when rn <= {k} then"
+            " struct(rn, doc_id) end)), s -> s.doc_id)"
+        ).alias("kept_docs"),
+        F.sum((F.col("rn") > k).cast("int")).cast("bigint").alias("n_evicted"),
+        F.sum(F.when(F.col("rn") > k, F.col("n_chars")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("chars_reclaimed"),
+    )
+
+
+SQL_RETENTION_KEEP_K = """
+with ranked as (
+  select doc_id % 211 page_key, doc_id, n_chars,
+         row_number() over (partition by doc_id % 211 order by doc_id desc) rn
+  from documents
+)
+select page_key,
+       list(doc_id order by rn) filter (where rn <= 2) kept_docs,
+       cast(sum(case when rn > 2 then 1 else 0 end) as bigint) n_evicted,
+       cast(sum(case when rn > 2 then n_chars else 0 end) as bigint) chars_reclaimed
+from ranked group by 1
+"""
+
+_queries.QUERIES["retention_keep_k"] = q_retention_keep_k
+_queries.ORACLES["retention_keep_k"] = SQL_RETENTION_KEEP_K
+
+
 # ---------------------------------------------------------------------------
 # Recrawl change detection: diff the two latest captures per page
 # ---------------------------------------------------------------------------
