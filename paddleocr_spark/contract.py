@@ -47,3 +47,67 @@ def rowset(cols, rows):
     every value canonicalized, rows sorted."""
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+
+
+# -- driver-faithful typed comparison -----------------------------------
+#
+# The driver hashes pandas frames, where dtype leaks into the hash: a
+# DuckDB HUGEINT (sum of BIGINT) materializes as float64 and
+# hash-mismatches Spark's int64 even when every value is equal, and a
+# list-typed column is unsortable in the driver's canonicalizer
+# (TypeError: unhashable type: 'list'). The round-4 mirror compared
+# Python values only (int128 == int64), which is exactly the blind spot
+# that let six uncast oracles ship. These helpers make the mirror
+# dtype-faithful: both engines materialize to Arrow and the TYPE FAMILY
+# of every column must match before values are even looked at.
+
+def arrow_family(t) -> str:
+    """Collapse an Arrow type to the family the driver's pandas hash is
+    sensitive to. int8..int64 all land in pandas int64 after
+    canonicalization, so they share a family; HUGEINT (int128 /
+    decimal128(38,0)), floats, and lists each get their own."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int128" if t.bit_width > 64 else "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_family(t.value_type)}>"
+    return str(t)
+
+
+def families(schema) -> dict:
+    """{column: family} for an Arrow schema."""
+    return {f.name: arrow_family(f.type) for f in schema}
+
+
+def typed_diffs(s_schema, d_schema) -> list:
+    """Columns whose Arrow type family differs between the Spark result
+    and the DuckDB oracle — every entry is a driver hash-mismatch
+    waiting to happen (the r4 HUGEINT class)."""
+    sf, df = families(s_schema), families(d_schema)
+    return sorted(
+        (c, sf.get(c), df.get(c))
+        for c in set(sf) | set(df)
+        if sf.get(c) != df.get(c)
+    )
+
+
+def unsortable_columns(schema) -> list:
+    """Columns the driver's pandas canonicalizer cannot sort/hash
+    (list-typed values raise TypeError there — the r4 retention_keep_k
+    class). Oracle-backed queries must serialize these to strings."""
+    return sorted(
+        c for c, fam in families(schema).items() if fam.startswith("list<")
+    )

@@ -253,7 +253,17 @@ def run_extract_job(
         timings["lineage_s"] = round(time.monotonic() - t0, 3)
 
     wet_files = None
-    if wet_out is not None and parts_processed:
+    # The WET pass is decoupled from parts_processed: a `--resume
+    # --wet-out` rerun after extraction already completed must still
+    # export from the COMMITTED output (previously it silently skipped
+    # — no wet files, no 'wet_files' stats key). It is gated only on
+    # the committed data existing; when it doesn't, the skip is
+    # REPORTED (wet_skipped) instead of silent.
+    if wet_out is not None and not (parts_processed or os.path.exists(data_path)):
+        stats_wet_skipped = "no committed output at data_path"
+    else:
+        stats_wet_skipped = None
+    if wet_out is not None and (parts_processed or os.path.exists(data_path)):
         # WET export (Common Crawl's .warc.wet conversion records) from
         # the COMMITTED output: extracted text re-read column-pruned,
         # warc_ts joined back from the input on the url key. Runs after
@@ -286,6 +296,9 @@ def run_extract_job(
                 wet_out,
                 n_files=max(1, min(n_partitions, 64)),
                 compress=wet_gz,
+                # always a FULL export of the committed table (never a
+                # delta), so replacing colliding members is lossless
+                overwrite=True,
             )
         )
         timings["wet_s"] = round(time.monotonic() - t0, 3)
@@ -309,4 +322,6 @@ def run_extract_job(
     )
     if wet_files is not None:
         stats["wet_files"] = wet_files
+    if wet_out is not None and stats_wet_skipped is not None:
+        stats["wet_skipped"] = stats_wet_skipped
     return stats

@@ -965,8 +965,9 @@ with toks as (
   from documents
 ), placed as (
   select doc_id, tokens,
-         coalesce(sum(tokens) over (order by doc_id
-                  rows between unbounded preceding and 1 preceding), 0) tok_start
+         cast(coalesce(sum(tokens) over (order by doc_id
+                  rows between unbounded preceding and 1 preceding), 0)
+              as bigint) tok_start
   from toks
 )
 select doc_id, tokens, tok_start, cast(tok_start // 4096 as bigint) shard
@@ -2296,7 +2297,7 @@ blocks as (
          string_agg(cast(doc_id as varchar), ',' order by doc_id) postings
   from td group by 1, 2
 ),
-dfq as (select term, sum(n_docs) df from blocks group by 1)
+dfq as (select term, cast(sum(n_docs) as bigint) df from blocks group by 1)
 select term, block_id, n_docs, df, postings
 from blocks join dfq using (term)
 """
@@ -2556,8 +2557,8 @@ def _sql_bpe_ctes(rounds: int = BPE_ROUNDS) -> list:
             f" unnest(range(1, len(ts))) r(j))"
         )
         ctes.append(
-            f"p{i} as (select lft, rgt, sum(cnt) pair_count from x{i}"
-            " group by 1, 2)"
+            f"p{i} as (select lft, rgt, cast(sum(cnt) as bigint)"
+            f" pair_count from x{i} group by 1, 2)"
         )
         ctes.append(
             f"m{i} as (select lft, rgt, lft || rgt merged, pair_count"
@@ -3018,24 +3019,51 @@ _queries.ORACLES["bm25_topk"] = SQL_BM25_TOPK
 # Dedup-method agreement audit (banding QA)
 # ---------------------------------------------------------------------------
 
+# Verify-volume cap for the dedup agreement audit (r4 VERDICT "What's
+# wrong" #4): the loose SimHash radius admits ~236k candidate pairs at
+# sf0.1 and the exact-Jaccard verify join was the bench's one outlier
+# (12.8 s). The audit's cost must be bounded BY DESIGN, not by data:
+# verify a deterministic hash-uniform sample of at most this many
+# pairs and COUNT (never verify) the overflow — n_pairs stays exact
+# per label, n_verified/max_jaccard describe the sample (n_sampled
+# reports its size, == n_pairs when the corpus is small enough for the
+# exact mode). Pass max_verify=None to dedup_agreement_over for the
+# uncapped exact audit on small corpora.
+DEDUP_AGREEMENT_MAX_VERIFY = 20_000
+
+# Engine-portable deterministic pair hash for the sampled verify: pure
+# int64 arithmetic (Knuth multiplicative constants, Mersenne-ish prime
+# modulus) so Spark and the DuckDB oracle rank pairs identically.
+_PAIR_HASH = "(id_a * 2654435761 + id_b * 40503) % 1000000007"
+
+
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-set agreement between the two banding families —
     MinHash-LSH vs 64-bit banded SimHash — with the exact n-gram
-    Jaccard VERIFIER run on the union of candidates: the QA table an
-    operator reads before tuning (bands, rows, hamming radius) on a
-    new corpus. Each pair is labeled by who found it (minhash_only /
-    simhash_only / both) with its verified similarity rolled up
-    (pairs clearing Jaccard >= 0.5 and the per-label max) — recall
-    differences show up as the *_only rows, precision as the verified
-    counts.
+    Jaccard VERIFIER run on a bounded sample of the candidate union:
+    the QA table an operator reads before tuning (bands, rows, hamming
+    radius) on a new corpus. Each pair is labeled by who found it
+    (minhash_only / simhash_only / both); n_pairs counts EVERY
+    candidate, while the exact verify runs on a deterministic
+    hash-uniform sample of at most DEDUP_AGREEMENT_MAX_VERIFY pairs
+    (n_sampled; == n_pairs below the cap) — recall differences show up
+    as the *_only rows, precision as the verified share of the sample.
 
     Scale shape: both candidate generators keep their own documented
     plans (band-bucket equi-joins, never a cartesian); the agreement
     is a full-outer equi-join on the O(candidates) pair ids; the
-    verifier joins shingle sets ONLY for docs appearing in some pair
-    (semi-join restriction first), so exact-Jaccard cost is bounded by
-    the candidate volume — the verify-on-candidates discipline of
-    jobs/dedup.py. Final rollup is O(3)."""
+    sample is a distributed top-k on a portable arithmetic hash
+    (TakeOrderedAndProject — per-partition partial top-k, no global
+    sort), so exact-Jaccard cost is O(min(candidates, cap)) with the
+    overflow counted, never verified. Final rollup is O(3)."""
+    return dedup_agreement_over(
+        spark, sf_dir, max_verify=DEDUP_AGREEMENT_MAX_VERIFY
+    )
+
+
+def dedup_agreement_over(
+    spark: SparkSession, sf_dir: str, max_verify: int | None = None
+) -> DataFrame:
     from paddleocr_spark.functions import dedup, textstats
     from paddleocr_spark.queries import q_lsh_pairs
     from paddleocr_spark.queries_ext import q_simhash_near_dup
@@ -3044,16 +3072,30 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = q_simhash_near_dup(spark, sf_dir).select(
         "id_a", "id_b", F.lit(1).alias("sh")
     )
-    # the pair frame feeds three consumers (two id projections and
-    # the verify join): pin it so LSH + SimHash candidate generation
-    # runs ONCE (lazy localCheckpoint, values unchanged). Runtime is
-    # then dominated by the exact verify itself — O(candidates); at
-    # sf0.1 the SimHash radius admits ~236k pairs vs LSH's ~900, which
-    # is precisely the tuning signal this audit exists to surface.
+    # the pair frame feeds three consumers (the per-label count, the
+    # sampled id projections and the verify join): pin it so LSH +
+    # SimHash candidate generation runs ONCE (lazy localCheckpoint,
+    # values unchanged).
     pairs = a.join(b, ["id_a", "id_b"], "full").localCheckpoint(eager=False)
+    found_by = (
+        F.when(F.col("mh").isNotNull() & F.col("sh").isNotNull(), "both")
+        .when(F.col("mh").isNotNull(), "minhash_only")
+        .otherwise("simhash_only")
+    )
+    counts = pairs.groupBy(found_by.alias("found_by")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    sampled = pairs
+    if max_verify is not None:
+        sampled = (
+            pairs.withColumn("__vh", F.expr(_PAIR_HASH))
+            .orderBy("__vh", "id_a", "id_b")
+            .limit(max_verify)
+            .drop("__vh")
+        )
     d = _t(spark, sf_dir, "documents")
-    ids = pairs.select(F.col("id_a").alias("doc_id")).union(
-        pairs.select(F.col("id_b").alias("doc_id"))
+    ids = sampled.select(F.col("id_a").alias("doc_id")).union(
+        sampled.select(F.col("id_b").alias("doc_id"))
     )
     sh_tbl = (
         textstats.with_shingles(
@@ -3066,7 +3108,7 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     verified = (
-        pairs.join(
+        sampled.join(
             sh_tbl.select(
                 F.col("doc_id").alias("id_a"), F.col("shg").alias("sh_a")
             ),
@@ -3086,21 +3128,23 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
-    found_by = (
-        F.when(F.col("mh").isNotNull() & F.col("sh").isNotNull(), "both")
-        .when(F.col("mh").isNotNull(), "minhash_only")
-        .otherwise("simhash_only")
-    )
-    return verified.groupBy(found_by.alias("found_by")).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
+    vroll = verified.groupBy(found_by.alias("found_by")).agg(
+        F.count(F.lit(1)).alias("n_sampled"),
         F.sum((F.col("jaccard") >= 0.5).cast("int"))
         .cast("bigint")
         .alias("n_verified"),
         F.max("jaccard").alias("max_jaccard"),
     )
+    return counts.join(vroll, "found_by", "left").select(
+        "found_by",
+        "n_pairs",
+        F.coalesce("n_sampled", F.lit(0)).cast("bigint").alias("n_sampled"),
+        F.coalesce("n_verified", F.lit(0)).cast("bigint").alias("n_verified"),
+        "max_jaccard",
+    )
 
 
-def _sql_dedup_agreement() -> str:
+def _sql_dedup_agreement(max_verify: int = DEDUP_AGREEMENT_MAX_VERIFY) -> str:
     from paddleocr_spark.functions.textstats import sql_shingles
     from paddleocr_spark.queries import SQL_LSH_PAIRS
     from paddleocr_spark.queries_ext import SQL_SIMHASH_NEAR_DUP
@@ -3114,24 +3158,42 @@ joined as (
          m.id_a is not null mh, s.id_a is not null sh
   from mh_pairs m full outer join sh_pairs s
     on m.id_a = s.id_a and m.id_b = s.id_b
+), counts as (
+  select case when mh and sh then 'both'
+              when mh then 'minhash_only'
+              else 'simhash_only' end found_by,
+         count(*) n_pairs
+  from joined group by 1
+), sampled as (
+  select id_a, id_b, mh, sh
+  from joined
+  order by {_PAIR_HASH}, id_a, id_b
+  limit {max_verify}
 ), shg as (
   select doc_id, list_distinct({sh3}) g from documents
-  where doc_id in (select id_a from joined union select id_b from joined)
+  where doc_id in (select id_a from sampled union select id_b from sampled)
 ), verified as (
   select j.mh, j.sh,
          round(len(list_intersect(a.g, b.g))::double /
                len(list_distinct(list_concat(a.g, b.g)))::double, 6) jaccard
-  from joined j
+  from sampled j
   join shg a on j.id_a = a.doc_id
   join shg b on j.id_b = b.doc_id
+), vroll as (
+  select case when mh and sh then 'both'
+              when mh then 'minhash_only'
+              else 'simhash_only' end found_by,
+         cast(count(*) as bigint) n_sampled,
+         cast(sum(case when jaccard >= 0.5 then 1 else 0 end) as bigint)
+           n_verified,
+         max(jaccard) max_jaccard
+  from verified group by 1
 )
-select case when mh and sh then 'both'
-            when mh then 'minhash_only'
-            else 'simhash_only' end found_by,
-       count(*) n_pairs,
-       cast(sum(case when jaccard >= 0.5 then 1 else 0 end) as bigint) n_verified,
-       max(jaccard) max_jaccard
-from verified group by 1
+select c.found_by, c.n_pairs,
+       cast(coalesce(v.n_sampled, 0) as bigint) n_sampled,
+       cast(coalesce(v.n_verified, 0) as bigint) n_verified,
+       v.max_jaccard
+from counts c left join vroll v using (found_by)
 """
 
 

@@ -353,10 +353,14 @@ def retention_keep_k_over(d: DataFrame, k: int = 2) -> DataFrame:
     rows = d.select(page_key_col().alias("page_key"), "doc_id", "n_chars")
     w = Window.partitionBy("page_key").orderBy(F.col("doc_id").desc())
     ranked = rows.withColumn("rn", F.row_number().over(w))
+    # kept_docs serializes to a comma-joined string (the inverted_index
+    # postings convention) — a list-typed column is unsortable in the
+    # driver's pandas canonicalizer, so both engines emit varchar
     return ranked.groupBy("page_key").agg(
         F.expr(
-            f"transform(array_sort(collect_list(case when rn <= {k} then"
-            " struct(rn, doc_id) end)), s -> s.doc_id)"
+            f"array_join(transform(array_sort(collect_list(case when"
+            f" rn <= {k} then struct(rn, doc_id) end)),"
+            " s -> cast(s.doc_id as string)), ',')"
         ).alias("kept_docs"),
         F.sum((F.col("rn") > k).cast("int")).cast("bigint").alias("n_evicted"),
         F.sum(F.when(F.col("rn") > k, F.col("n_chars")).otherwise(F.lit(0)))
@@ -372,7 +376,8 @@ with ranked as (
   from documents
 )
 select page_key,
-       list(doc_id order by rn) filter (where rn <= 2) kept_docs,
+       string_agg(cast(doc_id as varchar), ',' order by rn)
+         filter (where rn <= 2) kept_docs,
        cast(sum(case when rn > 2 then 1 else 0 end) as bigint) n_evicted,
        cast(sum(case when rn > 2 then n_chars else 0 end) as bigint) chars_reclaimed
 from ranked group by 1
@@ -543,7 +548,8 @@ SQL_REVISIT_SCHEDULE = f"""
   select page_key,
          count(*) n_caps,
          count(prev_h) n_pairs,
-         sum(cast(prev_h is not null and h <> prev_h as bigint)) n_changed
+         cast(sum(cast(prev_h is not null and h <> prev_h as bigint))
+              as bigint) n_changed
   from pairs group by 1
 )
 select page_key, n_caps, n_pairs, n_changed,
@@ -628,20 +634,23 @@ def crawl_budget_over(d: DataFrame, budget: int = 100) -> DataFrame:
 SQL_CRAWL_BUDGET = """
 with demand as (
   select source, count(*) n_docs,
-         sum(cast(doc_id % 4 >= 2 as bigint)) demand
+         cast(sum(cast(doc_id % 4 >= 2 as bigint)) as bigint) demand
   from documents group by 1
-), tot as (select sum(demand) total from demand),
+), tot as (select cast(sum(demand) as bigint) total from demand),
 per as (
   select source, n_docs, demand,
-         case when total = 0 then 0 else (100 * demand) // total end base,
-         case when total = 0 then 0 else (100 * demand) % total end rem,
+         cast(case when total = 0 then 0
+                   else (100 * demand) // total end as bigint) base,
+         cast(case when total = 0 then 0
+                   else (100 * demand) % total end as bigint) rem,
          total
   from demand, tot
 ), ranked as (
   select *, row_number() over (order by rem desc, source asc) rk from per
-), left_ as (select 100 - sum(base) leftover from per)
+), left_ as (select cast(100 - sum(base) as bigint) leftover from per)
 select source, n_docs, demand,
-       least(base + cast(rk <= leftover and total > 0 as bigint), n_docs) quota
+       cast(least(base + cast(rk <= leftover and total > 0 as bigint),
+                  n_docs) as bigint) quota
 from ranked, left_
 """
 

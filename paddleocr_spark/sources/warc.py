@@ -221,7 +221,12 @@ def build_cdx(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_warc(
-    pages: DataFrame, out_dir: str, n_files: int = 8, compress: bool = False
+    pages: DataFrame,
+    out_dir: str,
+    n_files: int = 8,
+    compress: bool = False,
+    run_tag: str | None = None,
+    overwrite: bool = False,
 ) -> list[dict]:
     """Write (url, warc_ts, html) rows as `n_files` WARC members under
     ``out_dir``; returns the manifest [(file, n_records, n_bytes)].
@@ -242,6 +247,8 @@ def write_warc(
         base_ext=".warc",
         payload_fn=lambda r: bytes(r.html),
         rec_kwargs={},
+        run_tag=run_tag,
+        overwrite=overwrite,
     )
 
 
@@ -253,16 +260,40 @@ def _write_members(
     base_ext: str,
     payload_fn,
     rec_kwargs: dict,
+    run_tag: str | None = None,
+    overwrite: bool = False,
 ) -> list[dict]:
     """Shared member writer for WARC (response) and WET (conversion)
     sinks: url-hash bucket per member, built and written on the owning
-    executor, records url-sorted inside a member for determinism."""
+    executor, records url-sorted inside a member for determinism.
+
+    Member names are deterministic (part-<fid>), so a delta/incremental
+    re-export into a dir that already holds members of the same kind
+    would silently REPLACE colliding hash buckets with only the current
+    run's urls. Guarded: such a write raises unless the caller either
+    scopes the names with ``run_tag`` (members become
+    part-<fid>-<run_tag>, appending alongside prior runs) or passes
+    ``overwrite=True`` to accept the replacement."""
     os.makedirs(out_dir, exist_ok=True)
     ext = base_ext + (".gz" if compress else "")
+    tag = f"-{run_tag}" if run_tag else ""
+    colliding = [
+        f
+        for f in os.listdir(out_dir)
+        if f.startswith("part-") and f.endswith(ext)
+        and (not run_tag or f.endswith(f"{tag}{ext}"))
+    ]
+    if colliding and not overwrite:
+        raise FileExistsError(
+            f"{out_dir} already holds {len(colliding)} {ext} member(s); a "
+            "re-export with deterministic names would drop prior urls from "
+            "colliding hash buckets. Use a fresh directory, pass run_tag= "
+            "to write run-scoped member names alongside, or overwrite=True."
+        )
 
     def write_group(key, pdf):
         fid = int(key[0])
-        path = os.path.join(out_dir, f"part-{fid:05d}{ext}")
+        path = os.path.join(out_dir, f"part-{fid:05d}{tag}{ext}")
         pdf = pdf.sort_values("url")
         enc = (
             (lambda b: gzip.compress(b, mtime=0)) if compress else (lambda b: b)
@@ -297,6 +328,8 @@ def write_wet(
     n_files: int = 8,
     compress: bool = False,
     text_col: str = "extracted_text",
+    run_tag: str | None = None,
+    overwrite: bool = False,
 ) -> list[dict]:
     """WET sink: write (url, warc_ts, <text_col>) rows as WARC
     *conversion* records (`WARC-Type: conversion`, `Content-Type:
@@ -317,6 +350,8 @@ def write_wet(
         base_ext=".warc.wet",
         payload_fn=lambda r: bytes(r.wet),
         rec_kwargs={"rec_type": "conversion", "content_type": "text/plain"},
+        run_tag=run_tag,
+        overwrite=overwrite,
     )
 
 

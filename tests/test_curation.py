@@ -674,6 +674,27 @@ def test_dedup_agreement_verifies_candidates_by_family(spark):
     # the audit's reason to exist: the families genuinely disagree on
     # part of the candidate space
     assert set(out) == {"both", "minhash_only", "simhash_only"}
+    # below the cap the sample IS the candidate set (exact mode)
+    assert all(r["n_sampled"] == r["n_pairs"] for r in out.values())
+
+
+def test_dedup_agreement_verify_cap_bounds_sample(spark):
+    """With max_verify smaller than the candidate volume, n_pairs stays
+    the exact per-label census while the verify sample is bounded by
+    the cap — overflow counted, never verified (r4 verdict item 4)."""
+    from paddleocr_spark.queries_curation import dedup_agreement_over
+
+    full = {r["found_by"]: r.asDict()
+            for r in dedup_agreement_over(spark, SF_DIR).collect()}
+    cap = 5
+    capped = {r["found_by"]: r.asDict()
+              for r in dedup_agreement_over(
+                  spark, SF_DIR, max_verify=cap).collect()}
+    assert set(capped) == set(full)
+    for k in full:
+        assert capped[k]["n_pairs"] == full[k]["n_pairs"]
+    assert sum(r["n_sampled"] for r in capped.values()) == cap
+    assert all(r["n_verified"] <= r["n_sampled"] for r in capped.values())
 
 
 def test_embed_outliers_flags_planted_outlier(spark):

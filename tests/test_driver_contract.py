@@ -13,7 +13,12 @@ import duckdb
 import pytest
 
 import paddleocr_spark.queries as Q
-from paddleocr_spark.contract import register_views, rowset as _rowset
+from paddleocr_spark.contract import (
+    register_views,
+    rowset as _rowset,
+    typed_diffs,
+    unsortable_columns,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -39,6 +44,25 @@ def test_query_matches_oracle(spark, duck, name):
     res = duck.sql(Q.ORACLES[name])
     dcols = res.columns
     drows = res.fetchall()
+
+    # Driver-faithful dtype gate (r4 postmortem): the driver hashes
+    # pandas frames, so an uncast DuckDB HUGEINT (→ float64) or a
+    # list-typed column fails its hash even when values are equal.
+    # Compare Arrow type families for BOTH engines before values.
+    s_schema = sdf.limit(0).toArrow().schema
+    d_schema = duck.sql(
+        f"select * from ({Q.ORACLES[name]}) limit 0"
+    ).fetch_arrow_table().schema
+    tdiffs = typed_diffs(s_schema, d_schema)
+    assert not tdiffs, (
+        f"{name}: Arrow type-family mismatch (driver hash would fail "
+        f"even on equal values): {tdiffs}"
+    )
+    bad_cols = unsortable_columns(s_schema) + unsortable_columns(d_schema)
+    assert not bad_cols, (
+        f"{name}: list-typed output columns {sorted(set(bad_cols))} are "
+        "unhashable in the driver canonicalizer — serialize to strings"
+    )
 
     assert sorted(scols) == sorted(dcols), f"{name}: column names differ"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} != {len(drows)}"

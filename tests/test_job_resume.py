@@ -58,6 +58,37 @@ def test_resume_on_complete_output_is_noop(spark, smoke_dir, tmp_path):
     assert again["rows_out"] == first["rows_out"]
 
 
+def test_resume_wet_export_runs_after_completion(spark, smoke_dir, tmp_path):
+    """A `--resume --wet-out` rerun after extraction already completed
+    must still export WET members from the committed output instead of
+    silently skipping (r4 ADVICE: the export was gated on
+    parts_processed being non-empty)."""
+    inp = os.path.join(smoke_dir, "pages.parquet")
+    out = str(tmp_path / "out")
+    wet = str(tmp_path / "wet")
+    run_extract_job(spark, inp, out, n_partitions=4, salt=2)
+    again = run_extract_job(
+        spark, inp, out, n_partitions=4, salt=2, resume=True, wet_out=wet
+    )
+    assert again["parts_processed"] == 0
+    assert again.get("wet_files", 0) > 0 and "wet_skipped" not in again
+    assert [f for f in os.listdir(wet) if ".warc.wet" in f]
+
+    # no committed output at all -> the skip is reported, not silent
+    empty = run_extract_job(
+        spark,
+        inp,
+        str(tmp_path / "never_ran"),
+        n_partitions=4,
+        salt=2,
+        resume=True,
+        only_first_parts=0,
+        wet_out=str(tmp_path / "wet2"),
+    )
+    assert empty["parts_processed"] == 0
+    assert "wet_files" not in empty and empty["wet_skipped"]
+
+
 def test_partition_balance_under_host_skew(spark, smoke_dir, tmp_path):
     """Zipf-skewed hosts in the input must still yield balanced logical
     partitions (url-hash, not host-hash) — the lineage row counts are

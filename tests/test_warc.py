@@ -319,6 +319,33 @@ def test_extract_job_wet_export_matches_golden(spark, smoke_dir, tmp_path):
     assert j.filter(F.col("g.extracted_text") != F.col("b.text")).count() == 0
 
 
+def test_reexport_guard_and_run_tag(spark, wet_input, tmp_path):
+    """Deterministic member names make a delta re-export into a
+    populated dir lossy (colliding hash buckets replaced with only the
+    current run's urls) — so it must RAISE unless the caller scopes
+    names with run_tag (members coexist; readers see both runs) or
+    explicitly accepts replacement with overwrite=True."""
+    out = str(tmp_path / "wet")
+    first = wet_input.limit(10)
+    rest = wet_input.subtract(first)
+    W.write_wet(first, out, n_files=2)
+
+    with pytest.raises(FileExistsError, match="colliding hash buckets"):
+        W.write_wet(rest, out, n_files=2)
+
+    # run-scoped names append alongside the first run's members
+    W.write_wet(rest, out, n_files=2, run_tag="r2")
+    back = W.read_wet(spark, out)
+    assert back.count() == wet_input.count()
+    assert back.select("url").distinct().count() == wet_input.count()
+
+    # a full re-export may explicitly replace same-named members
+    full = str(tmp_path / "full")
+    W.write_wet(first, full, n_files=2)
+    W.write_wet(wet_input, full, n_files=2, overwrite=True)
+    assert W.read_wet(spark, full).count() == wet_input.count()
+
+
 def test_read_warc_ignores_wet_members_in_same_dir(spark, wet_input, pages_pq, tmp_path):
     """A dir holding both response members and a WET export: read_warc
     and build_cdx must see only the .warc/.warc.gz pages — WET text
