@@ -3019,17 +3019,22 @@ _queries.ORACLES["bm25_topk"] = SQL_BM25_TOPK
 # Dedup-method agreement audit (banding QA)
 # ---------------------------------------------------------------------------
 
-# Verify-volume cap for the dedup agreement audit (r4 VERDICT "What's
-# wrong" #4): the loose SimHash radius admits ~236k candidate pairs at
-# sf0.1 and the exact-Jaccard verify join was the bench's one outlier
-# (12.8 s). The audit's cost must be bounded BY DESIGN, not by data:
-# verify a deterministic hash-uniform sample of at most this many
-# pairs and COUNT (never verify) the overflow — n_pairs stays exact
-# per label, n_verified/max_jaccard describe the sample (n_sampled
-# reports its size, == n_pairs when the corpus is small enough for the
-# exact mode). Pass max_verify=None to dedup_agreement_over for the
-# uncapped exact audit on small corpora.
-DEDUP_AGREEMENT_MAX_VERIFY = 20_000
+# PER-LABEL verify-volume cap for the dedup agreement audit (r4
+# VERDICT "What's wrong" #4): the loose SimHash radius admits ~236k
+# candidate pairs at sf0.1 and the exact-Jaccard verify join was the
+# bench's one outlier (12.8 s). The audit's cost must be bounded BY
+# DESIGN, not by data: verify a deterministic hash-uniform sample of
+# at most this many pairs PER LABEL and COUNT (never verify) the
+# overflow — n_pairs stays exact per label, n_verified/max_jaccard
+# describe the sample (n_sampled reports its size, == n_pairs when the
+# label is under the cap). Per-label (not global) so the rare labels —
+# the 'both' agreement core and the tight family's exclusives — stay
+# fully verified while only the oversized label is sampled. Pass
+# max_verify=None to dedup_agreement_over for the uncapped exact audit
+# on small corpora.
+DEDUP_AGREEMENT_MAX_VERIFY = 2_000
+
+_AGREEMENT_LABELS = ["both", "minhash_only", "simhash_only"]
 
 # Engine-portable deterministic pair hash for the sampled verify: pure
 # int64 arithmetic (Knuth multiplicative constants, Mersenne-ish prime
@@ -3040,22 +3045,27 @@ _PAIR_HASH = "(id_a * 2654435761 + id_b * 40503) % 1000000007"
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate-set agreement between the two banding families —
     MinHash-LSH vs 64-bit banded SimHash — with the exact n-gram
-    Jaccard VERIFIER run on a bounded sample of the candidate union:
-    the QA table an operator reads before tuning (bands, rows, hamming
-    radius) on a new corpus. Each pair is labeled by who found it
-    (minhash_only / simhash_only / both); n_pairs counts EVERY
-    candidate, while the exact verify runs on a deterministic
-    hash-uniform sample of at most DEDUP_AGREEMENT_MAX_VERIFY pairs
-    (n_sampled; == n_pairs below the cap) — recall differences show up
-    as the *_only rows, precision as the verified share of the sample.
+    Jaccard VERIFIER run on a bounded per-label sample of the
+    candidate union: the QA table an operator reads before tuning
+    (bands, rows, hamming radius) on a new corpus. Each pair is
+    labeled by who found it (minhash_only / simhash_only / both);
+    n_pairs counts EVERY candidate, while the exact verify runs on a
+    deterministic hash-uniform sample of at most
+    DEDUP_AGREEMENT_MAX_VERIFY pairs PER LABEL (n_sampled; == n_pairs
+    for labels below the cap — in practice the agreement core and the
+    tight family stay fully verified and only the loose radius's
+    overflow is sampled) — recall differences show up as the *_only
+    rows, precision as the verified share of each label's sample.
 
     Scale shape: both candidate generators keep their own documented
     plans (band-bucket equi-joins, never a cartesian); the agreement
-    is a full-outer equi-join on the O(candidates) pair ids; the
-    sample is a distributed top-k on a portable arithmetic hash
-    (TakeOrderedAndProject — per-partition partial top-k, no global
-    sort), so exact-Jaccard cost is O(min(candidates, cap)) with the
-    overflow counted, never verified. Final rollup is O(3)."""
+    is a full-outer equi-join on the O(candidates) pair ids; each
+    label's sample is a distributed top-k on a portable arithmetic
+    hash (TakeOrderedAndProject — per-partition partial top-k, no
+    global sort and no 3-value partition key that would funnel a
+    label's 10^8 pairs through one reducer), so exact-Jaccard cost is
+    O(sum over labels of min(label candidates, cap)) with the overflow
+    counted, never verified. Final rollup is O(3)."""
     return dedup_agreement_over(
         spark, sf_dir, max_verify=DEDUP_AGREEMENT_MAX_VERIFY
     )
@@ -3076,23 +3086,32 @@ def dedup_agreement_over(
     # sampled id projections and the verify join): pin it so LSH +
     # SimHash candidate generation runs ONCE (lazy localCheckpoint,
     # values unchanged).
-    pairs = a.join(b, ["id_a", "id_b"], "full").localCheckpoint(eager=False)
     found_by = (
         F.when(F.col("mh").isNotNull() & F.col("sh").isNotNull(), "both")
         .when(F.col("mh").isNotNull(), "minhash_only")
         .otherwise("simhash_only")
     )
-    counts = pairs.groupBy(found_by.alias("found_by")).agg(
-        F.count(F.lit(1)).alias("n_pairs")
+    pairs = (
+        a.join(b, ["id_a", "id_b"], "full")
+        .withColumn("found_by", found_by)
+        .localCheckpoint(eager=False)
     )
+    counts = pairs.groupBy("found_by").agg(F.count(F.lit(1)).alias("n_pairs"))
     sampled = pairs
     if max_verify is not None:
-        sampled = (
-            pairs.withColumn("__vh", F.expr(_PAIR_HASH))
+        hashed = pairs.withColumn("__vh", F.expr(_PAIR_HASH))
+        per_label = [
+            hashed.filter(F.col("found_by") == lab)
             .orderBy("__vh", "id_a", "id_b")
             .limit(max_verify)
-            .drop("__vh")
-        )
+            for lab in _AGREEMENT_LABELS
+        ]
+        sampled = per_label[0]
+        for part in per_label[1:]:
+            sampled = sampled.unionByName(part)
+        # the sample feeds three consumers (two id projections and the
+        # verify join): pin the <= 3*cap rows so the top-k runs once
+        sampled = sampled.drop("__vh").localCheckpoint(eager=False)
     d = _t(spark, sf_dir, "documents")
     ids = sampled.select(F.col("id_a").alias("doc_id")).union(
         sampled.select(F.col("id_b").alias("doc_id"))
@@ -3121,14 +3140,13 @@ def dedup_agreement_over(
             "id_b",
         )
         .select(
-            "mh",
-            "sh",
+            "found_by",
             F.round(
                 dedup.jaccard_from_shingles(F.col("sh_a"), F.col("sh_b")), 6
             ).alias("jaccard"),
         )
     )
-    vroll = verified.groupBy(found_by.alias("found_by")).agg(
+    vroll = verified.groupBy("found_by").agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum((F.col("jaccard") >= 0.5).cast("int"))
         .cast("bigint")
@@ -3158,31 +3176,32 @@ joined as (
          m.id_a is not null mh, s.id_a is not null sh
   from mh_pairs m full outer join sh_pairs s
     on m.id_a = s.id_a and m.id_b = s.id_b
-), counts as (
-  select case when mh and sh then 'both'
+), labeled as (
+  select id_a, id_b,
+         case when mh and sh then 'both'
               when mh then 'minhash_only'
-              else 'simhash_only' end found_by,
-         count(*) n_pairs
-  from joined group by 1
-), sampled as (
-  select id_a, id_b, mh, sh
+              else 'simhash_only' end found_by
   from joined
-  order by {_PAIR_HASH}, id_a, id_b
-  limit {max_verify}
+), counts as (
+  select found_by, count(*) n_pairs from labeled group by 1
+), sampled as (
+  select id_a, id_b, found_by
+  from labeled
+  qualify row_number() over (partition by found_by
+                             order by {_PAIR_HASH}, id_a, id_b)
+          <= {max_verify}
 ), shg as (
   select doc_id, list_distinct({sh3}) g from documents
   where doc_id in (select id_a from sampled union select id_b from sampled)
 ), verified as (
-  select j.mh, j.sh,
+  select j.found_by,
          round(len(list_intersect(a.g, b.g))::double /
                len(list_distinct(list_concat(a.g, b.g)))::double, 6) jaccard
   from sampled j
   join shg a on j.id_a = a.doc_id
   join shg b on j.id_b = b.doc_id
 ), vroll as (
-  select case when mh and sh then 'both'
-              when mh then 'minhash_only'
-              else 'simhash_only' end found_by,
+  select found_by,
          cast(count(*) as bigint) n_sampled,
          cast(sum(case when jaccard >= 0.5 then 1 else 0 end) as bigint)
            n_verified,
