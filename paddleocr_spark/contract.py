@@ -82,8 +82,18 @@ def arrow_family(t) -> str:
         return "timestamp"
     if pa.types.is_date(t):
         return "date"
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
+    if (
+        pa.types.is_list(t)
+        or pa.types.is_large_list(t)
+        or pa.types.is_fixed_size_list(t)
+    ):
         return f"list<{arrow_family(t.value_type)}>"
+    if pa.types.is_struct(t):
+        return "struct<" + ",".join(
+            f"{f.name}:{arrow_family(f.type)}" for f in t
+        ) + ">"
+    if pa.types.is_map(t):
+        return f"map<{arrow_family(t.key_type)},{arrow_family(t.item_type)}>"
     return str(t)
 
 
@@ -105,9 +115,12 @@ def typed_diffs(s_schema, d_schema) -> list:
 
 
 def unsortable_columns(schema) -> list:
-    """Columns the driver's pandas canonicalizer cannot sort/hash
-    (list-typed values raise TypeError there — the r4 retention_keep_k
-    class). Oracle-backed queries must serialize these to strings."""
+    """Columns the driver's pandas canonicalizer cannot sort/hash —
+    list/struct/map values all materialize as unhashable Python
+    containers there (the r4 retention_keep_k class was a list).
+    Oracle-backed queries must serialize these to strings."""
     return sorted(
-        c for c, fam in families(schema).items() if fam.startswith("list<")
+        c
+        for c, fam in families(schema).items()
+        if fam.startswith(("list<", "struct<", "map<"))
     )

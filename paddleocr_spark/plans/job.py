@@ -253,17 +253,16 @@ def run_extract_job(
         timings["lineage_s"] = round(time.monotonic() - t0, 3)
 
     wet_files = None
+    wet_missing_ts = 0
     # The WET pass is decoupled from parts_processed: a `--resume
     # --wet-out` rerun after extraction already completed must still
     # export from the COMMITTED output (previously it silently skipped
     # — no wet files, no 'wet_files' stats key). It is gated only on
     # the committed data existing; when it doesn't, the skip is
     # REPORTED (wet_skipped) instead of silent.
-    if wet_out is not None and not (parts_processed or os.path.exists(data_path)):
-        stats_wet_skipped = "no committed output at data_path"
-    else:
-        stats_wet_skipped = None
-    if wet_out is not None and (parts_processed or os.path.exists(data_path)):
+    has_committed = bool(parts_processed) or os.path.exists(data_path)
+    stats_wet_skipped = None if has_committed else "no committed output at data_path"
+    if wet_out is not None and has_committed:
         # WET export (Common Crawl's .warc.wet conversion records) from
         # the COMMITTED output: extracted text re-read column-pruned,
         # warc_ts joined back from the input on the url key. Runs after
@@ -290,17 +289,23 @@ def run_extract_job(
         )
         ts_by_url = src.groupBy("url").agg(F.max("warc_ts").alias("warc_ts"))
         wet_rows = done.join(ts_by_url, "url")
-        wet_files = len(
-            Warc.write_wet(
-                wet_rows,
-                wet_out,
-                n_files=max(1, min(n_partitions, 64)),
-                compress=wet_gz,
-                # always a FULL export of the committed table (never a
-                # delta), so replacing colliding members is lossless
-                overwrite=True,
-            )
+        manifest = Warc.write_wet(
+            wet_rows,
+            wet_out,
+            n_files=max(1, min(n_partitions, 64)),
+            compress=wet_gz,
+            # a FULL export of every committed url the current input
+            # can timestamp; overwrite deletes prior same-kind members
+            # first, so stale buckets never survive a re-export
+            overwrite=True,
         )
+        wet_files = len(manifest)
+        # a committed url missing from the CURRENT input (input dir
+        # changed / warehouse rows deleted between runs) has no
+        # timestamp and drops out of the inner join — report it rather
+        # than silently exporting a subset of the committed table
+        n_exported = sum(m["n_records"] for m in manifest)
+        wet_missing_ts = max(0, done.count() - n_exported)
         timings["wet_s"] = round(time.monotonic() - t0, 3)
 
     # rows_out from lineage (latest row per part), not a full output scan.
@@ -322,6 +327,8 @@ def run_extract_job(
     )
     if wet_files is not None:
         stats["wet_files"] = wet_files
+        if wet_missing_ts:
+            stats["wet_missing_ts"] = int(wet_missing_ts)
     if wet_out is not None and stats_wet_skipped is not None:
         stats["wet_skipped"] = stats_wet_skipped
     return stats

@@ -3037,9 +3037,16 @@ DEDUP_AGREEMENT_MAX_VERIFY = 2_000
 _AGREEMENT_LABELS = ["both", "minhash_only", "simhash_only"]
 
 # Engine-portable deterministic pair hash for the sampled verify: pure
-# int64 arithmetic (Knuth multiplicative constants, Mersenne-ish prime
-# modulus) so Spark and the DuckDB oracle rank pairs identically.
-_PAIR_HASH = "(id_a * 2654435761 + id_b * 40503) % 1000000007"
+# int64 arithmetic (Knuth multiplicative constants, prime modulus) so
+# Spark and the DuckDB oracle rank pairs identically. Ids are reduced
+# mod the prime BEFORE the multiply: the products then peak at
+# ~(1e9)*2.7e9 ≈ 2.7e18 < 2^63-1, so 64-bit hash-derived doc ids never
+# overflow (Spark 4 runs ANSI mode — an unreduced id above ~3.5e9
+# would raise ARITHMETIC_OVERFLOW instead of sampling).
+_PAIR_HASH = (
+    "((id_a % 1000000007) * 2654435761 % 1000000007"
+    " + (id_b % 1000000007) * 40503) % 1000000007"
+)
 
 
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,6 +38,7 @@ from __future__ import annotations
 import datetime as dt
 import gzip
 import os
+import re
 import zlib
 from typing import Iterator
 
@@ -267,29 +268,42 @@ def _write_members(
     sinks: url-hash bucket per member, built and written on the owning
     executor, records url-sorted inside a member for determinism.
 
-    Member names are deterministic (part-<fid>), so a delta/incremental
-    re-export into a dir that already holds members of the same kind
-    would silently REPLACE colliding hash buckets with only the current
-    run's urls. Guarded: such a write raises unless the caller either
-    scopes the names with ``run_tag`` (members become
-    part-<fid>-<run_tag>, appending alongside prior runs) or passes
-    ``overwrite=True`` to accept the replacement."""
+    Member names are deterministic (part-<fid>), so a re-export into a
+    dir that already holds members of the same kind is lossy two ways:
+    colliding names REPLACE prior buckets with only the current run's
+    urls, and non-colliding leftovers (a different n_files, compression
+    or run_tag) stay behind and DUPLICATE urls for the glob readers,
+    which union every member of the kind. Guarded: an untagged write
+    conflicts with ANY existing member of this kind (either
+    compression, any tag — the readers see them all); a ``run_tag``
+    write conflicts only with its own tag (appending a new tag
+    alongside prior runs is the designed delta layout). On conflict the
+    write raises unless ``overwrite=True``, which DELETES every
+    conflicting member first so the result is exactly this run's
+    export — never a mix of old and new bucketing."""
     os.makedirs(out_dir, exist_ok=True)
     ext = base_ext + (".gz" if compress else "")
     tag = f"-{run_tag}" if run_tag else ""
-    colliding = [
-        f
-        for f in os.listdir(out_dir)
-        if f.startswith("part-") and f.endswith(ext)
-        and (not run_tag or f.endswith(f"{tag}{ext}"))
-    ]
-    if colliding and not overwrite:
-        raise FileExistsError(
-            f"{out_dir} already holds {len(colliding)} {ext} member(s); a "
-            "re-export with deterministic names would drop prior urls from "
-            "colliding hash buckets. Use a fresh directory, pass run_tag= "
-            "to write run-scoped member names alongside, or overwrite=True."
-        )
+    # same-kind member, anchored: part-<digits>[-tag] + base_ext [+ .gz]
+    # (anchoring base_ext to the end keeps .warc from matching .warc.wet)
+    pat = re.compile(
+        r"^part-\d+"
+        + (re.escape(tag) if run_tag else r"(-.+)?")
+        + re.escape(base_ext)
+        + r"(\.gz)?$"
+    )
+    colliding = [f for f in os.listdir(out_dir) if pat.match(f)]
+    if colliding:
+        if not overwrite:
+            raise FileExistsError(
+                f"{out_dir} already holds {len(colliding)} {base_ext}[.gz] "
+                "member(s) this export would collide with or leave behind "
+                "as url duplicates for the glob readers. Use a fresh "
+                "directory, pass run_tag= to write run-scoped member names "
+                "alongside, or overwrite=True to replace them."
+            )
+        for f in colliding:
+            os.remove(os.path.join(out_dir, f))
 
     def write_group(key, pdf):
         fid = int(key[0])

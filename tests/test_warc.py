@@ -326,11 +326,13 @@ def test_reexport_guard_and_run_tag(spark, wet_input, tmp_path):
     names with run_tag (members coexist; readers see both runs) or
     explicitly accepts replacement with overwrite=True."""
     out = str(tmp_path / "wet")
-    first = wet_input.limit(10)
-    rest = wet_input.subtract(first)
+    # deterministic split: an unordered limit() may pick different rows
+    # on each action, so anchor it and derive the complement by anti-join
+    first = wet_input.orderBy("url").limit(10)
+    rest = wet_input.join(first.select("url"), "url", "left_anti")
     W.write_wet(first, out, n_files=2)
 
-    with pytest.raises(FileExistsError, match="colliding hash buckets"):
+    with pytest.raises(FileExistsError, match="url duplicates"):
         W.write_wet(rest, out, n_files=2)
 
     # run-scoped names append alongside the first run's members
@@ -339,10 +341,21 @@ def test_reexport_guard_and_run_tag(spark, wet_input, tmp_path):
     assert back.count() == wet_input.count()
     assert back.select("url").distinct().count() == wet_input.count()
 
-    # a full re-export may explicitly replace same-named members
+    # toggling compression changes the filename but not the KIND: the
+    # glob readers would union both sets, so it must conflict too
+    gz = str(tmp_path / "gz")
+    W.write_wet(first, gz, n_files=2)
+    with pytest.raises(FileExistsError):
+        W.write_wet(rest, gz, n_files=2, compress=True)
+
+    # a full re-export may explicitly replace the kind's members —
+    # overwrite DELETES every prior same-kind member (here: 4 members,
+    # one of them gz) so a smaller n_files leaves no stale buckets
     full = str(tmp_path / "full")
-    W.write_wet(first, full, n_files=2)
+    W.write_wet(first, full, n_files=4)
     W.write_wet(wet_input, full, n_files=2, overwrite=True)
+    members = [f for f in os.listdir(full) if ".warc.wet" in f]
+    assert len(members) == 2
     assert W.read_wet(spark, full).count() == wet_input.count()
 
 

@@ -1,38 +1,24 @@
 """One-off: driver-mimic typed comparison — Spark result Arrow types vs
 DuckDB oracle Arrow types for every oracle-backed query at sf0.01.
-Flags any column whose Arrow type family differs (the r1 hugeint bug class)."""
+Flags any column whose Arrow type family differs (the r1 hugeint bug
+class). Uses the SAME family classifier as the committed sf0.001 gate
+(paddleocr_spark.contract.arrow_family) so tool and gate cannot drift."""
+import os
 import sys
 
-import duckdb
-import pyarrow as pa
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
+import duckdb  # noqa: E402
+import pyarrow as pa  # noqa: E402
 
-import paddleocr_spark.queries as Q
+from pyspark.sql import SparkSession  # noqa: E402
+
+import paddleocr_spark.queries as Q  # noqa: E402
+from paddleocr_spark.contract import arrow_family as family  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
-
-
-def family(t: pa.DataType) -> str:
-    if pa.types.is_integer(t):
-        return f"int{t.bit_width}" if t.bit_width > 64 else "int<=64"
-    if pa.types.is_floating(t):
-        return "float"
-    if pa.types.is_decimal(t):
-        return f"decimal({t.precision},{t.scale})"
-    if pa.types.is_string(t) or pa.types.is_large_string(t):
-        return "string"
-    if pa.types.is_boolean(t):
-        return "bool"
-    if pa.types.is_timestamp(t):
-        return "timestamp"
-    if pa.types.is_date(t):
-        return "date"
-    if pa.types.is_list(t) or pa.types.is_large_list(t):
-        return f"list<{family(t.value_type)}>"
-    return str(t)
 
 
 def main():
