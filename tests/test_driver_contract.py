@@ -71,3 +71,39 @@ def test_query_matches_oracle(spark, duck, name):
     if sset != dset:
         diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+
+
+def test_typed_gate_fires_on_r4_failure_classes():
+    """The dtype gate itself, pinned: an uncast DuckDB HUGEINT
+    (decimal128 in Arrow) and container-typed columns must be flagged —
+    these are exactly the two classes that shipped red in round 4."""
+    import pyarrow as pa
+
+    from paddleocr_spark.contract import (
+        arrow_family,
+        typed_diffs,
+        unsortable_columns,
+    )
+
+    spark_side = pa.schema([("k", pa.int64()), ("s", pa.int64())])
+    duck_side = pa.schema([("k", pa.int64()), ("s", pa.decimal128(38, 0))])
+    assert typed_diffs(spark_side, duck_side) == [
+        ("s", "int", "decimal(38,0)")
+    ]
+
+    containers = pa.schema(
+        [
+            ("ok", pa.string()),
+            ("l", pa.list_(pa.int64())),
+            ("fl", pa.list_(pa.float32(), 4)),
+            ("st", pa.struct([("a", pa.int64())])),
+            ("m", pa.map_(pa.string(), pa.int64())),
+        ]
+    )
+    assert unsortable_columns(containers) == ["fl", "l", "m", "st"]
+
+    # families collapse what the driver's value canonicalization
+    # cannot distinguish (int widths) and split what it can (float)
+    assert arrow_family(pa.int32()) == arrow_family(pa.int64()) == "int"
+    assert arrow_family(pa.float64()) == "float"
+    assert arrow_family(pa.large_string()) == arrow_family(pa.string())
