@@ -78,6 +78,7 @@ class MdbReader:
         self.path = path
         self._fh = open(path, "rb")
         self._mm = mmap.mmap(self._fh.fileno(), 0, access=mmap.ACCESS_READ)
+        self.psize = PAGESIZE  # refined by _pick_meta from mm_psize
         meta = self._pick_meta()
         (
             _pad,
@@ -105,12 +106,14 @@ class MdbReader:
 
     # -- format plumbing ---------------------------------------------------
 
-    def _meta_at(self, pgno: int) -> tuple[int, tuple]:
-        """-> (txnid, main-db struct) or raises MdbError."""
-        base = pgno * PAGESIZE
+    def _meta_at(self, base: int) -> tuple[int, int, tuple]:
+        """Meta page at byte offset ``base`` ->
+        (txnid, psize, main-db struct) or raises MdbError. The page
+        size lives in mm_dbs[FREE_DBI].md_pad (mdb.c mm_psize); a
+        stamp of 0 (pre-upgrade fixtures) falls back to 4096."""
         flags = struct.unpack_from("<H", self._mm, base + 10)[0]
         if not flags & P_META:
-            raise MdbError(f"page {pgno} is not a meta page")
+            raise MdbError(f"offset {base} is not a meta page")
         magic, version, _addr, _mapsize = _META_HEAD.unpack_from(
             self._mm, base + PAGEHDRSZ
         )
@@ -119,27 +122,44 @@ class MdbReader:
         if version != MDB_DATA_VERSION:
             raise MdbError(f"unsupported MDB data version {version}")
         dbs_off = base + PAGEHDRSZ + _META_HEAD.size
+        free_db = _DB.unpack_from(self._mm, dbs_off)  # dbs[0]
         main_db = _DB.unpack_from(self._mm, dbs_off + _DB.size)  # dbs[1]
         _last_pg, txnid = _META_TAIL.unpack_from(self._mm, dbs_off + 2 * _DB.size)
-        return txnid, main_db
+        psize = free_db[0] or PAGESIZE
+        return txnid, psize, main_db
 
     def _pick_meta(self) -> tuple:
         """Both meta pages are candidates; the live one has the larger
-        txnid (mdb.c mdb_env_pick_meta)."""
+        txnid (mdb.c mdb_env_pick_meta). Meta 0 sits at offset 0 and
+        stamps the page size that locates meta 1 (offset mm_psize); if
+        meta 0 is unreadable, meta 1 is found by probing the real
+        liblmdb page sizes — a probe offset only counts when the meta
+        found there stamps that same psize."""
         cands = []
-        for pgno in (0, 1):
+        try:
+            cands.append(self._meta_at(0))
+        except (MdbError, struct.error):
+            pass
+        probe = [cands[0][1]] if cands else [
+            4096, 8192, 16384, 32768, 65536
+        ]
+        for off in probe:
             try:
-                cands.append(self._meta_at(pgno))
+                t, p, db = self._meta_at(off)
             except (MdbError, struct.error):
                 continue
+            if p == off:
+                cands.append((t, p, db))
         if not cands:
             raise MdbError(f"{self.path}: no valid meta page")
-        return max(cands, key=lambda t: t[0])[1]
+        txnid, psize, main_db = max(cands, key=lambda t: t[0])
+        self.psize = psize
+        return main_db
 
     def _page(self, pgno: int) -> tuple[int, int, int, int]:
         """-> (base offset, flags, nkeys, lower). NUMKEYS(p) =
         (mp_lower - PAGEHDRSZ) >> 1."""
-        base = pgno * PAGESIZE
+        base = pgno * self.psize
         flags = struct.unpack_from("<H", self._mm, base + 10)[0]
         lower = struct.unpack_from("<H", self._mm, base + 12)[0]
         return base, flags, (lower - PAGEHDRSZ) >> 1, lower
@@ -161,7 +181,7 @@ class MdbReader:
     def _leaf_value(self, dsize: int, nflags: int, data_off: int) -> bytes:
         if nflags & F_BIGDATA:
             ov_pgno = struct.unpack_from("<Q", self._mm, data_off)[0]
-            ov = ov_pgno * PAGESIZE
+            ov = ov_pgno * self.psize
             ovflags = struct.unpack_from("<H", self._mm, ov + 10)[0]
             if not ovflags & P_OVERFLOW:
                 raise MdbError(f"page {ov_pgno} is not an overflow page")
@@ -238,6 +258,7 @@ class MdbReader:
 # ---------------------------------------------------------------------------
 
 _NODEMAX = (PAGESIZE - PAGEHDRSZ) // 2 - 2  # conservative mdb.c me_nodemax
+_MAXKEYSIZE = 511  # mdb.c ENV_MAXKEY for 4096-byte pages
 
 
 def _leaf_node_bytes(key: bytes, value: bytes, big: bool, ov_pgno: int) -> bytes:
@@ -303,6 +324,15 @@ def write_mdb(path: str, items: dict[bytes, bytes] | list[tuple[bytes, bytes]]) 
         cur_nodes, cur_free, cur_first = [], PAGESIZE - PAGEHDRSZ, None
 
     for key, value in entries:
+        # real lmdb enforces this in mdb_put (MDB_BAD_VALSIZE); without
+        # it an oversized key's node would be appended past an empty
+        # page's capacity and _pack_page would silently overwrite the
+        # page header — a corrupt fixture with no error at write time
+        if len(key) > _MAXKEYSIZE:
+            raise MdbError(
+                f"key of {len(key)} bytes exceeds the lmdb max key size "
+                f"({_MAXKEYSIZE})"
+            )
         big = 8 + len(key) + len(value) > _NODEMAX
         ov_pgno = 0
         if big:
@@ -373,7 +403,9 @@ def write_mdb(path: str, items: dict[bytes, bytes] | list[tuple[bytes, bytes]]) 
         off = PAGEHDRSZ
         _META_HEAD.pack_into(page, off, MDB_MAGIC, MDB_DATA_VERSION, b"\x00" * 8, mapsize)
         off += _META_HEAD.size
-        _DB.pack_into(page, off, 0, 0, 0, 0, 0, 0, 0, P_INVALID)  # free DB
+        # free DB; its pad field is mm_psize — real liblmdb stamps the
+        # page size here and refuses files without it (MDB_INVALID)
+        _DB.pack_into(page, off, PAGESIZE, 0, 0, 0, 0, 0, 0, P_INVALID)
         off += _DB.size
         _DB.pack_into(
             page, off, 0, 0, depth, n_branch, len(leaf_pgnos), n_overflow,
@@ -407,6 +439,33 @@ def find_lmdb_envs(data_dir: str) -> list[tuple[str, int]]:
     return out
 
 
+def _env_index_frame(spark, envs: list[tuple[str, int]], num_partitions: int):
+    """The (dirpath, idx) frame every LMDB dataset variant fans out
+    over: global row ids ranged over ``num_partitions`` tasks, mapped
+    to (env, 1-based file idx) via a broadcast range-join on the
+    per-env offsets — ONE shared definition so the recognition, SR,
+    and any future variant can never diverge on the indexing/sampling
+    semantics. Returns None when the envs hold no samples."""
+    from pyspark.sql import functions as F
+
+    total = sum(n for _, n in envs)
+    if total == 0:
+        return None
+    rows, beg = [], 0
+    for dirpath, n in envs:
+        rows.append((dirpath, beg, n))
+        beg += n
+    offsets = spark.createDataFrame(rows, "dirpath string, beg bigint, n bigint")
+    return (
+        spark.range(0, total, 1, num_partitions)
+        .join(
+            F.broadcast(offsets),
+            (F.col("id") >= F.col("beg")) & (F.col("id") < F.col("beg") + F.col("n")),
+        )
+        .select("dirpath", (F.col("id") - F.col("beg") + 1).alias("idx"))
+    )
+
+
 def read_lmdb_dataset(
     spark, data_dir: str, num_partitions: int = 32, sample_ratio: float = 1.0
 ):
@@ -424,26 +483,11 @@ def read_lmdb_dataset(
     from pyspark.sql import functions as F
 
     envs = find_lmdb_envs(data_dir)
-    total = sum(n for _, n in envs)
-    if total == 0:
+    idx = _env_index_frame(spark, envs, num_partitions)
+    if idx is None:
         return spark.createDataFrame(
             [], "dirpath string, idx bigint, image binary, label string"
         )
-    # global index -> (env, 1-based file idx) via broadcast offsets
-    rows = []
-    beg = 0
-    for dirpath, n in envs:
-        rows.append((dirpath, beg, n))
-        beg += n
-    offsets = spark.createDataFrame(rows, "dirpath string, beg bigint, n bigint")
-    idx = (
-        spark.range(0, total, 1, num_partitions)
-        .join(
-            F.broadcast(offsets),
-            (F.col("id") >= F.col("beg")) & (F.col("id") < F.col("beg") + F.col("n")),
-        )
-        .select("dirpath", (F.col("id") - F.col("beg") + 1).alias("idx"))
-    )
     if sample_ratio < 1.0:
         gate = F.pmod(F.xxhash64("dirpath", "idx"), F.lit(1_000_000))
         idx = idx.filter(gate < int(sample_ratio * 1_000_000))
@@ -514,26 +558,13 @@ def read_lmdb_dataset_sr(
     from pyspark.sql import functions as F
 
     envs = find_lmdb_envs(data_dir)
-    total = sum(n for _, n in envs)
     schema = (
         "dirpath string, idx bigint, image_hr binary, image_lr binary, "
         "label string"
     )
-    if total == 0:
+    idx = _env_index_frame(spark, envs, num_partitions)
+    if idx is None:
         return spark.createDataFrame([], schema)
-    rows, beg = [], 0
-    for dirpath, n in envs:
-        rows.append((dirpath, beg, n))
-        beg += n
-    offsets = spark.createDataFrame(rows, "dirpath string, beg bigint, n bigint")
-    idx = (
-        spark.range(0, total, 1, num_partitions)
-        .join(
-            F.broadcast(offsets),
-            (F.col("id") >= F.col("beg")) & (F.col("id") < F.col("beg") + F.col("n")),
-        )
-        .select("dirpath", (F.col("id") - F.col("beg") + 1).alias("idx"))
-    )
 
     def fetch(batches):
         readers: dict[str, MdbReader] = {}

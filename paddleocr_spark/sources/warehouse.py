@@ -61,6 +61,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 N_BUCKETS = 16
 
@@ -344,6 +345,48 @@ def _write_data(
     return sorted(set(after) - before)
 
 
+def _check_n_buckets(pm: dict, n_buckets: int) -> None:
+    """The bucket count is part of the table's physical layout, fixed
+    at first commit: appending with a different modulus would scatter a
+    url across buckets and silently break bucket-pruned reads
+    (read_changes) and layout-reliant jobs. Recorded in every data
+    commit; a mismatched writer fails loudly here."""
+    rec = pm.get("n_buckets")
+    if rec is not None and rec != n_buckets:
+        raise ValueError(
+            f"table was bucketed with n_buckets={rec}; writing with "
+            f"n_buckets={n_buckets} would corrupt the layout"
+        )
+
+
+def _read_schema_json(df: DataFrame) -> str:
+    """JSON of the schema a SCAN of this commit's data would produce:
+    the written columns plus the recovered layout columns — partition
+    type inference reads ``day`` ('yyyy-MM-dd' dirs) back as DATE and
+    ``bucket`` as INT. Recorded in every data commit's manifest so a
+    snapshot with ZERO live data files (empty first ingest batch,
+    compaction after a full takedown) still reads as a schema-correct
+    empty frame instead of an unreadable table."""
+    fields = [f for f in df.schema.fields if f.name not in ("day", "bucket")]
+    sch = T.StructType(fields)
+    sch = sch.add("day", T.DateType()).add("bucket", T.IntegerType())
+    return sch.json()
+
+
+def _empty_frame(spark: SparkSession, m: dict, row_filter=None) -> DataFrame:
+    """Schema-correct empty frame for a snapshot with no live data
+    files, from the manifest's recorded read schema."""
+    sj = m.get("schema_json")
+    if sj is None:
+        raise ValueError(
+            "snapshot has no data files and no recorded schema_json "
+            "(table committed before schema recording); append data or "
+            "re-commit to make it readable"
+        )
+    df = spark.createDataFrame([], T.StructType.fromJson(json.loads(sj)))
+    return df.filter(row_filter) if row_filter is not None else df
+
+
 def _commit(table_dir: str, entry: dict, log_extra: tuple = ()) -> None:
     """Write the manifest and advance the log — the single metadata
     operation that makes a snapshot visible."""
@@ -367,7 +410,6 @@ def append(
     a new snapshot; returns its id. The snapshot id content-addresses
     (parent id + files added), so identical re-ingests are detectable
     and lineage rows referencing it pin the exact input state."""
-    added = _write_data(df, table_dir, url_col, ts_col, n_buckets)
     parent = current_snapshot_id(table_dir)
     # the new snapshot = parent's live file set + the files just added
     # (NOT the raw disk listing: after a replace/compact commit, files
@@ -375,11 +417,13 @@ def append(
     # expiry — listing them would double-count their rows)
     if parent is not None:
         pm = _load_manifest(table_dir, parent)
+        _check_n_buckets(pm, n_buckets)
         live, file_seq = pm["files"], dict(pm["file_seq"])
         delete_files, seq = pm["delete_files"], pm["seq"] + 1
         file_stats = dict(pm["file_stats"])
     else:
         live, file_seq, delete_files, seq, file_stats = [], {}, [], 1, {}
+    added = _write_data(df, table_dir, url_col, ts_col, n_buckets)
     files = sorted(set(live) | set(added))
     for f in added:
         file_seq[f] = seq
@@ -400,6 +444,8 @@ def append(
         file_stats=file_stats,
         delete_files=delete_files,
         batch_id=batch_id,
+        schema_json=_read_schema_json(df),
+        n_buckets=n_buckets,
         committed_ms=int(time.time() * 1000),
     )
     _carry_schema(pm if parent is not None else None, entry, added)
@@ -456,6 +502,8 @@ def delete_where(
         file_seq=pm["file_seq"],
         file_stats=pm["file_stats"],
         delete_files=pm["delete_files"] + [dict(path=rel, seq=seq, key=url_col)],
+        schema_json=pm.get("schema_json"),
+        n_buckets=pm.get("n_buckets"),
         committed_ms=int(time.time() * 1000),
     )
     _carry_schema(pm, entry, [])
@@ -498,8 +546,9 @@ def upsert(
             df, table_dir, url_col=url_col, ts_col=ts_col,
             n_buckets=n_buckets, batch_id=batch_id,
         )
-    added = _write_data(df, table_dir, url_col, ts_col, n_buckets)
     pm = _load_manifest(table_dir, parent)
+    _check_n_buckets(pm, n_buckets)
+    added = _write_data(df, table_dir, url_col, ts_col, n_buckets)
     seq = pm["seq"] + 1
     h = hashlib.md5()
     h.update(parent.encode())
@@ -531,6 +580,8 @@ def upsert(
         file_stats=file_stats,
         delete_files=pm["delete_files"] + [dict(path=rel, seq=seq, key=url_col)],
         batch_id=batch_id,
+        schema_json=_read_schema_json(df),
+        n_buckets=n_buckets,
         committed_ms=int(time.time() * 1000),
     )
     _carry_schema(pm, entry, added)
@@ -565,6 +616,11 @@ def read_table(
         raise ValueError(f"no snapshots committed in {table_dir}")
     m = _load_manifest(table_dir, sid)
     files, file_seq = m["files"], m["file_seq"]
+    if not files:
+        # zero live data files (empty first ingest batch, or compaction
+        # after a full takedown): a schema-correct empty frame — the
+        # table stays readable, spark.read.parquet of nothing would not
+        return _empty_frame(spark, m)
     data = _data_dir(table_dir)
     row_filter = None
     if prune_stats is not None:
@@ -594,7 +650,7 @@ def read_table(
         if not files:
             # every file skipped: an empty frame with the table schema
             return _scan_schema_only(
-                spark, data, m["files"], row_filter, schema_info=_registry(m)
+                spark, data, m["files"], schema_info=_registry(m)
             )
 
     return _scan_merge_on_read(
@@ -672,7 +728,7 @@ def _scan_merge_on_read(
     return out.filter(row_filter) if row_filter is not None else out
 
 
-def _scan_schema_only(spark, data, all_files, row_filter, schema_info=None):
+def _scan_schema_only(spark, data, all_files, schema_info=None):
     """All files skipped by stats: a schema-correct empty frame (one
     footer read, plan-time false predicate, no data IO)."""
     df = spark.read.option("basePath", data).parquet(
@@ -758,8 +814,10 @@ def read_incremental(
         table_dir, to_snapshot or current_snapshot_id(table_dir)
     )
     if not files:
+        if not to_m["files"]:
+            return _empty_frame(spark, to_m)
         return _scan_schema_only(
-            spark, _data_dir(table_dir), to_m["files"], F.lit(False),
+            spark, _data_dir(table_dir), to_m["files"],
             schema_info=_registry(to_m),
         )
     # deletes committed at-or-before `from` have seq <= every window
@@ -837,10 +895,17 @@ def read_changes(
         spark.read.parquet(*[os.path.join(ddir, p) for p in paths])
         .select("url").distinct()
     )
+    # the bucket modulus comes from the TABLE's manifest, not the
+    # caller: computing victim buckets with a different modulus than
+    # the one the data was written under would miss the victims'
+    # partitions and silently drop delete rows from the changelog (the
+    # parameter remains only as a fallback for tables committed before
+    # n_buckets was recorded)
+    nb = to_m.get("n_buckets") or n_buckets
     # O(n_buckets) driver rows, regardless of how many keys were deleted
     buckets = sorted(
         r["b"]
-        for r in del_keys.select(bucket_col("url", n_buckets).alias("b"))
+        for r in del_keys.select(bucket_col("url", nb).alias("b"))
         .distinct().collect()
     )
     base = read_table(spark, table_dir, from_snapshot)
@@ -871,14 +936,23 @@ def compact(
     grows with file count and each file under-fills its read task.
     """
     cur = read_table(spark, table_dir)  # merge-on-read: deletes applied
+    parent = current_snapshot_id(table_dir)
+    pm = _load_manifest(table_dir, parent) if parent else None
     before = set(_list_data_files(table_dir))
     if sort_within_partitions:
         # Iceberg sort-order rewrite: RANGE-partition on (day, bucket,
         # sort cols) so each (day, bucket) dir gets several files, each
         # covering a narrow sort-col range — that's what makes the
         # manifest min/max stats selective. target_partitions_per_day_
-        # bucket stays the per-dir file budget.
-        n_dirs = max(1, cur.select("day", "bucket").distinct().count())
+        # bucket stays the per-dir file budget. The dir count comes
+        # from the manifest's relpaths (day=X/bucket=Y/ prefixes) — an
+        # exact upper bound with ZERO Spark jobs, where a
+        # distinct().count() would merge-on-read scan the whole table
+        # once just to plan the rewrite that then scans it again.
+        n_dirs = max(
+            1,
+            len({os.path.dirname(f) for f in (pm["files"] if pm else [])}),
+        )
         n_out = n_dirs * max(1, target_partitions_per_day_bucket)
         rewrite = cur.repartitionByRange(
             n_out, "day", "bucket", *sort_within_partitions
@@ -896,8 +970,7 @@ def compact(
         )
     after = _list_data_files(table_dir)
     added = sorted(set(after) - before)
-    parent = current_snapshot_id(table_dir)
-    seq = _load_manifest(table_dir, parent)["seq"] + 1 if parent else 1
+    seq = pm["seq"] + 1 if pm else 1
     h = hashlib.md5()
     h.update((parent or "").encode())
     h.update(b"compact")
@@ -915,16 +988,16 @@ def compact(
         file_seq={f: seq for f in added},
         file_stats=_file_stats(_data_dir(table_dir), added),
         delete_files=[],  # materialized by the rewrite: no delete baggage
+        schema_json=_read_schema_json(cur),
+        n_buckets=pm.get("n_buckets") if pm else None,
         committed_ms=int(time.time() * 1000),
     )
     # compact reads mapped-to-current frames, so its files ARE current
-    _carry_schema(
-        _load_manifest(table_dir, parent) if parent else None, entry, added
-    )
-    with open(os.path.join(_snap_dir(table_dir), f"{snap_id}.json"), "w") as fh:
-        json.dump(entry, fh)
-    with open(os.path.join(_snap_dir(table_dir), "log.jsonl"), "a") as fh:
-        fh.write(json.dumps({k: entry[k] for k in ("snapshot_id", "parent", "n_files", "committed_ms")}) + "\n")
+    _carry_schema(pm, entry, added)
+    # same single metadata operation as every other commit; the log
+    # row carries operation='replace' so audits can tell a compaction
+    # from an append (delete/merge commits were already labeled)
+    _commit(table_dir, entry, log_extra=("operation",))
     return snap_id
 
 

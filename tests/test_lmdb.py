@@ -220,3 +220,50 @@ def test_reader_rejects_garbage_and_truncation(tmp_path):
     (t / "data.mdb").write_bytes(b"\x13\x37" * 100)  # < one page
     with pytest.raises(MdbError):
         MdbReader(str(t))
+
+
+def test_psize_stamped_and_honored(tmp_path):
+    """The writer stamps mm_psize (mm_dbs[FREE_DBI].md_pad — real
+    liblmdb refuses files without it, MDB_INVALID), and the reader
+    honors a stamped non-4096 page size instead of hardcoding 4096 —
+    e.g. a data.mdb produced by liblmdb on a 16K-page host."""
+    env = write_mdb(str(tmp_path / "env"), {b"k": b"v", b"z": b"9"})
+    raw = open(os.path.join(env, "data.mdb"), "rb").read()
+    # free DB struct at 16 + 24 = 40; its pad field IS mm_psize
+    assert struct.unpack_from("<I", raw, 40)[0] == PAGESIZE
+
+    # synthesize the same file at psize 8192 by re-laying the pages
+    # (each 4096-page payload fits an 8192 page; headers stay at the
+    # page head, node ptrs are page-relative so only the slot offsets
+    # computed from `upper` shift — rebuild instead with the writer's
+    # own primitives at a larger psize is overkill: just check the
+    # reader trusts a stamped psize for meta-1 location)
+    big = bytearray(8192 * 2)
+    big[0:4096] = raw[0:4096]                 # meta 0 at offset 0
+    big[8192 : 8192 + 4096] = raw[4096:8192]  # meta 1 at offset psize
+    struct.pack_into("<I", big, 40, 8192)                  # meta0 mm_psize
+    struct.pack_into("<I", big, 8192 + 40, 8192)           # meta1 mm_psize
+    import paddleocr_spark.sources.lmdb_store as L
+
+    p = tmp_path / "env8k"
+    p.mkdir()
+    (p / "data.mdb").write_bytes(bytes(big))
+    r = L.MdbReader(str(p))
+    assert r.psize == 8192
+    # root leaf was page 2 at 4096-paging; at 8192 paging the data
+    # pages don't exist — the point here is ONLY meta arbitration:
+    # txnid 1 (meta 0) must win and entries must read through
+    assert r.entries == 2
+    r.close()
+
+
+def test_write_mdb_rejects_oversized_key(tmp_path):
+    """mdb_put's MDB_BAD_VALSIZE analog: a key over the lmdb max key
+    size must raise at write time — silently appending it would
+    overwrite the page header and corrupt the fixture."""
+    import pytest
+
+    from paddleocr_spark.sources.lmdb_store import MdbError
+
+    with pytest.raises(MdbError, match="max key size"):
+        write_mdb(str(tmp_path / "env"), {b"k" * 600: b"v"})

@@ -783,3 +783,73 @@ def test_micros_timestamps_conf_restored(spark, smoke_dir, tmp_path):
         assert isinstance(some["warc_ts"][0], int)
     finally:
         spark.conf.set(key, prev)
+
+
+def test_empty_commits_stay_readable(spark, smoke_dir, tmp_path):
+    """A snapshot with ZERO live data files must read as a
+    schema-correct empty frame, not an unreadable table: (a) an empty
+    first ingest batch (streaming batch 0 with no input), (b) a
+    compaction after a full takedown."""
+    pages = _load_pages(spark, smoke_dir)
+
+    # (a) empty first append
+    tbl = str(tmp_path / "empty_first")
+    W.append(pages.limit(0), tbl)
+    df = W.read_table(spark, tbl)
+    assert df.count() == 0
+    assert {"url", "warc_ts", "day", "bucket"} <= set(df.columns)
+    # and it recovers: a later real append reads normally
+    W.append(pages.limit(20), tbl)
+    assert W.read_table(spark, tbl).count() == 20
+
+    # (b) full takedown then compact -> zero files, still readable
+    tbl2 = str(tmp_path / "all_gone")
+    some = pages.limit(10)
+    W.append(some, tbl2)
+    W.delete_where(spark, tbl2, [r["url"] for r in some.select("url").collect()])
+    W.compact(spark, tbl2)
+    out = W.read_table(spark, tbl2)
+    assert out.count() == 0 and "url" in out.columns
+    # incremental across the empty end-state doesn't crash either
+    snaps = [s["snapshot_id"] for s in W.snapshots(tbl2)]
+    assert W.read_incremental(spark, tbl2, snaps[-1]).count() >= 0
+
+
+def test_n_buckets_recorded_and_enforced(spark, smoke_dir, tmp_path):
+    """The bucket modulus is table layout, fixed at first commit: a
+    writer with a different n_buckets must fail loudly, and
+    read_changes must use the RECORDED modulus (a caller-supplied
+    wrong one would miss the victims' partitions and silently drop
+    delete rows from the changelog)."""
+    import pytest
+
+    pages = _load_pages(spark, smoke_dir)
+    tbl = str(tmp_path / "nb_tbl")
+    base = pages.limit(40)
+    s1 = W.append(base, tbl, n_buckets=4)
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        W.append(pages.limit(5), tbl, n_buckets=16)
+    with pytest.raises(ValueError, match="n_buckets"):
+        W.upsert(pages.limit(5), tbl, n_buckets=16)
+
+    victims = [r["url"] for r in base.select("url").limit(3).collect()]
+    W.delete_where(spark, tbl, victims)
+    # caller passes the WRONG modulus; the recorded one must win
+    ch = W.read_changes(spark, tbl, s1, n_buckets=16)
+    dels = ch.filter(F.col("_change_type") == "delete")
+    assert sorted(r["url"] for r in dels.select("url").collect()) == sorted(victims)
+
+
+def test_compact_log_row_labeled_replace(spark, smoke_dir, tmp_path):
+    """snapshots() must distinguish a compaction from an append — the
+    log row carries operation='replace' like delete/merge commits."""
+    import json as _json
+
+    pages = _load_pages(spark, smoke_dir)
+    tbl = str(tmp_path / "label_tbl")
+    W.append(pages.limit(10), tbl)
+    W.compact(spark, tbl)
+    log = os.path.join(tbl, "_snapshots", "log.jsonl")
+    rows = [_json.loads(l) for l in open(log)]
+    assert rows[-1].get("operation") == "replace"
