@@ -91,6 +91,15 @@ def run_daily(
         spark, landing_dir, pages_dir, os.path.join(checkpoint_dir, "ingest")
     )
     stats["pages_snapshot"] = W.current_snapshot_id(pages_dir)
+    if stats["pages_snapshot"] is None:
+        # first run over a still-empty landing dir: nothing ingested,
+        # no pages table yet — a quiet-day no-op with zeroed stats, not
+        # a crash in sync (whose loud no-snapshots error is for a WRONG
+        # path, which an operator-scheduled daily run can't distinguish
+        # from "the crawlers just haven't dropped files yet")
+        stats["extracted"] = {"inserted": 0, "deleted": 0}
+        stats["admitted"] = 0
+        return stats
 
     # 2) sync the extracted table over the pages CDC window
     sync = sync_extracted(spark, pages_dir, extracted_dir, mode=mode)

@@ -108,6 +108,7 @@ def build_dedup(spark, docs, algorithm: str = "propagation",
 
 
 def build_incremental_dedup(spark, base, new,
+                            algorithm: str = "propagation",
                             checkpoint_dir: str | None = None):
     """Incremental (daily-crawl) dedup: admit only those NEW documents
     that are not exact or near duplicates of the existing corpus or of
@@ -131,7 +132,16 @@ def build_incremental_dedup(spark, base, new,
     from pyspark.sql import functions as F
 
     from paddleocr_spark.functions import dedup
-    from paddleocr_spark.functions.graph import connected_components
+    from paddleocr_spark.functions.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
+
+    cc_fn = (
+        connected_components_two_phase
+        if algorithm == "twophase"
+        else connected_components
+    )
 
     # 1) exact: de-dup within the batch (min doc_id per hash), then
     #    drop anything whose content hash already exists in the corpus
@@ -154,22 +164,12 @@ def build_incremental_dedup(spark, base, new,
         new_exact.select("doc_id", "text")
     )
     pairs = dedup.lsh_candidate_pairs(combined)
-    cc = connected_components(pairs, checkpoint_dir=checkpoint_dir)
-    base_ids = base.select(F.col("doc_id").alias("id"), F.lit(1).alias("__is_base"))
-    labeled = cc.join(base_ids, "id", "left")
-    tainted = (
-        labeled.groupBy("cluster_id")
-        .agg(F.max(F.coalesce("__is_base", F.lit(0))).alias("has_base"))
-        .filter(F.col("has_base") == 1)
-        .select("cluster_id")
-    )
-    # clustered new docs that survive: component representative
-    # (id == cluster_id) of a corpus-free component
-    clustered_survivor_ids = (
-        labeled.filter(F.col("__is_base").isNull())
-        .join(tainted, "cluster_id", "left_anti")
-        .filter(F.col("id") == F.col("cluster_id"))
-        .select(F.col("id").alias("doc_id"))
+    cc = cc_fn(pairs, checkpoint_dir=checkpoint_dir)
+    # shared admission rule (functions/dedup.cc_admitted_new_ids): a
+    # clustered new doc survives iff its component is corpus-free and
+    # it is the representative. Base side is O(corpus): NOT broadcast.
+    clustered_survivor_ids = dedup.cc_admitted_new_ids(
+        cc, base.select("doc_id")
     )
     clustered_ids = cc.select(F.col("id").alias("doc_id"))
     unclustered = new_exact.join(clustered_ids, "doc_id", "left_anti")
@@ -224,10 +224,17 @@ def main(argv=None) -> int:
     if args.store:
         from paddleocr_spark.functions import dedup_store as S
 
+        if args.winner != "min_id" and S.store_exists(args.store):
+            # the store path admits whole newcomers; there is no
+            # cluster to pick a representative from, so a non-default
+            # winner rule would be silently meaningless — fail loudly
+            ap.error("--winner applies to full/seed dedup only, not to "
+                     "store-incremental admission")
         if not S.store_exists(args.store):
             # day 0: full self-dedup, then seed the store
             _, _, corpus = build_dedup(
-                spark, docs, args.algorithm, checkpoint_dir=args.checkpoint_dir
+                spark, docs, args.algorithm, checkpoint_dir=args.checkpoint_dir,
+                winner=args.winner,
             )
             corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
             corpus = spark.read.parquet(f"{args.output}/corpus")
@@ -235,7 +242,8 @@ def main(argv=None) -> int:
             mode = "store-seed"
         else:
             survivors = S.incremental_dedup_against_store(
-                spark, args.store, docs, checkpoint_dir=args.checkpoint_dir
+                spark, args.store, docs, checkpoint_dir=args.checkpoint_dir,
+                algorithm=args.algorithm,
             )
             survivors.write.mode("overwrite").parquet(f"{args.output}/corpus")
             admitted = spark.read.parquet(f"{args.output}/corpus")
@@ -253,7 +261,8 @@ def main(argv=None) -> int:
     if args.base:
         base = spark.read.parquet(args.base)
         survivors = build_incremental_dedup(
-            spark, base, docs, checkpoint_dir=args.checkpoint_dir
+            spark, base, docs, algorithm=args.algorithm,
+            checkpoint_dir=args.checkpoint_dir,
         )
         survivors.write.mode("overwrite").parquet(f"{args.output}/corpus")
         n_out = spark.read.parquet(f"{args.output}/corpus").count()
@@ -278,8 +287,11 @@ def main(argv=None) -> int:
     n_exact = exact.count()
     clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
     corpus.write.mode("overwrite").parquet(f"{args.output}/corpus")
+    # count the WRITTEN parquet (footer reads): counting the frames
+    # would re-execute the LSH candidate join + the CC fixpoint — the
+    # job's most expensive stage — a second time just for a stat
     n_out = spark.read.parquet(f"{args.output}/corpus").count()
-    n_clustered = clusters.count()
+    n_clustered = spark.read.parquet(f"{args.output}/clusters").count()
 
     print(
         json.dumps(

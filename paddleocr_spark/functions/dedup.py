@@ -453,3 +453,38 @@ def sql_simhash64_near_dup(
          and a.{id_col} < b.{id_col}
         where {ham} <= {max_hamming}
     """
+
+
+def cc_admitted_new_ids(
+    cc: DataFrame, base_ids: DataFrame, broadcast_base: bool = False
+) -> DataFrame:
+    """THE incremental-admission rule, in one place (it previously
+    lived copy-for-copy in jobs/dedup.py, here, and the store path —
+    three sites a survivor-rule fix had to hit in lockstep): given CC
+    labels ``(id, cluster_id)`` over base ∪ new and the base id set,
+    a NEW doc survives iff its component contains no base member AND
+    it is the component representative (min id == cluster_id).
+    Returns the surviving new ids as ``doc_id``; docs that collided
+    with nothing never enter ``cc`` and are the caller's to union in.
+
+    ``broadcast_base=True`` when the base side is provably bounded
+    (the store path's collision set — the day's matches, not the
+    corpus); leave False when it is O(corpus)."""
+    b = base_ids.select(
+        F.col(base_ids.columns[0]).alias("id")
+    ).distinct().withColumn("__is_base", F.lit(1))
+    if broadcast_base:
+        b = F.broadcast(b)
+    labeled = cc.join(b, "id", "left")
+    tainted = (
+        labeled.groupBy("cluster_id")
+        .agg(F.max(F.coalesce("__is_base", F.lit(0))).alias("has_base"))
+        .filter(F.col("has_base") == 1)
+        .select("cluster_id")
+    )
+    return (
+        labeled.filter(F.col("__is_base").isNull())
+        .join(tainted, "cluster_id", "left_anti")
+        .filter(F.col("id") == F.col("cluster_id"))
+        .select(F.col("id").alias("doc_id"))
+    )

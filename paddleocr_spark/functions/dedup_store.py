@@ -32,6 +32,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from paddleocr_spark.functions import dedup
 from paddleocr_spark.functions.dedup import (
     LSH_BANDS,
     N_MINHASH,
@@ -91,6 +92,7 @@ def incremental_dedup_against_store(
     checkpoint_dir: str | None = None,
     n_minhash: int = N_MINHASH,
     n_bands: int = LSH_BANDS,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Admit only new documents that duplicate neither the corpus (via
     the store) nor an admitted newcomer. Returns the survivors; the
@@ -102,8 +104,16 @@ def incremental_dedup_against_store(
     not the corpus."""
     from pyspark.sql import Window
 
-    from paddleocr_spark.functions.graph import connected_components
+    from paddleocr_spark.functions.graph import (
+        connected_components,
+        connected_components_two_phase,
+    )
 
+    cc_fn = (
+        connected_components_two_phase
+        if algorithm == "twophase"
+        else connected_components
+    )
     store = read_store(spark, store_dir)
     new_sigs = doc_signatures(
         new, id_col, text_col, n_minhash=n_minhash, n_bands=n_bands
@@ -159,22 +169,11 @@ def incremental_dedup_against_store(
     # 4) CC + corpus taint, same admission rule as jobs/dedup.py:
     #    a new doc survives iff its component is corpus-free and it is
     #    the component minimum (or it collided with nothing)
-    cc = connected_components(pairs, checkpoint_dir=checkpoint_dir)
-    base_ids = cross.select(F.col("id_a").alias("id")).distinct().withColumn(
-        "__is_base", F.lit(1)
-    )
-    labeled = cc.join(F.broadcast(base_ids), "id", "left")
-    tainted = (
-        labeled.groupBy("cluster_id")
-        .agg(F.max(F.coalesce("__is_base", F.lit(0))).alias("has_base"))
-        .filter(F.col("has_base") == 1)
-        .select("cluster_id")
-    )
-    clustered_survivors = (
-        labeled.filter(F.col("__is_base").isNull())
-        .join(tainted, "cluster_id", "left_anti")
-        .filter(F.col("id") == F.col("cluster_id"))
-        .select(F.col("id").alias("doc_id"))
+    cc = cc_fn(pairs, checkpoint_dir=checkpoint_dir)
+    # the base side here is the day's COLLISION set (store rows that
+    # matched some newcomer), bounded by the batch — broadcastable
+    clustered_survivors = dedup.cc_admitted_new_ids(
+        cc, cross.select(F.col("id_a").alias("id")), broadcast_base=True
     )
     clustered = cc.select(F.col("id").alias("doc_id")).distinct()
     keep_ids = (

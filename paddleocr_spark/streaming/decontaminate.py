@@ -49,12 +49,23 @@ def run_decontaminate_stream(
     bench_hashes: DataFrame,
     name: str,
     max_files_per_trigger: int | None = None,
+    schema=None,
 ) -> DataFrame:
     """File-source stream -> stream-static broadcast join -> complete-
     mode memory sink; returns the accumulated flags after the stream
     drains. `max_files_per_trigger=1` forces multi-batch execution so
-    tests exercise cross-batch state accumulation."""
-    schema = spark.read.parquet(input_dir).schema
+    tests exercise cross-batch state accumulation. ``schema`` makes a
+    zero-data drain well-defined (a landing dir is empty between
+    drops); without it an empty dir raises a clear error instead of an
+    opaque schema-inference failure."""
+    if schema is None:
+        try:
+            schema = spark.read.parquet(input_dir).schema
+        except Exception as ex:
+            raise ValueError(
+                f"{input_dir} holds no readable parquet yet; pass schema= "
+                "to run a zero-batch drain over an empty landing dir"
+            ) from ex
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -1,10 +1,13 @@
 """Streaming exact dedup: first-seen-wins key dedup with a watermark.
 
 The streaming twin of the batch `dedup_exact` hash-groupBy
-(functions/dedup.py): under `readStream`, `dropDuplicates` keeps
-per-key state; the watermark bounds that state by event time so the
-job runs forever without unbounded memory — the classic incremental
-ingest guard ("have I already extracted this url?"). The reference has
+(functions/dedup.py): under `readStream`,
+`dropDuplicatesWithinWatermark` keeps per-key state and EVICTS each
+key once the watermark passes it, so the job runs forever without
+unbounded memory (plain `dropDuplicates(keys)` would keep every
+distinct key's state forever when the event-time column is not part of
+the subset) — the classic incremental ingest guard ("have I already
+extracted this url?"). The reference has
 no streaming surface (SURVEY.md §2.10); this is the honest extension
 the same stage functions support.
 
@@ -26,8 +29,20 @@ from paddleocr_spark.streaming.events import await_drain
 
 def dedup_keys(df: DataFrame, keys: list[str], ts_col: str, delay: str) -> DataFrame:
     """Watermarked first-occurrence dedup on `keys` (works under both
-    batch and streaming plans; batch ignores the watermark)."""
-    return df.withWatermark(ts_col, delay).dropDuplicates(keys)
+    batch and streaming plans; batch ignores the watermark).
+
+    Streaming uses ``dropDuplicatesWithinWatermark``: with plain
+    ``dropDuplicates(keys)`` Spark only evicts per-key state when the
+    event-time column is PART of the dedup subset — with it absent the
+    state store grows one entry per distinct key forever, which is
+    exactly the unbounded-memory failure this module's watermark claim
+    promises to prevent. The within-watermark variant evicts each key
+    after the watermark passes it, matching the documented semantics
+    ("a duplicate arriving later than the watermark may be
+    re-admitted")."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
 
 
 def run_dedup_stream(

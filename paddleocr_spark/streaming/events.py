@@ -183,7 +183,16 @@ def run_hourly_stream_append(
     sink — a window row is emitted exactly once, when the watermark
     passes its end (late-data-final semantics). maxFilesPerTrigger=1
     advances the watermark between micro-batches so closed windows
-    flush during an availableNow drain."""
+    flush during an availableNow drain.
+
+    The flip side of late-data-final: windows NOT yet closed by the
+    final watermark (the newest ~``watermark`` of event time) stay in
+    the state store and are ABSENT from ``out_dir`` after a one-shot
+    drain — they flush on a later drain once new data advances the
+    watermark past them. A consumer treating the sink as "the complete
+    aggregate" must either wait out the watermark horizon or union the
+    batch aggregate over the tail. (Same property for
+    sessions.session_window_stream.)"""
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)

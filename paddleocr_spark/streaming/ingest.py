@@ -128,7 +128,12 @@ def extract_pages_stream_warehouse(
     micro-batch (the extraction stages carry url/lang/html only) so
     the extracted table gets the same ``days(warc_ts)``/``bucket(url)``
     partition transforms as the pages table; within a micro-batch that
-    join is small and AQE broadcasts it.
+    join is small and AQE broadcasts it. A micro-batch can span several
+    crawl files and carry MULTIPLE captures of one url; the extraction
+    output is keyed by url alone, so the batch is first consolidated to
+    the latest capture per url (the ``latest_crawl`` rule) — a plain
+    url join over duplicate captures would pair every extracted text
+    with every warc_ts (k² rows, wrong pairings).
 
     Downstream consumers read a PINNED snapshot of the extracted table,
     so a continuously-draining extractor never changes the rows a
@@ -137,8 +142,11 @@ def extract_pages_stream_warehouse(
     from paddleocr_spark.operators.extract import extract
 
     def _extract_commit(batch_df, batch_id: int) -> None:
-        out = extract(batch_df.select("url", "lang", "html")).join(
-            batch_df.select("url", "warc_ts"), "url"
+        from paddleocr_spark.sources.readers import latest_crawl
+
+        latest = latest_crawl(batch_df)
+        out = extract(latest.select("url", "lang", "html")).join(
+            latest.select("url", "warc_ts"), "url"
         )
         idempotent_append(out, batch_id, table_dir)
 

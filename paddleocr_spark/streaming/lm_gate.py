@@ -43,6 +43,7 @@ def run_lm_gate_stream(
     out_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    schema=None,
 ) -> DataFrame:
     """File-source document stream -> per-micro-batch LM scoring ->
     batch-id-keyed parquet sink. The LM frames must be static (batch)
@@ -51,8 +52,22 @@ def run_lm_gate_stream(
     idempotent under replay (exactly-once OUTPUT, at-least-once
     execution). Returns the accumulated scores after the stream drains.
     `max_files_per_trigger=1` forces multi-batch execution so tests
-    exercise the batch-boundary independence claim."""
-    schema = spark.read.parquet(input_dir).schema
+    exercise the batch-boundary independence claim.
+
+    ``schema`` makes a zero-data drain well-defined: an admission
+    landing dir is EMPTY between drops (its normal steady state), and
+    schema inference over an empty dir cannot succeed — with ``schema``
+    passed the drain no-ops and returns an empty scores frame; without
+    it an empty dir raises a clear error instead of an opaque
+    inference failure."""
+    if schema is None:
+        try:
+            schema = spark.read.parquet(input_dir).schema
+        except Exception as ex:
+            raise ValueError(
+                f"{input_dir} holds no readable parquet yet; pass schema= "
+                "to run a zero-batch drain over an empty landing dir"
+            ) from ex
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -73,4 +88,10 @@ def run_lm_gate_stream(
         .start()
     )
     await_drain(q, 180)
-    return spark.read.parquet(os.path.join(out_dir, "scores"))
+    scores_dir = os.path.join(out_dir, "scores")
+    if not os.path.isdir(scores_dir):
+        # zero batches drained: no batch=<id> dir was ever written —
+        # an empty scores frame, same schema as a scored batch
+        empty = spark.createDataFrame([], schema)
+        return score_against_bigram_lm(empty, uni, bi, total)
+    return spark.read.parquet(scores_dir)

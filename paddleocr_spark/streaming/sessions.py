@@ -3,13 +3,20 @@ applyInPandasWithState.
 
 The batch twin is queries.q_events_sessionize (lag + running sum over a
 per-user window); here the gap logic runs incrementally with one state
-row per user — (n_sessions, n_events, last_seen_us) — so an unbounded
-stream needs O(users) state, not O(events). Batch/stream parity is
-asserted in tests/test_streaming.py.
+row per user holding the user's SESSION INTERVALS — so an unbounded
+stream needs O(users x sessions) state, not O(events), and the result
+is EXACT under any arrival order: a late-but-delivered event that
+lands inside an existing session extends it, and one that bridges two
+previously-separate sessions MERGES them (a counter-only state cannot
+un-count a session, which is why last-seen-timestamp designs break
+batch/stream parity on out-of-order input). Batch/stream parity —
+including a cross-batch out-of-order batch — is asserted in
+tests/test_streaming.py.
 
 Scale notes: state is keyed by user_id (shuffle on the group key, same
 as the batch window); a production run adds a state TTL
-(GroupStateTimeout) to expire idle users past the watermark.
+(GroupStateTimeout) to expire idle users past the watermark, which
+also bounds the interval list by the retention horizon.
 """
 
 from __future__ import annotations
@@ -27,7 +34,23 @@ from paddleocr_spark.streaming.events import read_event_stream
 SESSION_GAP_US = 1_800_000_000  # 30 min, mirrors queries.SESSION_GAP_US
 
 OUTPUT_SCHEMA = "user_id bigint, n_sessions bigint, n_events bigint"
-STATE_SCHEMA = "n_sessions bigint, n_events bigint, last_us bigint"
+STATE_SCHEMA = "n_events bigint, starts array<bigint>, ends array<bigint>"
+
+
+def _merge_intervals(
+    intervals: list[tuple[int, int]], gap: int
+) -> list[tuple[int, int]]:
+    """Sorted sweep: two intervals belong to one session iff the gap
+    between them is <= ``gap`` (the batch rule: a NEW session starts
+    when the inter-event gap is strictly greater)."""
+    out: list[list[int]] = []
+    for s, e in sorted(intervals):
+        if out and s - out[-1][1] <= gap:
+            if e > out[-1][1]:
+                out[-1][1] = e
+        else:
+            out.append([s, e])
+    return [(s, e) for s, e in out]
 
 
 def _update_user(
@@ -35,25 +58,24 @@ def _update_user(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        n_sessions, n_events, last_us = state.get
+        n_events, starts, ends = state.get
+        intervals = list(zip(starts, ends))
     else:
-        n_sessions, n_events, last_us = 0, 0, None
+        n_events, intervals = 0, []
 
-    batches = [pdf[["us", "event_id"]] for pdf in pdfs]
+    batches = [pdf[["us"]] for pdf in pdfs]
     if batches:
-        ev = pd.concat(batches).sort_values(["us", "event_id"])
-        us = ev["us"].to_numpy()
-        prev = us[:-1]
-        # gaps within this batch, plus the boundary gap vs carried state
-        new_in_batch = int((us[1:] - prev > SESSION_GAP_US).sum())
-        first_new = 1 if last_us is None or us[0] - last_us > SESSION_GAP_US else 0
-        n_sessions += first_new + new_in_batch
+        us = pd.concat(batches)["us"].to_numpy()
         n_events += len(us)
-        last_us = int(us[-1])
+        intervals = _merge_intervals(
+            intervals + [(int(t), int(t)) for t in us], SESSION_GAP_US
+        )
 
-    state.update((n_sessions, n_events, last_us))
+    state.update(
+        (n_events, [s for s, _ in intervals], [e for _, e in intervals])
+    )
     yield pd.DataFrame(
-        [[user_id, n_sessions, n_events]],
+        [[user_id, len(intervals), n_events]],
         columns=["user_id", "n_sessions", "n_events"],
     )
 
@@ -62,13 +84,16 @@ def sessionize_stream(
     spark: SparkSession,
     input_dir: str,
     query_name: str = "sessions_stream",
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """availableNow run of the stateful sessionizer into a memory sink;
     returns the (update-mode) result table — take the last row per user
-    for the final counts."""
-    stream = read_event_stream(spark, input_dir).withColumn(
-        "us", F.unix_micros(F.col("ts").cast("timestamp"))
-    )
+    for the final counts. ``max_files_per_trigger=1`` forces one
+    micro-batch per file — the multi-batch path where the interval
+    state actually merges across batches."""
+    stream = read_event_stream(
+        spark, input_dir, max_files_per_trigger=max_files_per_trigger
+    ).withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
     out = stream.groupBy("user_id").applyInPandasWithState(
         _update_user,
         outputStructType=OUTPUT_SCHEMA,
@@ -108,18 +133,10 @@ def session_window_stream(
     stream = read_event_stream(
         spark, input_dir, watermark=watermark, max_files_per_trigger=1
     )
-    agg = (
-        stream.groupBy(
-            F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id")
-        )
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
-            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-            "user_id",
-            "n_events",
-        )
-    )
+    # the ONE aggregation, shared with the batch twin below — parity by
+    # construction (the linkgraph.py convention): an edit to the
+    # projection cannot desynchronize the frames the tests compare
+    agg = session_window_batch(stream, gap)
     q = (
         agg.writeStream.format("parquet")
         .option("path", out_dir)

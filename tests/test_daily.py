@@ -254,3 +254,25 @@ def test_daily_pending_window_survives_target_advance(
     s_again = run_daily(*args)
     assert s_again["admitted"] == 0 and "recovered" not in s_again
     day1.unpersist(); day2.unpersist(); day3.unpersist()
+
+
+def test_daily_first_run_empty_landing_noops(spark, tmp_path):
+    """Scheduling the daily job BEFORE crawlers drop any files must be
+    a quiet-day no-op with zeroed stats — not a crash in sync over a
+    pages table that has no snapshots yet (r5 review finding)."""
+    from daily import run_daily
+
+    landing = str(tmp_path / "landing_empty")
+    os.makedirs(landing)
+    stats = run_daily(
+        spark,
+        landing,
+        str(tmp_path / "pages"),
+        str(tmp_path / "ext"),
+        str(tmp_path / "store"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    assert stats["pages_snapshot"] is None
+    assert stats["extracted"] == {"inserted": 0, "deleted": 0}
+    assert stats["admitted"] == 0

@@ -690,3 +690,78 @@ def test_frontier_job_surface_and_noop_rerun(spark, tmp_path):
     s3 = run()
     assert s3["n_known"] == 2
     assert s3["top_hosts"] == {"c.example": 1}
+
+
+def _events_file(path, rows, mtime, user_id=1):
+    """(event_id, second, type) rows -> one events parquet file with a
+    pinned mtime so maxFilesPerTrigger=1 gives a deterministic batch
+    order."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime
+
+    from datetime import timedelta
+
+    ids, tss, types = zip(*rows)
+    base = datetime(2024, 1, 1)
+    t = pa.table(
+        {
+            "event_id": pa.array(ids, pa.int64()),
+            "ts": pa.array(
+                [base + timedelta(seconds=s) for s in tss], pa.timestamp("us")
+            ),
+            "user_id": pa.array([user_id] * len(rows), pa.int64()),
+            "event_type": pa.array(types, pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(path))
+    os.utime(path, (mtime, mtime))
+
+
+def test_sessionize_out_of_order_cross_batch_exact(spark, tmp_path):
+    """A late-but-delivered event that BRIDGES two already-counted
+    sessions must merge them — the interval-merge state is exact under
+    out-of-order arrival (a counter+last-seen state would report 2
+    sessions and a regressed frontier; the batch answer is 1)."""
+    from paddleocr_spark.streaming.sessions import sessionize_stream
+
+    src = tmp_path / "sess_ooo"
+    os.makedirs(src)
+    # batch 1: t=0 and t=2000s -> gap 2000s > 1800s -> 2 sessions
+    _events_file(src / "f0.parquet", [(1, 0, "A"), (2, 2000, "A")], 1_000_000)
+    # batch 2: late t=1000s bridges them -> gaps 1000s each -> 1 session
+    _events_file(src / "f1.parquet", [(3, 1000, "A")], 1_000_100)
+
+    got = sessionize_stream(
+        spark, str(src), "t_sess_ooo", max_files_per_trigger=1
+    )
+    rows = sorted(
+        (r["n_sessions"], r["n_events"]) for r in got.collect()
+    )
+    # update-mode emissions: after batch 1 (2 sessions, 2 events),
+    # after batch 2 the bridge MERGES them (1 session, 3 events)
+    assert rows[-1] == (2, 2) and rows[0] == (1, 3)
+
+
+def test_run_collapse_late_events_dropped_and_counted(spark, tmp_path):
+    """Run decomposition is sequence-order-dependent; an event ordered
+    before the folded frontier is dropped AND counted (n_late), never
+    silently mis-folded (module order contract)."""
+    from paddleocr_spark.streaming.runs import run_collapse_stream
+
+    src = tmp_path / "runs_late"
+    os.makedirs(src)
+    _events_file(src / "f0.parquet", [(i, i, "A") for i in range(5)], 1_000_000)
+    _events_file(src / "f1.parquet", [(99, 2, "B")], 1_000_100)  # late
+
+    got = run_collapse_stream(
+        spark, str(src), "t_runs_late", max_files_per_trigger=1
+    )
+    final = {}
+    for r in got.collect():
+        k = r["user_id"]
+        if k not in final or r["n_late"] >= final[k][2]:
+            final[k] = (r["n_runs"], r["longest_run"], r["n_late"])
+    assert final[1] == (1, 5, 1)
