@@ -38,7 +38,14 @@ from paddleocr_spark.core.tokenizer import Block, tokenize_page
 
 
 def block_score(text_len: int, link_text_len: int, k: int) -> float:
-    return (text_len - link_text_len) / (text_len + float(k))
+    # degenerate denominator (empty block under score_k=0): Spark's
+    # division yields NULL there and the threshold filter drops the
+    # block; -inf makes the Python realization drop it at the same
+    # filter instead of raising ZeroDivisionError mid-batch
+    den = text_len + float(k)
+    if den == 0:
+        return float("-inf")
+    return (text_len - link_text_len) / den
 
 
 def block_score_for(b: Block, cfg: PipelineConfig) -> float:
@@ -84,13 +91,13 @@ def extract_page(
     kept: list[Block] = []
     if cfg.score_mode == "slow":
         for b in blocks:
-            s = (b.own_text_len - b.own_link_len) / (b.own_text_len + k)
+            s = block_score(b.own_text_len, b.own_link_len, k)
             b.score = s
             if s > t_det and s >= t_box and b.text_len > t_min:
                 kept.append(b)
     else:
         for b in blocks:
-            s = (b.text_len - b.link_text_len) / (b.text_len + k)
+            s = block_score(b.text_len, b.link_text_len, k)
             b.score = s
             if s > t_det and s >= t_box and b.text_len > t_min:
                 kept.append(b)

@@ -34,6 +34,11 @@ def match_result(ocr_boxes: list[Box], cell_boxes: list[Box]) -> dict[int, list[
     rectangles like the reference.
     """
     matched: dict[int, list[int]] = {}
+    if not cell_boxes:
+        # a table with OCR fragments but zero matchable cells (e.g. a
+        # stray data-bbox span and no <td>): nothing to assign — the
+        # structure renders empty rather than min() crashing the batch
+        return matched
     for i, gt in enumerate(ocr_boxes):
         keys = []
         for cell in cell_boxes:

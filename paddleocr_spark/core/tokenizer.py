@@ -42,14 +42,13 @@ _A_RE = re.compile(r"<a\b[^>]*>(.*?)</a>", re.DOTALL)
 _BBOX_RE = re.compile(r'data-bbox="(-?\d+),(-?\d+),(-?\d+),(-?\d+)"')
 _PAGEW_RE = re.compile(r'data-pagew="(\d+)"')
 _TD_RE = re.compile(r'<td([^>]*)>(.*?)</td>', re.DOTALL)
-_TR_RE = re.compile(r"<tr>(.*?)</tr>", re.DOTALL)
+_TR_RE = re.compile(r"<tr(?:\s[^>]*)?>(.*?)</tr>", re.DOTALL)
 _SPAN_RE = re.compile(r"<span([^>]*)>(.*?)</span>", re.DOTALL)
 _WS_SEARCH = re.compile(WS_CLASS)
 # nested block-level elements inside a top-level match (the part a
 # strict-membership 'slow' score excludes, db_postprocess.py:206-225)
-_NESTED_BLOCK_RE = re.compile(
-    r"<(" + BLOCK_TAGS + r")((?:\s[^>]*)?)>(.*?)</\1>", re.DOTALL
-)
+# — the same pattern as the top-level scan, one compiled object
+_NESTED_BLOCK_RE = _TOP_RE
 # opt-in prefilters (preprocess_image analog, paddleocr.py:717-723)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _STRUCK_RE = re.compile(r"<(del|s)\b[^>]*>.*?</\1>", re.DOTALL)
@@ -143,27 +142,47 @@ def _chunk_cuts(raw: str, cfg: PipelineConfig) -> list[tuple[int, int]]:
 def _parse_table(inner: str):
     """-> (structure_tokens, cell_boxes, ocr_boxes, ocr_texts, raw_len)."""
     tokens = ["<table>"]
-    cell_boxes = []
+    cell_boxes: list = []
     cell_texts = []
+    td_ranges: list[tuple[int, int]] = []  # absolute spans within inner
     raw_len = 0
     for tr in _TR_RE.finditer(inner):
         tokens.append("<tr>")
         for td in _TD_RE.finditer(tr.group(1)):
             tokens.append("<td></td>")
-            box = _bbox(td.group(1)) or (0, 0, 0, 0)
-            cell_boxes.append(box)
+            cell_boxes.append(_bbox(td.group(1)))  # None when bbox-less
             cell_texts.append(normalize_ws(_visible(td.group(2))))
             raw_len += len(_visible(td.group(2)))
+            td_ranges.append(
+                (tr.start(1) + td.start(), tr.start(1) + td.end())
+            )
         tokens.append("</tr>")
     tokens.append("</table>")
+    # Plain web tables carry no geometry at all; synthesize one distinct
+    # box per cell so each cell self-matches 1:1 and its text survives
+    # into the assembled html ((0,0,0,0) defaults all failed the
+    # y-filter, silently dropping every cell's text while text_len
+    # still counted it). Tables with SOME real bboxes keep the old
+    # degenerate default for the bbox-less minority.
+    if cell_boxes and all(b is None for b in cell_boxes):
+        cell_boxes = [
+            (0, 10 * i + 1, 100, 10 * i + 9) for i in range(len(cell_boxes))
+        ]
+    else:
+        cell_boxes = [b or (0, 0, 0, 0) for b in cell_boxes]
     # The cells' own text always plays the OCR role (the reference OCRs
     # the whole page once, ppstructure/predict_system.py:126-137, so cell
-    # content is among the det boxes), plus any stray fragments.
+    # content is among the det boxes), plus any stray fragments —
+    # fragments OUTSIDE the cells only: a bbox span inside a <td> is
+    # already counted as that cell's text, and matching it again
+    # duplicated the text in the assembled html and inflated raw_len.
     ocr_boxes = list(cell_boxes)
     ocr_texts = list(cell_texts)
     for sp in _SPAN_RE.finditer(inner):
         box = _bbox(sp.group(1))
         if box is None:
+            continue
+        if any(s <= sp.start() < e for s, e in td_ranges):
             continue
         ocr_boxes.append(box)
         ocr_texts.append(normalize_ws(_visible(sp.group(2))))
@@ -310,9 +329,29 @@ def tokenize_page(html: bytes, cfg: PipelineConfig = DEFAULT) -> list[Block]:
         link_len = _link_len(inner)
         if len(raw_vis) > chunk_limit and link_len == 0:
             parent = len(out)
+            # chunk cuts are indices into the TAG-STRIPPED text; the
+            # Block contract says start/end are offsets into the
+            # decoded document, so map each visible index back to its
+            # raw position — without this, any tag inside the giant
+            # block shifted every later chunk's span onto the wrong
+            # document range
+            if "<" in inner:
+                vis_to_raw: list[int] | None = []
+                pos = 0
+                for mt in _TAG_RE.finditer(inner):
+                    vis_to_raw.extend(range(pos, mt.start()))
+                    pos = mt.end()
+                vis_to_raw.extend(range(pos, len(inner)))
+            else:
+                vis_to_raw = None
             for ci, (cs, ce) in enumerate(_chunk_cuts(raw_vis, cfg)):
+                if vis_to_raw is None:
+                    rs, re_ = cs, ce
+                else:
+                    rs = vis_to_raw[cs]
+                    re_ = (vis_to_raw[ce - 1] + 1) if ce > cs else rs
                 bid = emit(
-                    tag, 1, m.start(3) + cs, m.start(3) + ce,
+                    tag, 1, m.start(3) + rs, m.start(3) + re_,
                     normalize_ws(raw_vis[cs:ce]), ce - cs, 0, "main",
                 )
                 out[bid].parent_id = parent

@@ -265,7 +265,15 @@ def extract_fused(df: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
 
 
 def extract_relational(df: DataFrame, cfg: PipelineConfig = DEFAULT) -> DataFrame:
-    """Cross-check path: explode -> filter -> window -> groupBy."""
+    """Cross-check path: explode -> filter -> window -> groupBy.
+
+    PRECONDITION: url is unique in ``df``. The windows and the final
+    rollup key on url, so duplicate input urls would interleave both
+    rows' blocks into one span stream and fan the merged result onto
+    every base row — unlike the array/fused paths, which process rows
+    independently. The production pipeline guarantees uniqueness (the
+    warehouse upsert / latest_crawl rule); apply ``latest_crawl``
+    first when feeding raw multi-capture crawls."""
     d = scored_blocks(df, cfg)
     base = d.select("url", "lang", F.size("blocks").alias("n_blocks_detected"))
 

@@ -97,20 +97,34 @@ def _decode_page(page: dict) -> tuple[str, bytes, str]:
     return url, html, page.get("lang", "en")
 
 
-def _predict_system(body: dict) -> dict:
-    cfg = _parse_config(body.get("config"))
+def _iter_decoded(body: dict):
+    """Shared 'pages' validation + per-page decode for every route
+    (previously copy-pasted three times): yields
+    ``(error_row, None)`` for a malformed page entry — including a
+    non-dict entry, which used to crash the error handler itself
+    ((page or {}).get on a str) and turn a per-page failure into a
+    whole-batch 500 — or ``(None, (url, html, lang))`` on success."""
     pages = body.get("pages")
     if not isinstance(pages, list):
         raise BadRequest("'pages' must be a list")
-    results = []
     for page in pages:
         # per-page failure -> per-page result row (module.py:125-127
         # appends [] for an unreadable image and keeps going)
         try:
-            url, html, lang = _decode_page(page)
+            yield None, _decode_page(page)
         except BadRequest as e:
-            results.append(dict(url=(page or {}).get("url", ""), error=str(e)))
+            url = page.get("url", "") if isinstance(page, dict) else ""
+            yield dict(url=url, error=str(e)), None
+
+
+def _predict_system(body: dict) -> dict:
+    cfg = _parse_config(body.get("config"))
+    results = []
+    for err, decoded in _iter_decoded(body):
+        if err is not None:
+            results.append(err)
             continue
+        url, html, lang = decoded
         t0 = time.monotonic()
         res = extract_page(url, html, lang, cfg)
         results.append(
@@ -128,16 +142,12 @@ def _predict_system(body: dict) -> dict:
 
 def _predict_det(body: dict) -> dict:
     cfg = _parse_config(body.get("config"))
-    pages = body.get("pages")
-    if not isinstance(pages, list):
-        raise BadRequest("'pages' must be a list")
     results = []
-    for page in pages:
-        try:
-            url, html, _lang = _decode_page(page)
-        except BadRequest as e:
-            results.append(dict(url=(page or {}).get("url", ""), error=str(e)))
+    for err, decoded in _iter_decoded(body):
+        if err is not None:
+            results.append(err)
             continue
+        url, html, _lang = decoded
         results.append(dict(url=url, blocks=detect_blocks_rows(url, html, cfg)))
     return dict(results=results)
 
@@ -148,16 +158,12 @@ def _predict_kie(body: dict) -> dict:
     core/kie.py — heading-like keys govern following value blocks in
     reading order)."""
     cfg = _parse_config(body.get("config"))
-    pages = body.get("pages")
-    if not isinstance(pages, list):
-        raise BadRequest("'pages' must be a list")
     results = []
-    for page in pages:
-        try:
-            url, html, _lang = _decode_page(page)
-        except BadRequest as e:
-            results.append(dict(url=(page or {}).get("url", ""), error=str(e)))
+    for err, decoded in _iter_decoded(body):
+        if err is not None:
+            results.append(err)
             continue
+        url, html, _lang = decoded
         blocks = tokenize_page(html, cfg)
         results.append(
             dict(
@@ -207,8 +213,15 @@ class _Handler(BaseHTTPRequestHandler):
         if fn is None:
             self._reply(404, dict(error=f"unknown route {self.path}"))
             return
+        # header parsing gets its OWN narrow catch: a broad
+        # `except ValueError` around the route call would also swallow
+        # engine-side ValueErrors and mislabel server bugs as 400s
         try:
             n = int(self.headers.get("Content-Length", 0))
+        except ValueError as e:
+            self._reply(400, dict(error=f"bad Content-Length: {e}"))
+            return
+        try:
             body = json.loads(self.rfile.read(n).decode("utf-8"))
             if not isinstance(body, dict):
                 raise BadRequest("body must be a JSON object")
@@ -219,9 +232,6 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(400, dict(error=f"bad JSON: {e}"))
         except UnicodeDecodeError as e:
             self._reply(400, dict(error=f"body is not UTF-8: {e}"))
-        except ValueError as e:
-            # e.g. a non-integer Content-Length header
-            self._reply(400, dict(error=f"bad request: {e}"))
         except Exception as e:  # route-handler failure: JSON 500, not a
             # dropped connection / stack trace on the socket
             self._reply(500, dict(error=f"{type(e).__name__}: {e}"))
