@@ -181,6 +181,18 @@ def incremental_dedup_against_store(
         .join(clustered, "doc_id", "left_anti")
         .unionByName(clustered_survivors)
     )
-    out = new.join(F.broadcast(keep_ids), "doc_id", "left_semi")
-    new_sigs.unpersist()
+    # the advertised id_col, not a hard-coded 'doc_id': the internal
+    # frames are normalized by doc_signatures but `new` keeps the
+    # caller's column name
+    out = new.join(
+        F.broadcast(keep_ids.withColumnRenamed("doc_id", id_col)),
+        id_col,
+        "left_semi",
+    )
+    # new_sigs stays cached: the caller has not acted on `out` yet, and
+    # unpersisting here (the old behavior) wiped the cache the returned
+    # plan depends on — the final action then re-derived the whole
+    # signature pipeline (shingles + 8x minhash + two store probes)
+    # several times. The cache is O(batch) and LRU-evictable; a
+    # steady-state job calls this once per run.
     return out

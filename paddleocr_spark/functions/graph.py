@@ -151,9 +151,14 @@ def connected_components_two_phase(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
+    # node universe from the UNFILTERED pairs: a node appearing only in
+    # self-loop pairs has no contracted edge but is still a (singleton)
+    # component — dropping it would break the module contract ("every
+    # node of every input edge present") and make the non-convergence
+    # fallback silently change the output node set vs propagation CC
     all_nodes = ckpt(
-        edges.select(F.col("u").alias("id"))
-        .union(edges.select(F.col("v").alias("id")))
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
         .distinct()
     )
 
@@ -274,9 +279,18 @@ def pagerank(
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
     )
-    outw = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    # non-positive weights carry no transition mass; keeping them
+    # would make w/wout NULL for an all-zero source, and ONE null
+    # contribution nulls an exact left-fold for its dst — coalescing
+    # the whole in-rank to 0 and silently discarding every real
+    # contribution to that dst (the skip-nulls F.sum mode would
+    # disagree on the same input). The node universe below still uses
+    # the unfiltered edge list, so zero-weight endpoints keep their
+    # teleport mass.
+    pos = e.filter(F.col("w") > 0)
+    outw = pos.groupBy("src").agg(F.sum("w").alias("wout"))
     # static across rounds: per-edge transition weight w/W(src)
-    ew = e.join(outw, "src").select(
+    ew = pos.join(outw, "src").select(
         "src", "dst", (F.col("w") / F.col("wout")).alias("p")
     )
     nodes = (
@@ -370,6 +384,7 @@ def hits(
     weight_col: str = "w",
     exact_fold: bool = True,
     truncate_lineage: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Weighted HITS (Kleinberg, JACM 1999) over a (src, dst, w) edge
     list — hubs and authorities, the link signal orthogonal to
@@ -396,23 +411,34 @@ def hits(
     distributed form as `pagerank`; the L1 totals are 1-row frames
     broadcast back onto the node frame. No driver actions, no collect.
     """
+    # the module's cluster-safety rule (see header): executor loss
+    # invalidates LOCAL checkpoints, so like the other iterative entry
+    # points this one takes checkpoint_dir for reliable checkpoints on
+    # a real cluster (lazy either way — values unchanged, lineage cut)
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _pin(d: DataFrame) -> DataFrame:
+        if not truncate_lineage:
+            return d
+        if checkpoint_dir is None:
+            return d.localCheckpoint(eager=False)
+        return d.checkpoint(eager=False)
+
     e = edges.select(
         F.col(src_col).alias("src"),
         F.col(dst_col).alias("dst"),
         F.col(weight_col).cast("double").alias("w"),
     )
-    if truncate_lineage:
-        # the static edge frame is referenced twice per round (a-sum
-        # and h-sum joins); pin it so the upstream extraction subtree
-        # (scan + regex + agg) computes once, not 2*iters times
-        e = e.localCheckpoint(eager=False)
-    nodes = (
+    # the static edge frame is referenced twice per round (a-sum
+    # and h-sum joins); pin it so the upstream extraction subtree
+    # (scan + regex + agg) computes once, not 2*iters times
+    e = _pin(e)
+    nodes = _pin(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    if truncate_lineage:
-        nodes = nodes.localCheckpoint(eager=False)
 
     def fold_sum(key_col):
         if exact_fold:
@@ -446,8 +472,8 @@ def hits(
         # frames truncated; truncating only the end-of-round h was
         # TRIED and is ~2x slower — the static edge subtree, scan +
         # regex + agg, then re-analyzes ~6x per round). Lazy
-        # localCheckpoint changes no values, only cuts lineage.
-        return out.localCheckpoint(eager=False) if truncate_lineage else out
+        # checkpointing changes no values, only cuts lineage.
+        return _pin(out)
 
     if iters < 1:
         raise ValueError("hits() needs iters >= 1 (no authority scores exist before the first half-round)")

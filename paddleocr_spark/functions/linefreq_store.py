@@ -120,7 +120,11 @@ def seed_line_store(
         "seg": seg,
         "min_count": min_count,
         "applied": [batch_id],
-        "n_distinct": counts.count(),
+        # count the WRITTEN parquet (footer reads) — counting the frame
+        # would re-run the segment aggregation a second time
+        "n_distinct": docs.sparkSession.read.parquet(
+            _counts_dir(store_dir, 1)
+        ).count(),
     }
     _flip_meta(store_dir, meta)
     return meta
@@ -148,7 +152,11 @@ def update_line_store(docs: DataFrame, store_dir: str, batch_id: str) -> dict:
         **meta,
         "version": new_version,
         "applied": meta["applied"] + [batch_id],
-        "n_distinct": merged.count(),
+        # footer-read count of the written version, not a second
+        # execution of the corpus-wide merge aggregation
+        "n_distinct": spark.read.parquet(
+            _counts_dir(store_dir, new_version)
+        ).count(),
     }
     _flip_meta(store_dir, meta)
     return meta

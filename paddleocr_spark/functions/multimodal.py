@@ -303,7 +303,7 @@ def _decode_av_batch(doc_id: pd.Series, payload: pd.Series) -> pd.DataFrame:
     recognized, explicit 'unknown' row (null fields) otherwise — the
     unknown branch is honest here rather than stubbed because kind is
     part of the answer."""
-    raw = payload.map(lambda v: bytes(v))
+    raw = payload.map(lambda v: b"" if v is None else bytes(v))
     parsed = raw.map(decode_av_header)
 
     def _field(j):
@@ -341,7 +341,7 @@ def _decode_batch(payload: pd.Series) -> pd.DataFrame:
     """Per-batch metadata decode: real header parse where the container
     is recognized, byte-count stub otherwise. One pass, stub computed
     vectorized for the fallback rows."""
-    raw = payload.map(lambda v: bytes(v))
+    raw = payload.map(lambda v: b"" if v is None else bytes(v))
     parsed = raw.map(decode_image_header)
     out = _fake_decode(raw.map(len))
     hit = parsed.notna()
@@ -411,7 +411,9 @@ def resize_media(df: DataFrame, max_side: int = 128, payload_col: str = "payload
                     "doc_id": pdf["doc_id"].astype("int64"),
                     "width": (w * ratio).astype("int32").clip(lower=1),
                     "height": (h * ratio).astype("int32").clip(lower=1),
-                    "thumb": pdf[payload_col].map(lambda b: bytes(b)[:64]),
+                    "thumb": pdf[payload_col].map(
+                        lambda b: b"" if b is None else bytes(b)[:64]
+                    ),
                 }
             )
             yield out
@@ -433,7 +435,9 @@ def media_embedding(df: DataFrame, dim: int = 16, payload_col: str = "payload") 
             vecs = pdf[payload_col].map(
                 lambda b: [
                     d / 256.0
-                    for d in hashlib.md5(bytes(b)).digest()[:dim]
+                    for d in hashlib.md5(
+                        b"" if b is None else bytes(b)
+                    ).digest()[:dim]
                 ]
             )
             yield pd.DataFrame(

@@ -382,46 +382,17 @@ def embed_near_dup_pairs(
     """
     from paddleocr_spark.functions.dedup import _spread
 
-    nb = n_planes * n_tables
-    # All nb plane dots in ONE array expression (a single nested
-    # higher-order eval per row) instead of nb separate aggregate
-    # expressions; the per-table bucket then just slices it. `__dots`
-    # is bound with withColumn so the four bucket projections share it
-    # (CollapseProject keeps multi-referenced non-cheap projections).
-    all_dots = F.transform(
-        F.sequence(F.lit(0), F.lit(nb - 1)),
-        lambda g: F.aggregate(
-            F.transform(
-                F.col(vec_col),
-                lambda x, i: x.cast("double")
-                * (((i + 1) * (g + 3)) % 7 - 3).cast("double"),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-    )
-    powers = F.array(*[F.lit(1 << j) for j in range(n_planes)])
-
-    def bucket_t(t: int) -> Column:
-        signs = F.zip_with(
-            F.slice(F.col("__dots"), t * n_planes + 1, n_planes),
-            powers,
-            lambda d, p: F.when(d > 0, p).otherwise(F.lit(0)),
-        )
-        return F.aggregate(signs, F.lit(0), lambda acc, x: acc + x).cast("int")
-
-    sigs = (
+    # the banded-bucket signature block is THE shared definition
+    # (_with_band_buckets — also the semdedup/store signature path), so
+    # the plane formula and bucket packing can never diverge between
+    # the near-dup join and the signature stores
+    sigs = _with_band_buckets(
         _spread(df, id_col)
         .select(id_col, vec_col)
-        .withColumn("__dots", all_dots)
-        .select(
-            F.col(id_col),
-            F.col(vec_col),
-            F.sqrt(dot(F.col(vec_col), F.col(vec_col))).alias("__nrm"),
-            F.posexplode(
-                F.array(*[bucket_t(t) for t in range(n_tables)])
-            ).alias("__t", "__b"),
-        )
+        .withColumn("__nrm", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))),
+        vec_col,
+        n_planes,
+        n_tables,
     )
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
@@ -446,28 +417,39 @@ def embed_near_dup_pairs(
     return cand
 
 
+def _d_lit(v: float) -> str:
+    """Double literal via repr() (shortest round-trip form) — the SQL
+    parser reads it back to the identical double. ONE definition shared
+    by flat assignment and coarse probing (they must encode literals
+    identically or the two IVF levels diverge)."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _cos_struct(cid: int, vec, nrm: float, vec_col: str) -> str:
+    """named_struct('cs' = rounded cosine vs one centroid, 'nc' = -cid)
+    — the shared centroid-score encoding; argmax/sort on it breaks
+    ties toward the smallest cell id."""
+    lits = ", ".join(_d_lit(x) for x in vec)
+    return (
+        "named_struct('cs', round(aggregate(zip_with("
+        f"{vec_col}, array({lits}), "
+        "(x, y) -> cast(x as double) * cast(y as double)), "
+        "cast(0.0 as double), (acc, v) -> acc + v) "
+        f"/ (__nrm * {_d_lit(nrm)}), 6), 'nc', {-int(cid)})"
+    )
+
+
 def _centroid_argmax(cents: list, vec_col: str) -> Column:
     """Nearest-centroid assignment as ONE F.expr string: the Column-API
     build was k x dim F.lit py4j calls (~2s of driver time per plan
     build at k=8, dim=64, and quadratically worse at scaled k); the SQL
-    text parses JVM-side instantly. Double literals use repr()
-    (shortest round-trip form), which the SQL parser reads back to the
-    identical double. ``cents`` is [(cluster_id, vector, norm)]; the
-    input frame must carry a per-row ``__nrm`` column. Returns the
-    argmax struct — ``-best['nc']`` is the assigned cluster id."""
-
-    def _d(v: float) -> str:
-        return f"CAST('{float(v)!r}' AS DOUBLE)"
+    text parses JVM-side instantly. ``cents`` is [(cluster_id, vector,
+    norm)]; the input frame must carry a per-row ``__nrm`` column.
+    Returns the argmax struct — ``-best['nc']`` is the assigned
+    cluster id."""
 
     def _struct(cid: int, vec, nrm: float) -> str:
-        lits = ", ".join(_d(x) for x in vec)
-        return (
-            "named_struct('cs', round(aggregate(zip_with("
-            f"{vec_col}, array({lits}), "
-            "(x, y) -> cast(x as double) * cast(y as double)), "
-            "cast(0.0 as double), (acc, v) -> acc + v) "
-            f"/ (__nrm * {_d(nrm)}), 6), 'nc', {-int(cid)})"
-        )
+        return _cos_struct(cid, vec, nrm, vec_col)
 
     return F.expr(
         "array_max(array("
@@ -731,23 +713,10 @@ def _two_level_structure(
 def _coarse_probes_expr(cents3: list, vec_col: str, nprobe: int) -> Column:
     """Top-``nprobe`` coarse cells by rounded cosine, as ONE SQL
     expression over O(m·dim) literals (same encoding discipline as
-    `_centroid_argmax`; descending struct sort = cs desc then nc desc,
-    i.e. ties break to the smallest cell id, matching array_max)."""
-
-    def _d(v: float) -> str:
-        return f"CAST('{float(v)!r}' AS DOUBLE)"
-
-    def _struct(cid: int, vec, nrm: float) -> str:
-        lits = ", ".join(_d(x) for x in vec)
-        return (
-            "named_struct('cs', round(aggregate(zip_with("
-            f"{vec_col}, array({lits}), "
-            "(x, y) -> cast(x as double) * cast(y as double)), "
-            "cast(0.0 as double), (acc, v) -> acc + v) "
-            f"/ (__nrm * {_d(nrm)}), 6), 'nc', {-int(cid)})"
-        )
-
-    arr = ", ".join(_struct(c, v, n) for c, v, n in cents3)
+    `_centroid_argmax` via the shared _cos_struct/_d_lit encoders;
+    descending struct sort = cs desc then nc desc, i.e. ties break to
+    the smallest cell id, matching array_max)."""
+    arr = ", ".join(_cos_struct(c, v, n, vec_col) for c, v, n in cents3)
     return F.expr(
         f"transform(slice(sort_array(array({arr}), false), 1, {int(nprobe)}),"
         " s -> -s.nc)"

@@ -76,11 +76,16 @@ def quality_score(text: Column) -> Column:
     nw = token_count_ws(text).cast("double")
     stop_ratio = stopword_hits(text, STOP_EN).cast("double") / nw
     alnum = F.length(F.regexp_replace(text, "[^A-Za-z0-9]", "")).cast("double")
-    return (
+    score = (
         F.lit(0.5) * F.least(n / F.lit(500.0), F.lit(1.0))
         + F.lit(0.3) * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
         + F.lit(0.2) * (alnum / n)
     )
+    # empty text: alnum/n is NULL (and the whole sum with it), so an
+    # empty doc vanished from BOTH sides of any score partition
+    # (score >= t and score < t are each NULL). Pin it to 0.0 — the
+    # lowest possible quality, which is what empty means.
+    return F.when(n == 0, F.lit(0.0)).otherwise(score)
 
 
 def langid_pred(text: Column) -> Column:

@@ -542,10 +542,12 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_EN_SQL = ", ".join(f"'{s}'" for s in textstats.STOP_EN)
 SQL_QUALITY_SCORE = f"""
 select doc_id, round(
+  case when length(text) = 0 then 0.0 else
   0.5 * least(length(text)::double / 500.0, 1.0)
   + 0.3 * least((len(list_filter(str_split(text,' '), w -> list_contains([{_STOP_EN_SQL}], w)))::int)::double
                 / (len(str_split(text,' '))::int)::double * 5.0, 1.0)
   + 0.2 * ((length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::int)::double / (length(text)::int)::double)
+  end
 , 6) quality
 from documents
 """
