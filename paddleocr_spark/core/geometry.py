@@ -81,6 +81,19 @@ def sorted_layout_boxes(boxes: list[Box], w: int) -> tuple[list[int], list[str]]
                     res_left.append(k)
                     new_res += res_left
                     new_res += res_right
+                else:
+                    # DELIBERATE deviation from recovery_to_doc.py:120-132,
+                    # which falls through here (x1 >= w/2 >= x2 — a
+                    # degenerate/inverted bbox) and silently drops the
+                    # box AND both accumulated columns. Model-emitted
+                    # quads can never hit this, but a hostile
+                    # data-bbox can; losing every region of the page to
+                    # one malformed box is not acceptable — complete
+                    # the branch as the symmetric right-column case.
+                    lay[k] = "double"
+                    res_right.append(k)
+                    new_res += res_left
+                    new_res += res_right
             res_left = []
             res_right = []
             break
@@ -160,15 +173,22 @@ def merge_fragmented(
         items = nxt
 
 
+def _inter_areas(b1: Box, b2: Box) -> tuple[float, float, float]:
+    """(intersection, area1, area2) with empty-overlap clamping — the
+    ONE definition behind both overlap measures (IoU and containment
+    differ only in the denominator)."""
+    left, top = max(b1[0], b2[0]), max(b1[1], b2[1])
+    right, bottom = min(b1[2], b2[2]), min(b1[3], b2[3])
+    inter = max(right - left, 0) * max(bottom - top, 0)
+    a1 = max(b1[2] - b1[0], 0) * max(b1[3] - b1[1], 0)
+    a2 = max(b2[2] - b2[0], 0) * max(b2[3] - b2[1], 0)
+    return inter, a1, a2
+
+
 def iou_xyxy(b1: Box, b2: Box) -> float:
     """IoU on (x1, y1, x2, y2) boxes with empty-overlap clamping
     (vectorized iou_of/area_of semantics, picodet_postprocess.py:51-96)."""
-    left, top = max(b1[0], b2[0]), max(b1[1], b2[1])
-    right, bottom = min(b1[2], b2[2]), min(b1[3], b2[3])
-    iw, ih = max(right - left, 0), max(bottom - top, 0)
-    inter = iw * ih
-    a1 = max(b1[2] - b1[0], 0) * max(b1[3] - b1[1], 0)
-    a2 = max(b2[2] - b2[0], 0) * max(b2[3] - b2[1], 0)
+    inter, a1, a2 = _inter_areas(b1, b2)
     denom = a1 + a2 - inter
     return inter / denom if denom > 0 else 0.0
 
@@ -201,11 +221,7 @@ def hard_nms(
 def calculate_containment(b1: Box, b2: Box) -> float:
     """Intersection over the smaller box's area
     (picodet_postprocess.py:84-96)."""
-    left, top = max(b1[0], b2[0]), max(b1[1], b2[1])
-    right, bottom = min(b1[2], b2[2]), min(b1[3], b2[3])
-    inter = max(right - left, 0) * max(bottom - top, 0)
-    a1 = max(b1[2] - b1[0], 0) * max(b1[3] - b1[1], 0)
-    a2 = max(b2[2] - b2[0], 0) * max(b2[3] - b2[1], 0)
+    inter, a1, a2 = _inter_areas(b1, b2)
     small = min(a1, a2)
     return inter / small if small > 0 else 0.0
 
@@ -217,32 +233,33 @@ def containment_dedup(
     priority_label: str = "table",
     threshold: float = 0.5,
 ) -> list[int]:
-    """Overlapping-region dedup with label priority
-    (picodet_postprocess.py:272-296): for every pair with containment >
-    threshold, drop the non-priority one (table wins), else the lower
-    score. Returns surviving indices in input order."""
+    """Overlapping-region dedup with label priority — the reference's
+    GROUP-based rule (picodet_postprocess.py:272-296), not a pairwise
+    greedy pass: for each not-yet-dropped anchor i, the overlap GROUP
+    is every box with containment > threshold vs i (including i); if
+    the group has more than one member, keep the best-scoring
+    priority-label member (else best-scoring member overall; ties to
+    the lowest index — sorted(reverse=True) stability) and drop the
+    rest. A pairwise pass diverges on transitive overlaps: an anchor
+    bridging two disjoint boxes keeps BOTH under pairwise but only the
+    group max under the reference. Returns surviving indices in input
+    order."""
     n = len(boxes)
     dropped: set[int] = set()
     for i in range(n):
         if i in dropped:
             continue
-        for j in range(i + 1, n):
-            if j in dropped:
-                continue
-            if calculate_containment(boxes[i], boxes[j]) <= threshold:
-                continue
-            pi = labels[i] == priority_label
-            pj = labels[j] == priority_label
-            if pi and not pj:
-                dropped.add(j)
-            elif pj and not pi:
-                dropped.add(i)
-                break
-            elif scores[i] >= scores[j]:
-                dropped.add(j)
-            else:
-                dropped.add(i)
-                break
+        overlaps = [
+            j
+            for j in range(n)
+            if calculate_containment(boxes[j], boxes[i]) > threshold
+        ]
+        if len(overlaps) <= 1:
+            continue
+        prio = [j for j in overlaps if labels[j] == priority_label]
+        pool = prio if prio else overlaps
+        keep = max(pool, key=lambda j: scores[j])  # first max on ties
+        dropped.update(j for j in overlaps if j != keep)
     return [i for i in range(n) if i not in dropped]
 
 

@@ -35,7 +35,12 @@ def normalize_ws(s: str) -> str:
         "\t" in s or "\n" in s or "\r" in s or "\f" in s or "\x0b" in s
         or "  " in s or s[:1] == " " or s[-1:] == " "
     ):
-        return _WS_RE.sub(" ", s).strip()
+        # strip EXACTLY the WS_CLASS chars: bare .strip() eats all
+        # Unicode whitespace (NBSP, ideographic space, ...) which the
+        # Spark mirror trim(regexp_replace(s, WS_CLASS+'+', ' ')) does
+        # NOT — and whether an NBSP survived then depended on whether
+        # an unrelated double space elsewhere forced this slow path
+        return _WS_RE.sub(" ", s).strip(" \t\n\r\f\x0b")
     return s
 
 
@@ -77,7 +82,11 @@ def ctc_greedy_decode(
       first token always selected at this step),
     - then drop the blank token everywhere,
     - text = join of vocab chars at selected positions,
-    - conf = mean of probs at selected positions; empty -> [0].
+    - conf = mean of probs at selected positions; empty -> [0]. In the
+      probs-less mode the reference takes ``[1] * len(selection)`` —
+      the FULL input length, not the selected subset — so any
+      non-empty input decodes with conf 1.0 even when every token is
+      dropped (all-blank input).
     """
     n = len(token_ids)
     sel = [True] * n
@@ -88,7 +97,8 @@ def ctc_greedy_decode(
             sel[i] = False
     chars = [vocab[token_ids[i]] for i in range(n) if sel[i]]
     if token_probs is None:
-        confs = [1.0 for i in range(n) if sel[i]]
+        # rec_postprocess.py:160: [1] * len(selection) — full length
+        confs = [1.0] * n
     else:
         confs = [token_probs[i] for i in range(n) if sel[i]]
     if not confs:
@@ -120,7 +130,10 @@ def get_word_info(text: str) -> list[tuple[str, str, int, int]]:
         return c.isascii() and (c.isalnum())
 
     def is_cjk(c: str) -> bool:
-        return "一" <= c <= "龥"
+        # U+4E00..U+9FFF, the reference's bound (rec_postprocess.py:94)
+        # — NOT ..U+9FA5, which misclassifies the ~90 CJK ideographs
+        # added after Unicode 1.0 as 'sp'
+        return "一" <= c <= "鿿"
 
     while i < n:
         c = text[i]

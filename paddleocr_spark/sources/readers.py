@@ -43,7 +43,21 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
     if fmt == "parquet":
         return spark.read.schema(PAGES_SCHEMA).parquet(path)
     if fmt in ("json", "jsonl"):
-        df = spark.read.json(path)
+        # explicit schema, like every other source: inference would
+        # scan the input twice, type-drift on all-numeric values, and
+        # hard-fail (UNRESOLVED_COLUMN) on files where every row omits
+        # an optional key — with the schema they read as nulls, the
+        # parquet branch's behavior
+        jschema = StructType(
+            [
+                StructField("url", StringType()),
+                StructField("warc_ts", StringType()),
+                StructField("html_b64", StringType()),
+                StructField("text", StringType()),
+                StructField("lang", StringType()),
+            ]
+        )
+        df = spark.read.schema(jschema).json(path)
         # JSONL carries html as base64 text (JSON has no binary type)
         return df.select(
             "url",
@@ -66,10 +80,15 @@ def sampled_pages(
 
 
 def write_jsonl_results(df: DataFrame, path: str) -> None:
-    """extracted rows -> one JSON object per line (results-sink analog)."""
+    """extracted rows -> one JSON object per line (results-sink analog).
+    Every field is always present: to_json's default ignoreNullFields
+    would silently omit a null column's key from just that subset of
+    lines, and a consumer indexing rec['extracted_text'] would KeyError
+    on exactly those."""
     out = df.select(
         F.to_json(
-            F.struct("url", "extracted_text", "spans", "n_blocks_kept")
+            F.struct("url", "extracted_text", "spans", "n_blocks_kept"),
+            {"ignoreNullFields": "false"},
         ).alias("value")
     )
     out.write.mode("overwrite").text(path)
@@ -82,11 +101,18 @@ def read_labels_tsv(spark: SparkSession, path: str) -> DataFrame:
     are dropped, mirroring the reference's log-and-skip on bad rows.
     Distributed text-splitting — a 10^9-line label file reads in
     parallel like any other source."""
-    schema = StructType(
-        [StructField("url", StringType()), StructField("label", StringType())]
+    # plain text + tab split, the reference's own parse
+    # (data_line.split(delimiter); url = substr[0], label = substr[1],
+    # extra fields ignored): CSV parsing would strip quotes from a
+    # label like "quoted text", mangle escape sequences, and DROP any
+    # >2-field line as malformed — silent training-row loss
+    lines = spark.read.text(path)
+    df = (
+        lines.select(F.split("value", "\t").alias("p"))
+        .filter(F.size("p") >= 2)
+        .select(F.col("p")[0].alias("url"), F.col("p")[1].alias("label"))
     )
-    df = spark.read.csv(path, sep="\t", schema=schema, mode="DROPMALFORMED")
-    return df.filter(F.col("url").isNotNull() & F.col("label").isNotNull())
+    return df.filter(F.col("url") != "")
 
 
 def latest_crawl(df: DataFrame) -> DataFrame:
@@ -97,8 +123,17 @@ def latest_crawl(df: DataFrame) -> DataFrame:
     streaming/dedup.py with first-seen semantics."""
     from pyspark.sql import Window
 
+    # the trailing whole-row key makes the order TOTAL: rows equal in
+    # (warc_ts, html) but differing in any other column (text, lang)
+    # would otherwise be ordered by shuffle arrival — the surviving
+    # row's columns varying across runs, contradicting the determinism
+    # contract (to_json renders binary as base64, so it covers html
+    # including the null-html case md5 leaves unordered)
     w = Window.partitionBy("url").orderBy(
-        F.desc("warc_ts"), F.desc(F.octet_length("html")), F.desc(F.md5("html"))
+        F.desc("warc_ts"),
+        F.desc(F.octet_length("html")),
+        F.desc(F.md5("html")),
+        F.desc(F.md5(F.to_json(F.struct(*df.columns)))),
     )
     return (
         df.withColumn("__rn", F.row_number().over(w))

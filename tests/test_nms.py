@@ -53,3 +53,14 @@ def test_containment_dedup_score_fallback():
     labels = ["text", "text"]
     assert containment_dedup(boxes, labels, [0.4, 0.6]) == [1]
     assert containment_dedup(boxes, labels, [0.6, 0.4]) == [0]
+
+
+def test_containment_dedup_transitive_group_matches_reference():
+    """Group-based rule (picodet_postprocess.py:272-296): an anchor A
+    bridging two disjoint boxes B and C forms ONE overlap group; only
+    the group's best-scoring member survives. A pairwise-greedy pass
+    would keep both B and C."""
+    boxes = [(0, 0, 10, 10), (0, 0, 5, 10), (6, 0, 10, 10)]
+    labels = ["text", "text", "text"]
+    scores = [0.5, 0.9, 0.7]
+    assert containment_dedup(boxes, labels, scores) == [1]

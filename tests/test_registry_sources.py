@@ -488,3 +488,87 @@ def test_extract_av_meta_mixed(spark):
             got[3]["channels"], got[3]["format"]) == ("image", 64, 32, 3, "webp")
     assert got[4]["kind"] == "unknown" and got[4]["format"] is None
     assert all(got[i]["n_bytes"] == len(p) for i, p in rows)
+
+
+def test_labels_tsv_verbatim_split_semantics(spark, tmp_path):
+    """The reference parses label lines with a plain tab split (url =
+    field 0, label = field 1, extras ignored); CSV parsing stripped
+    quotes, mangled escapes, and dropped >2-field lines entirely."""
+    from paddleocr_spark.sources.readers import read_labels_tsv
+
+    p = tmp_path / "labels.tsv"
+    p.write_text(
+        'img1.jpg\t"quoted text"\n'
+        "img2.jpg\tlabel\textra\n"
+        "nolabel_line\n"
+        "img3.jpg\ta\\nb\n"
+    )
+    rows = {r["url"]: r["label"] for r in read_labels_tsv(spark, str(p)).collect()}
+    assert rows == {
+        "img1.jpg": '"quoted text"',  # quotes verbatim
+        "img2.jpg": "label",          # extra field ignored, row kept
+        "img3.jpg": "a\\nb",          # escapes untouched
+    }
+
+
+def test_jsonl_sink_always_writes_every_field(spark, tmp_path):
+    """to_json's default ignoreNullFields omitted a null column's key
+    from just that line; every field must always be present."""
+    import json as _json
+
+    from paddleocr_spark.sources.readers import write_jsonl_results
+
+    df = spark.createDataFrame(
+        [("u1", None, None, 0), ("u2", "text", None, 1)],
+        "url string, extracted_text string, "
+        "spans array<struct<block_id:int>>, n_blocks_kept int",
+    )
+    out = str(tmp_path / "jsonl")
+    write_jsonl_results(df, out)
+    lines = [
+        _json.loads(r["value"])
+        for r in spark.read.text(out).collect()
+    ]
+    for rec in lines:
+        assert set(rec) == {"url", "extracted_text", "spans", "n_blocks_kept"}
+
+
+def test_jsonl_pages_missing_optional_key_reads_as_null(spark, tmp_path):
+    """The jsonl pages branch now carries an explicit schema: a file
+    where every row omits 'lang' reads with null lang (the parquet
+    branch's behavior) instead of UNRESOLVED_COLUMN."""
+    import base64 as _b64
+    import json as _json
+
+    from paddleocr_spark.sources.readers import read_pages
+
+    p = tmp_path / "pages.jsonl"
+    rec = {
+        "url": "http://x/1",
+        "warc_ts": "2024-01-01 00:00:00",
+        "html_b64": _b64.b64encode(b"<p>hello there</p>").decode(),
+        "text": None,
+    }
+    p.write_text(_json.dumps(rec) + "\n")
+    df = read_pages(spark, str(p), fmt="jsonl")
+    row = df.collect()[0]
+    assert row["lang"] is None and bytes(row["html"]) == b"<p>hello there</p>"
+
+
+def test_latest_crawl_total_order_tiebreak(spark):
+    """Rows equal in (url, warc_ts, html) but differing in text/lang
+    must resolve deterministically (whole-row key), not by shuffle
+    arrival."""
+    import datetime as _dt
+
+    from paddleocr_spark.sources.readers import latest_crawl
+
+    ts = _dt.datetime(2024, 1, 1)
+    rows = [("u", ts, b"<p>x</p>", "A", "en"), ("u", ts, b"<p>x</p>", "B", "de")]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    picks = {
+        latest_crawl(df.repartition(n)).collect()[0]["text"] for n in (1, 3, 7)
+    }
+    assert len(picks) == 1

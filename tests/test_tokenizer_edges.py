@@ -110,3 +110,47 @@ def test_serving_non_dict_page_is_per_page_error(serving_server=None):
         assert "error" not in out["results"][1]
     finally:
         server.shutdown()
+
+
+def test_sorted_layout_boxes_degenerate_box_never_drops_content():
+    """x1 >= w/2 >= x2 (degenerate/inverted bbox) fell through BOTH
+    last-element branches in the reference port, silently dropping the
+    box and every accumulated column; the completed branch keeps all
+    regions (documented deviation from recovery_to_doc.py:120-132)."""
+    from paddleocr_spark.core.geometry import sorted_layout_boxes
+
+    order, labels = sorted_layout_boxes(
+        [(0, 0, 2, 5), (0, 6, 2, 11), (5, 20, 5, 25)], 10
+    )
+    assert sorted(order) == [0, 1, 2] and len(labels) == 3
+
+
+def test_normalize_ws_strips_only_ws_class():
+    """Python .strip() eats ALL Unicode whitespace while the Spark
+    mirror trim(regexp_replace(s, WS_CLASS+'+', ' ')) does not — NBSP
+    must survive identically on the fast AND slow paths."""
+    from paddleocr_spark.core.text import normalize_ws
+
+    assert normalize_ws("a\xa0 ") == "a\xa0"
+    # fast path (no WS trigger) and slow path (double space) agree
+    assert normalize_ws("\xa0a b") == "\xa0a b"
+    assert normalize_ws("\xa0a  b") == "\xa0a b"
+
+
+def test_ctc_probsless_conf_is_full_length_ones():
+    """rec_postprocess.py:160 takes [1] * len(selection) — the FULL
+    input length — so an all-blank input decodes ('', 1.0) in the
+    probs-less mode, not ('', 0.0); a truly empty input stays 0.0."""
+    from paddleocr_spark.core.text import ctc_greedy_decode
+
+    vocab = ["_", "a"]
+    assert ctc_greedy_decode([0, 0, 0], None, vocab) == ("", 1.0)
+    assert ctc_greedy_decode([], None, vocab) == ("", 0.0)
+
+
+def test_cjk_bound_covers_post_unicode1_ideographs():
+    """The reference bound is U+4E00..U+9FFF (rec_postprocess.py:94);
+    a ..U+9FA5 bound misclassifies ~90 real CJK ideographs as 'sp'."""
+    from paddleocr_spark.core.text import get_word_info
+
+    assert get_word_info("鿐") == [("鿐", "cn", 0, 1)]
