@@ -133,7 +133,10 @@ def main() -> None:
         name = f"{args.profile}{args.rows}" if args.profile != "base" else f"scale{args.rows}"
         pages_dir = ensure_pages(name, n_rows=args.rows, profile=args.profile)
     else:
-        pages_dir = ensure_pages(args.sf_dir)
+        # forward --profile: ensure_pages validates cached params, so a
+        # heavy request against a base cache fails loudly instead of
+        # silently benchmarking the wrong corpus
+        pages_dir = ensure_pages(args.sf_dir, profile=args.profile)
     input_path = os.path.join(pages_dir, "pages.parquet")
 
     start_load = os.getloadavg()[0]

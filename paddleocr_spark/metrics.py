@@ -24,13 +24,20 @@ from pyspark.sql import functions as F
 
 def rec_metric(pred: DataFrame, gold: DataFrame, key: str = "url",
                pred_col: str = "extracted_text", gold_col: str = "golden_text") -> DataFrame:
-    """Exact-match accuracy + mean (1 - normalized edit distance)."""
-    j = pred.select(key, pred_col).join(gold.select(key, gold_col), key)
-    lev = F.levenshtein(F.col(pred_col), F.col(gold_col)).cast("double")
-    mx = F.greatest(F.length(pred_col), F.length(gold_col)).cast("double")
+    """Exact-match accuracy + mean (1 - normalized edit distance).
+
+    Scored over EVERY golden sample (the reference accumulates across
+    the whole eval set): a document the pipeline dropped, or one whose
+    prediction is NULL, scores as an empty prediction — an inner join
+    would silently exclude exactly the failures from the averages
+    (lose 999 of 1000 docs and still report exact_acc 1.0)."""
+    j = gold.select(key, gold_col).join(pred.select(key, pred_col), key, "left")
+    pc = F.coalesce(F.col(pred_col), F.lit(""))
+    lev = F.levenshtein(pc, F.col(gold_col)).cast("double")
+    mx = F.greatest(F.length(pc), F.length(gold_col)).cast("double")
     norm = F.when(mx == 0, F.lit(0.0)).otherwise(lev / mx)
     return j.agg(
-        F.avg((F.col(pred_col) == F.col(gold_col)).cast("double")).alias("exact_acc"),
+        F.avg((pc == F.col(gold_col)).cast("double")).alias("exact_acc"),
         F.avg(F.lit(1.0) - norm).alias("norm_edit_sim"),
         F.count("*").alias("n_docs"),
     )
@@ -48,8 +55,19 @@ def det_metric(pred_spans: DataFrame, gold_spans: DataFrame, key: str = "url",
     buckets it touches and the join key is (key, bucket) — overlapping
     spans always share a touched bucket, and the per-group pair space
     is bounded by spans-per-bucket instead of spans-per-doc (the
-    quadratic-in-dense-docs fix). Matches are deduped before counting.
+    quadratic-in-dense-docs fix).
+
+    Matching is ONE-TO-ONE like the reference evaluator (each golden
+    matched by at most one prediction and vice versa — a pair-counting
+    match would let one gold matched by two preds push recall past
+    1.0): spans are identified by (key, start, end) — both sides are
+    deduped — each gold takes its first candidate pred in (start, end)
+    order, then each pred keeps its first gold, a deterministic
+    one-to-one assignment (it can differ from the reference's
+    index-order greedy only when three-way overlap chains compete,
+    where neither is a maximum matching either).
     """
+    from pyspark.sql import Window
     def banded(df, s, e):
         return df.withColumn(
             "__bk",
@@ -61,18 +79,31 @@ def det_metric(pred_spans: DataFrame, gold_spans: DataFrame, key: str = "url",
             ),
         )
 
-    p = pred_spans.select(key, F.col("start").alias("ps"), F.col("end").alias("pe"))
-    g = gold_spans.select(key, F.col("start").alias("gs"), F.col("end").alias("ge"))
+    p = pred_spans.select(
+        key, F.col("start").alias("ps"), F.col("end").alias("pe")
+    ).distinct()
+    g = gold_spans.select(
+        key, F.col("start").alias("gs"), F.col("end").alias("ge")
+    ).distinct()
     inter = F.greatest(
         F.lit(0), F.least("pe", "ge") - F.greatest("ps", "gs")
     ).cast("double")
     union = (F.greatest("pe", "ge") - F.least("ps", "gs")).cast("double")
-    matched = (
+    cand = (
         banded(p, "ps", "pe")
         .join(banded(g, "gs", "ge"), [key, "__bk"])
         .filter((inter / union) >= min_overlap)
-        .select(key, "ps", "pe")
+        .select(key, "ps", "pe", "gs", "ge")
         .distinct()
+    )
+    w_gold = Window.partitionBy(key, "gs", "ge").orderBy("ps", "pe")
+    w_pred = Window.partitionBy(key, "ps", "pe").orderBy("gs", "ge")
+    matched = (
+        cand.withColumn("__r1", F.row_number().over(w_gold))
+        .filter(F.col("__r1") == 1)
+        .withColumn("__r2", F.row_number().over(w_pred))
+        .filter(F.col("__r2") == 1)
+        .select(key, "ps", "pe")
     )
     # one union of tagged 1-rows -> one aggregation job for all three
     # counters (the partial+final shape of the reference's accumulators)
@@ -81,10 +112,12 @@ def det_metric(pred_spans: DataFrame, gold_spans: DataFrame, key: str = "url",
         .unionAll(g.select(F.lit(0), F.lit(1), F.lit(0)))
         .unionAll(matched.select(F.lit(0), F.lit(0), F.lit(1)))
     )
+    # coalesce: sum() over the empty union (both inputs empty) is NULL,
+    # and callers summing counts across partitions need real zeros
     agg = tagged.agg(
-        F.sum("p").alias("n_pred"),
-        F.sum("g").alias("n_gold"),
-        F.sum("m").alias("n_match"),
+        F.coalesce(F.sum("p"), F.lit(0)).alias("n_pred"),
+        F.coalesce(F.sum("g"), F.lit(0)).alias("n_gold"),
+        F.coalesce(F.sum("m"), F.lit(0)).alias("n_match"),
     )
     prec = F.when(F.col("n_pred") > 0, F.col("n_match") / F.col("n_pred")).otherwise(0.0)
     rec = F.when(F.col("n_gold") > 0, F.col("n_match") / F.col("n_gold")).otherwise(0.0)

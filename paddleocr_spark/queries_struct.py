@@ -109,7 +109,9 @@ def _matched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared derivation in DuckDB's dialect.
-_MATCH_DUCK = """
+# dist/omi interpolate the SAME dialect-portable expressions the Spark
+# side uses (_DIST_SQL/_OMI_SQL) — one source of truth for the scoring
+_MATCH_DUCK = f"""
 ocr as (
   select cast(p_partkey % 8 as int) table_id,
          cast(p_partkey as int) ocr_id,
@@ -128,16 +130,8 @@ cells as (
 ),
 scored as (
   select table_id, ocr_id, txt, cell_id,
-    abs(cx0-ox0)+abs(cy0-oy0)+abs(cx1-ox1)+abs(cy1-oy1)
-      + least(abs(cx0-ox0)+abs(cy0-oy0), abs(cx1-ox1)+abs(cy1-oy1)) dist,
-    cast(1 as double) - (case
-      when greatest(ox0,cx0) >= least(ox1,cx1)
-        or greatest(oy0,cy0) >= least(oy1,cy1) then cast(0 as double)
-      else cast((least(ox1,cx1)-greatest(ox0,cx0))
-             * (least(oy1,cy1)-greatest(oy0,cy0)) as double)
-           / ((oy1-oy0)*(ox1-ox0) + (cy1-cy0)*(cx1-cx0)
-              - (least(ox1,cx1)-greatest(ox0,cx0))
-                * (least(oy1,cy1)-greatest(oy0,cy0))) end) omi
+    {_DIST_SQL} dist,
+    {_OMI_SQL} omi
   from ocr, cells
 ),
 matched as (
@@ -173,8 +167,8 @@ def q_table_match_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregable argmin as table_match."""
     noisy = _ocr_boxes(spark, sf_dir).selectExpr(
         "table_id", "ocr_id", "txt", "ox0", "ox1",
-        "case when ocr_id % 17 = 0 then oy0 - 60 else oy0 end as oy0",
-        "case when ocr_id % 17 = 0 then oy1 - 60 else oy1 end as oy1",
+        "case when ocr_id % 17 = 0 then oy0 - 100 else oy0 end as oy0",
+        "case when ocr_id % 17 = 0 then oy1 - 100 else oy1 end as oy1",
     )
     ymin = _cell_grid(spark).agg(F.min("cy0").alias("ymin"))
     kept = noisy.crossJoin(F.broadcast(ymin)).where("oy1 > ymin").drop("ymin")
@@ -191,8 +185,8 @@ SQL_TABLE_MATCH_FILTERED = f"""
 with {_MATCH_DUCK},
 noisy as (
   select table_id, ocr_id, txt, ox0, ox1,
-         case when ocr_id % 17 = 0 then oy0 - 60 else oy0 end oy0,
-         case when ocr_id % 17 = 0 then oy1 - 60 else oy1 end oy1
+         case when ocr_id % 17 = 0 then oy0 - 100 else oy0 end oy0,
+         case when ocr_id % 17 = 0 then oy1 - 100 else oy1 end oy1
   from ocr
 ),
 kept as (
@@ -201,16 +195,8 @@ kept as (
 ),
 fscored as (
   select table_id, ocr_id, cell_id,
-    abs(cx0-ox0)+abs(cy0-oy0)+abs(cx1-ox1)+abs(cy1-oy1)
-      + least(abs(cx0-ox0)+abs(cy0-oy0), abs(cx1-ox1)+abs(cy1-oy1)) dist,
-    cast(1 as double) - (case
-      when greatest(ox0,cx0) >= least(ox1,cx1)
-        or greatest(oy0,cy0) >= least(oy1,cy1) then cast(0 as double)
-      else cast((least(ox1,cx1)-greatest(ox0,cx0))
-             * (least(oy1,cy1)-greatest(oy0,cy0)) as double)
-           / ((oy1-oy0)*(ox1-ox0) + (cy1-cy0)*(cx1-cx0)
-              - (least(ox1,cx1)-greatest(ox0,cx0))
-                * (least(oy1,cy1)-greatest(oy0,cy0))) end) omi
+    {_DIST_SQL} dist,
+    {_OMI_SQL} omi
   from kept, cells
 )
 select table_id, ocr_id, cell_id

@@ -274,12 +274,28 @@ def ensure_pages(
     for small fixture scales) for ``sf_dir``. Chunked + multiprocess:
     streams row groups through ParquetWriter so multi-GB 'heavy' tables
     never materialize in one process. Returns the directory."""
+    import shutil
+
     out_dir = pages_dir_for(sf_dir)
     marker = os.path.join(out_dir, "_SUCCESS")
-    if os.path.exists(marker):
-        return out_dir
-    os.makedirs(out_dir, exist_ok=True)
     n = n_rows or ROWS_BY_SF.get(sf_name(sf_dir), 300)
+    params = f"rows={n} profile={profile}\n"
+    if os.path.exists(marker):
+        # the marker RECORDS the generation parameters: a cached dir
+        # built with different n_rows/profile must never be silently
+        # returned (a heavy-profile bench would measure base pages).
+        # Legacy "ok" markers predate parameter recording and are
+        # accepted as-is (every legacy cache was written by this
+        # repo's own callers with the dir-name-encoded parameters).
+        with open(marker) as fh:
+            recorded = fh.read()
+        if recorded in (params, "ok\n"):
+            return out_dir
+        raise ValueError(
+            f"{out_dir} was generated with '{recorded.strip()}' but "
+            f"'{params.strip()}' was requested; delete the directory to "
+            "regenerate (it may be shared with concurrent sessions)"
+        )
     want_blocks = n <= 10_000
 
     chunk = 5000
@@ -289,10 +305,16 @@ def ensure_pages(
     if workers is None:
         workers = min(os.cpu_count() or 4, 16, len(ranges))
 
-    pw = pq.ParquetWriter(os.path.join(out_dir, "pages.parquet"), PAGES_SCHEMA)
-    gw = pq.ParquetWriter(os.path.join(out_dir, "golden.parquet"), GOLDEN_SCHEMA)
+    # build in a process-private dir, commit by rename: two concurrent
+    # callers (a test session + a bench) racing the marker check would
+    # otherwise interleave writes into the SAME parquet files and then
+    # mark the corruption as cached
+    tmp_dir = f"{out_dir}.tmp-{os.getpid()}"
+    os.makedirs(tmp_dir, exist_ok=True)
+    pw = pq.ParquetWriter(os.path.join(tmp_dir, "pages.parquet"), PAGES_SCHEMA)
+    gw = pq.ParquetWriter(os.path.join(tmp_dir, "golden.parquet"), GOLDEN_SCHEMA)
     bw = (
-        pq.ParquetWriter(os.path.join(out_dir, "golden_blocks.parquet"), BLOCKS_SCHEMA)
+        pq.ParquetWriter(os.path.join(tmp_dir, "golden_blocks.parquet"), BLOCKS_SCHEMA)
         if want_blocks
         else None
     )
@@ -300,7 +322,11 @@ def ensure_pages(
         if workers > 1 and len(ranges) > 1:
             import multiprocessing as mp
 
-            with mp.get_context("fork").Pool(workers) as pool:
+            # spawn, not fork: callers usually hold a live Spark JVM
+            # (py4j callback threads), and fork() of a multithreaded
+            # process can clone a held lock into the child — a classic
+            # imap deadlock. Chunk generation is pure and picklable.
+            with mp.get_context("spawn").Pool(workers) as pool:
                 for pt, gt, bt in pool.imap(_gen_chunk, ranges):
                     pw.write_table(pt)
                     gw.write_table(gt)
@@ -318,6 +344,20 @@ def ensure_pages(
         gw.close()
         if bw is not None:
             bw.close()
-    with open(marker, "w") as f:
-        f.write("ok\n")
+    with open(os.path.join(tmp_dir, "_SUCCESS"), "w") as f:
+        f.write(params)
+    try:
+        os.rename(tmp_dir, out_dir)
+    except OSError:
+        if os.path.exists(marker):
+            # another process committed first — identical deterministic
+            # content, so simply adopt theirs
+            shutil.rmtree(tmp_dir)
+        elif os.path.isdir(out_dir):
+            # leftover of a CRASHED earlier build (dir without marker):
+            # replace it with the complete one
+            shutil.rmtree(out_dir)
+            os.rename(tmp_dir, out_dir)
+        else:
+            raise
     return out_dir

@@ -572,3 +572,78 @@ def test_latest_crawl_total_order_tiebreak(spark):
         latest_crawl(df.repartition(n)).collect()[0]["text"] for n in (1, 3, 7)
     }
     assert len(picks) == 1
+
+
+def test_rec_metric_scores_all_golden_samples(spark):
+    """A doc the pipeline dropped (or a NULL prediction) must score as
+    an empty prediction, not silently leave the averages (inner join
+    could lose 999 of 1000 docs and still report exact_acc 1.0)."""
+    from paddleocr_spark.metrics import rec_metric
+
+    gold = spark.createDataFrame(
+        [("a", "hello"), ("b", "world"), ("c", "gone")],
+        "url string, golden_text string",
+    )
+    pred = spark.createDataFrame(
+        [("a", "hello"), ("b", None)], "url string, extracted_text string"
+    )
+    r = rec_metric(pred, gold).collect()[0]
+    assert r["n_docs"] == 3
+    assert abs(r["exact_acc"] - 1 / 3) < 1e-9
+    assert r["norm_edit_sim"] < 0.67  # two failures drag the mean down
+
+
+def test_det_metric_matching_is_one_to_one(spark):
+    """Each golden span matches at most one prediction and vice versa
+    (the reference evaluator's rule): two preds over one gold must not
+    push recall past 1.0, and empty inputs yield zero counts, not
+    NULLs."""
+    from paddleocr_spark.metrics import det_metric
+
+    gold = spark.createDataFrame([("u", 0, 100)], "url string, start int, end int")
+    pred = spark.createDataFrame(
+        [("u", 0, 60), ("u", 40, 100)], "url string, start int, end int"
+    )
+    # pred [0,60): inter 60 / union 100 = 0.6; [40,100): 0.6 — both candidates
+    r = det_metric(pred, gold, min_overlap=0.5).collect()[0]
+    assert r["n_match"] == 1 and r["recall"] == 1.0 and r["precision"] == 0.5
+
+    empty = spark.createDataFrame([], "url string, start int, end int")
+    z = det_metric(empty, empty).collect()[0]
+    assert (z["n_pred"], z["n_gold"], z["n_match"]) == (0, 0, 0)
+
+
+def test_table_match_filtered_fixture_drops_every_17th(spark):
+    """The filtered variant's every-17th shifted boxes must actually be
+    ABSENT from the output for every grid row (the old -60 shift left
+    row-2 boxes above the filter line, so a third of the designed drop
+    cases never exercised the drop path)."""
+    import paddleocr_spark.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = Q.QUERIES["table_match_filtered"](spark, sf)
+    kept_ids = {r["ocr_id"] for r in out.collect()}
+    all_ids = {
+        r["ocr_id"]
+        for r in Q.QUERIES["table_match"](spark, sf).collect()
+    }
+    shifted = {i for i in all_ids if i % 17 == 0}
+    assert shifted and not (shifted & kept_ids)
+    assert kept_ids == all_ids - shifted
+
+
+def test_ensure_pages_param_mismatch_raises(tmp_path, monkeypatch):
+    """A cached corpus generated with different parameters must fail
+    loudly, never be silently returned (a heavy bench measuring base
+    pages)."""
+    import pytest
+
+    import paddleocr_spark.sources.pages as P
+
+    monkeypatch.setattr(P, "DATA_ROOT", str(tmp_path))
+    d = P.ensure_pages("/x/sf0.001", n_rows=8)
+    assert P.ensure_pages("/x/sf0.001", n_rows=8) == d  # cache hit
+    with pytest.raises(ValueError, match="generated with"):
+        P.ensure_pages("/x/sf0.001", n_rows=16)
+    with pytest.raises(ValueError, match="generated with"):
+        P.ensure_pages("/x/sf0.001", n_rows=8, profile="heavy")
